@@ -1,0 +1,81 @@
+"""Pack variable-length sequences into fixed-shape device chunks.
+
+TPU kernels need static shapes; genomics inputs are ragged.  Instead of
+padding each sequence to a bucket (recompile churn, wasted lanes), all
+sequences in a batch are concatenated into ONE flat code buffer of a
+fixed size, separated by a single N code (4).  k-mer windows that span a
+separator contain an N and are invalid — which is *exactly* the
+reference's "N restarts the window" semantics (count.c:41), so
+per-sequence k-mer sets fall out of the flat layout for free.
+
+Sequences longer than the remaining chunk space are split with a
+(k-1)-base halo: the continuation chunk re-reads the last k-1 bases so
+every window is produced exactly once (the sequence-parallel analogue
+noted in SURVEY §5).
+
+Per-position metadata (sequence id, base offset) is built host-side as
+NumPy arrays for the per-sequence workloads (qv/trio/sexchr/chkerr).
+"""
+
+import numpy as np
+
+
+class PackedChunk:
+    """A fixed-size flat code buffer plus per-position provenance."""
+
+    __slots__ = ("codes", "seq_id", "pos", "n_bases", "seq_names", "seq_lens")
+
+    def __init__(self, chunk_size):
+        self.codes = np.full(chunk_size, 4, np.uint8)
+        # per chunk position: global sequence index (-1 = separator/pad) and
+        # base offset within that sequence
+        self.seq_id = np.full(chunk_size, -1, np.int32)
+        self.pos = np.zeros(chunk_size, np.int32)
+        self.n_bases = 0
+        self.seq_names = {}   # global seq index -> name (only ids in chunk)
+        self.seq_lens = {}    # global seq index -> full length
+
+
+def pack_records(records, chunk_size, k, start_index=0, with_meta=True):
+    """Pack an iterable of FastxRecords into PackedChunks (generator)."""
+    if chunk_size <= k:
+        raise ValueError("chunk_size must exceed k")
+    cur = PackedChunk(chunk_size)
+    w = 0
+
+    for idx, rec in enumerate(records):
+        gi = start_index + idx
+        codes = rec.codes
+        L = len(codes)
+        if with_meta:
+            cur.seq_names[gi] = rec.name
+            cur.seq_lens[gi] = L
+        off = 0
+        while off < L:
+            if chunk_size - w < k:  # no room for a single window
+                yield cur
+                cur = PackedChunk(chunk_size)
+                w = 0
+                if with_meta:
+                    cur.seq_names[gi] = rec.name
+                    cur.seq_lens[gi] = L
+            take = min(L - off, chunk_size - w)
+            cur.codes[w:w + take] = codes[off:off + take]
+            if with_meta:
+                cur.seq_id[w:w + take] = gi
+                cur.pos[w:w + take] = np.arange(off, off + take, dtype=np.int32)
+            cur.n_bases += take
+            w += take
+            off += take
+            if off < L:
+                off -= (k - 1)  # halo: continuation re-reads k-1 bases
+                yield cur
+                cur = PackedChunk(chunk_size)
+                w = 0
+                if with_meta:
+                    cur.seq_names[gi] = rec.name
+                    cur.seq_lens[gi] = L
+        w += 1  # one separator cell (already code 4) between sequences
+
+    if cur.n_bases > 0:
+        yield cur

@@ -1,0 +1,104 @@
+"""The `count` workload: stream sequences -> canonical k-mer hashes ->
+counting table (count.c:147-166), plus `recount` (count.c:168-193) and
+the Bloom two-pass `-b` protocol (main.c:53-60).
+
+Pipeline shape mirrors the reference's 3-step kt_pipeline but TPU-first:
+host packs fixed-shape flat code chunks (io/pack.py) while the device
+runs extract+insert on the previous chunk (async dispatch overlaps them
+naturally — JAX queues device work ahead of host).
+"""
+
+import sys
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from yak_tpu.io.fasta import FastxReader
+from yak_tpu.io.pack import pack_records
+from yak_tpu.ops.kmers import extract_kmer_hashes
+from yak_tpu.table import KmerTable
+
+
+@dataclass
+class CountOpts:
+    """Defaults per yak_copt_init (misc.c:23-32)."""
+    k: int = 31
+    pre: int = 10
+    bf_shift: int = 0
+    bf_n_hash: int = 4
+    n_thread: int = 4          # accepted for CLI parity; unused on TPU
+    chunk_size: int = 10_000_000
+    cap_log2: int = 16         # initial table capacity (grows amortized)
+
+
+def _device_chunk(opt):
+    # fixed flat-buffer size: one compiled shape for the whole run
+    c = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
+    return -(-c // 1024) * 1024
+
+
+def count_file(fn, opt, table=None):
+    """Count k-mers of one file into `table` (created if None).
+
+    table=None -> create-new mode; otherwise increment-existing-only
+    (the pass-2 / recount path, htab.c:71-75).
+    """
+    create_new = table is None
+    if table is None:
+        table = KmerTable(opt.k, opt.pre, cap_log2=opt.cap_log2,
+                          bf_n_hash=opt.bf_n_hash, bf_shift=opt.bf_shift)
+    else:
+        assert table.k == opt.k and table.pre == opt.pre
+    chunk = _device_chunk(opt)
+    t0 = time.time()
+    n_seq = 0
+    reader = FastxReader(fn)
+
+    def recs():
+        nonlocal n_seq
+        for rec in reader:
+            if len(rec.seq) < opt.k:
+                continue  # count.c:94
+            n_seq += 1
+            yield rec
+
+    for packed in pack_records(recs(), chunk, opt.k, with_meta=False):
+        codes = jnp.asarray(packed.codes)[None, :]
+        h, valid = extract_kmer_hashes(codes, opt.k)
+        table.insert_hashes(h[0], valid[0], create_new=create_new)
+    reader.close()
+    print(f"[M::count_file::{time.time()-t0:.3f}] processed {n_seq} sequences; "
+          f"{table.tot} distinct k-mers in the hash table", file=sys.stderr)
+    return table
+
+
+def count(files, opt):
+    """Full `yak count` semantics including the `-b` two-pass protocol
+    (main.c:53-60): pass 1 Bloom-gated; destroy BF, zero counts; pass 2
+    over the second input (or the same file) increments existing keys;
+    shrink to counts >= 2."""
+    table = count_file(files[0], opt)
+    if opt.bf_shift > 0:
+        table.destroy_bf()
+        table.clear_counts()
+        second = files[1] if len(files) >= 2 else files[0]
+        count_file(second, opt, table=table)
+        table.shrink(2, 1023)
+        print(f"[M::count] {table.tot} distinct k-mers after shrinking",
+              file=sys.stderr)
+    return table
+
+
+def recount(fn, table):
+    """Zero counts then re-count only existing keys (yak_recount)."""
+    table.clear_counts()
+    o = CountOpts(k=table.k, pre=table.pre)
+    chunk = _device_chunk(o)
+    reader = FastxReader(fn)
+    for packed in pack_records(iter(reader), chunk, table.k, with_meta=False):
+        codes = jnp.asarray(packed.codes)[None, :]
+        h, valid = extract_kmer_hashes(codes, table.k)
+        table.insert_hashes(h[0], valid[0], create_new=False)
+    reader.close()
+    return table
