@@ -1,0 +1,181 @@
+"""Oracle differential tests for the lookup-side workloads: exact stdout
+parity against the reference binary (single-threaded for deterministic
+row order; the reference's worker printf order is thread-interleaved)."""
+
+import io
+import os
+import shutil
+import subprocess
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+import util
+from util import make_genome, mutate_reads, to_fasta, run_oracle
+
+pytestmark = pytest.mark.skipif(not util.have_oracle(),
+                                reason="reference oracle not built")
+
+FIXED_ORACLE = os.path.join(os.path.dirname(__file__), ".oracle",
+                            "yak-fixed-inspect")
+
+
+def ours(args):
+    from yak_tpu.cli import main as cli
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli([str(a) for a in args])
+    assert rc == 0
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="session")
+def trio(tmp_path_factory):
+    """Synthetic trio: two parental haplotypes + child contigs."""
+    d = tmp_path_factory.mktemp("trio")
+    rng = np.random.default_rng(11)
+    base = make_genome(rng, 40000)
+    pat, mat = base.copy(), base.copy()
+    for hap in (pat, mat):
+        idx = rng.choice(len(base), 150, replace=False)
+        hap[idx] = (hap[idx] + rng.integers(1, 4, 150)) % 4
+    to_fasta(d / "pat_reads.fa", mutate_reads(rng, pat, 8000, 100, err=0.002))
+    to_fasta(d / "mat_reads.fa", mutate_reads(rng, mat, 8000, 100, err=0.002))
+    child = [pat[:15000], mat[15000:30000],
+             np.concatenate([pat[30000:35000], mat[35000:40000]])]
+    to_fasta(d / "child.fa", child, names=["ctgP", "ctgM", "ctgX"])
+    run_oracle(["count", "-k21", "-K2000000", "-o", d / "pat.yak",
+                d / "pat_reads.fa"])
+    run_oracle(["count", "-k21", "-K2000000", "-o", d / "mat.yak",
+                d / "mat_reads.fa"])
+    return d
+
+
+@pytest.fixture(scope="session")
+def qvdata(tmp_path_factory):
+    d = tmp_path_factory.mktemp("qv")
+    rng = np.random.default_rng(5)
+    g = make_genome(rng, 100000)
+    to_fasta(d / "sr.fa", mutate_reads(rng, g, 25000, 120, err=0.01))
+    asm = g.copy()
+    errpos = rng.choice(len(g), 40, replace=False)
+    asm[errpos] = (asm[errpos] + 1) % 4
+    to_fasta(d / "asm.fa", [asm], names=["ctg1"])
+    run_oracle(["count", "-k21", "-K5000000", "-o", d / "sr.yak", d / "sr.fa"])
+    return d
+
+
+def test_qv_assembly(qvdata):
+    ref = run_oracle(["qv", qvdata / "sr.yak", qvdata / "asm.fa"])
+    assert ours(["qv", qvdata / "sr.yak", qvdata / "asm.fa"]) == ref
+
+
+def test_qv_reads_print_each(qvdata):
+    ref = run_oracle(["qv", "-p", "-t1", qvdata / "sr.yak", qvdata / "sr.fa"])
+    assert ours(["qv", "-p", qvdata / "sr.yak", qvdata / "sr.fa"]) == ref
+
+
+def test_qv_err_kmers_min_len(qvdata):
+    ref = run_oracle(["qv", "-E", "-t1", "-l", "110", qvdata / "sr.yak",
+                      qvdata / "asm.fa"])
+    assert ours(["qv", "-E", "-l", "110", qvdata / "sr.yak",
+                 qvdata / "asm.fa"]) == ref
+
+
+def test_inspect_single(trio):
+    ref = run_oracle(["inspect", trio / "pat.yak"])
+    assert ours(["inspect", trio / "pat.yak"]) == ref
+
+
+def test_inspect_two_table(trio):
+    """Two-table inspect vs the PATCHED oracle: the snapshot's raw-key
+    probe defect (inspect.c:57) is documented in SURVEY §2.1; upstream
+    semantics require the reconstructed hash."""
+    if not os.path.exists(FIXED_ORACLE):
+        pytest.skip("patched oracle not built")
+    r = subprocess.run([FIXED_ORACLE, "inspect", str(trio / "pat.yak"),
+                        str(trio / "mat.yak")], capture_output=True,
+                       check=True)
+    assert ours(["inspect", trio / "pat.yak", trio / "mat.yak"]) == \
+        r.stdout.decode()
+
+
+def test_triobin(trio):
+    ref = run_oracle(["triobin", "-t1", "-p", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    assert ours(["triobin", "-p", trio / "pat.yak", trio / "mat.yak",
+                 trio / "child.fa"]) == ref
+
+
+def test_trioeval(trio):
+    ref = run_oracle(["trioeval", "-t1", "-e", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    assert ours(["trioeval", "-e", trio / "pat.yak", trio / "mat.yak",
+                 trio / "child.fa"]) == ref
+
+
+def test_chkerr(trio):
+    ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
+    assert ours(["chkerr", trio / "pat.yak", trio / "child.fa"]) == ref
+
+
+def test_sexchr_and_groupxy(tmp_path):
+    rng = np.random.default_rng(23)
+    chrY, chrX, par = (make_genome(rng, 8000), make_genome(rng, 12000),
+                       make_genome(rng, 3000))
+    for n, s in [("chrY", chrY), ("chrX", chrX), ("par", par)]:
+        to_fasta(tmp_path / f"{n}.fa", [s])
+        run_oracle(["count", "-k21", "-K1000000", "-o",
+                    tmp_path / f"{n}.yak", tmp_path / f"{n}.fa"])
+    auto = make_genome(rng, 10000)
+    to_fasta(tmp_path / "hap1.fa",
+             [np.concatenate([chrY[:6000], par[:1500]]), auto[:5000]],
+             names=["h1c1", "h1c2"])
+    to_fasta(tmp_path / "hap2.fa",
+             [np.concatenate([chrX[:9000], par[1500:]]), auto[5000:]],
+             names=["h2c1", "h2c2"])
+    args = ["sexchr", "-t1", tmp_path / "chrY.yak", tmp_path / "chrX.yak",
+            tmp_path / "par.yak", tmp_path / "hap1.fa", tmp_path / "hap2.fa"]
+    ref = run_oracle(args)
+    u = ours(args)
+    assert u == ref
+    (tmp_path / "cnt.txt").write_text(u)
+    perl = shutil.which("perl")
+    if perl:
+        rp = subprocess.run(
+            [perl, "/root/reference/groupxy.pl", str(tmp_path / "cnt.txt")],
+            capture_output=True, check=True).stdout.decode()
+        assert ours(["groupxy", tmp_path / "cnt.txt"]) == rp
+
+
+def test_algebra(trio, tmp_path):
+    from util import oracle_print_counts
+    run_oracle(["subtract", "-o", tmp_path / "s_ref.yak", trio / "pat.yak",
+                trio / "mat.yak"])
+    ours(["subtract", "-o", tmp_path / "s_our.yak", trio / "pat.yak",
+          trio / "mat.yak"])
+    assert (oracle_print_counts(str(tmp_path / "s_ref.yak"))
+            == oracle_print_counts(str(tmp_path / "s_our.yak")))
+    run_oracle(["isec", "-o", tmp_path / "i_ref.yak", trio / "pat.yak",
+                trio / "mat.yak"])
+    ours(["isec", "-o", tmp_path / "i_our.yak", trio / "pat.yak",
+          trio / "mat.yak"])
+    assert (oracle_print_counts(str(tmp_path / "i_ref.yak"))
+            == oracle_print_counts(str(tmp_path / "i_our.yak")))
+
+
+def test_cntasm(trio, tmp_path):
+    from util import oracle_print_counts
+    run_oracle(["cntasm", "-k21", "-K2000000", "-o", tmp_path / "c_ref.yak",
+                trio / "pat_reads.fa", trio / "mat_reads.fa"])
+    ours(["cntasm", "-k21", "-K2000000", "-o", tmp_path / "c_our.yak",
+          trio / "pat_reads.fa", trio / "mat_reads.fa"])
+    assert (oracle_print_counts(str(tmp_path / "c_ref.yak"))
+            == oracle_print_counts(str(tmp_path / "c_our.yak")))
+
+
+def test_print_c(trio):
+    ref = run_oracle(["print", "-c", trio / "pat.yak"])
+    u = ours(["print", "-c", trio / "pat.yak"])
+    assert sorted(u.splitlines()) == sorted(ref.splitlines())

@@ -53,13 +53,20 @@ def dump_yak(path, k, pre, hashes, counts):
     nsh = 1 << pre
     sizes = np.bincount(shard, minlength=nsh).astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(sizes)])
-    with open(path, "wb") as fp:
+    import sys
+
+    to_stdout = path == "-"
+    fp = sys.stdout.buffer if to_stdout else open(path, "wb")
+    try:
         fp.write(YAK_MAGIC)
         fp.write(struct.pack("<3I", k, pre, YAK_COUNTER_BITS))
         for s in range(nsh):
             sz = int(sizes[s])
             fp.write(struct.pack("<2I", _khashl_capacity(sz), sz))
             fp.write(filekey[offs[s]:offs[s + 1]].tobytes())
+    finally:
+        if not to_stdout:
+            fp.close()
 
 
 def restore_yak(path):

@@ -1,0 +1,260 @@
+"""Assembly/read QV estimation (qv.c) and the empirical QV model
+(yak_qv_solve, qv.c:146-244 + the gjdn solver, 6gjdn.c).
+
+The hot loop (per k-mer table probes) runs on device via models/scan;
+the per-sequence gating and the microseconds-scale float64 model fit
+stay on host (they need float64 and are negligible work — SURVEY §7).
+"""
+
+import math
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from yak_tpu import YAK_N_COUNTS
+from yak_tpu.models.scan import scan_file, NO_KMER
+
+_Q = 4.3429448190325175  # 10 / ln 10
+
+
+def _log(x):
+    """IEEE log like C's: log(0) = -inf, log(<0) = nan, no exceptions."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(np.log(np.float64(x)))
+
+
+def _solve_full_pivot(A, B):
+    """Solve A x = B by Gauss-Jordan with full pivoting, the same pivot
+    strategy as the reference's solver (6gjdn.c) so results — including
+    inf/nan propagation on degenerate fits — follow the same arithmetic
+    path.  A: (n, n), B: (n,); both modified in place; returns B (= x)."""
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    n = A.shape[0]
+    col_swaps = []
+    for k in range(n):
+        sub = np.abs(A[k:, k:])
+        # C's strict `t > d` never selects NaN entries and starts from 0.0
+        sub_c = np.where(np.isnan(sub), -1.0, sub)
+        flat = int(np.argmax(sub_c))  # first max, row-major, like the 2 loops
+        pr, pc = k + flat // (n - k), k + flat % (n - k)
+        d = max(float(sub_c[flat // (n - k), flat % (n - k)]), 0.0)
+        if d + 1.0 == 1.0:
+            # reference gjdn bails here but its caller ignores the return
+            # value (qv.c:220) and keeps the partially transformed B
+            print("ERROR: fail", file=sys.stderr)
+            return B
+        col_swaps.append(pc)
+        if pc != k:
+            A[:, [k, pc]] = A[:, [pc, k]]
+        if pr != k:
+            A[[k, pr], k:] = A[[pr, k], k:]
+            B[[k, pr]] = B[[pr, k]]
+        d = A[k, k]
+        A[k, k + 1:] /= d
+        B[k] /= d
+        for j in range(k + 1, n):
+            for i in range(n):
+                if i != k:
+                    A[i, j] -= A[i, k] * A[k, j]
+        for i in range(n):
+            if i != k:
+                B[i] -= A[i, k] * B[k]
+    for k in range(n - 1, -1, -1):
+        if col_swaps[k] != k:
+            B[[k, col_swaps[k]]] = B[[col_swaps[k], k]]
+    return B
+
+
+@dataclass
+class QvOpts:
+    """Defaults per yak_qopt_init (qv.c:137-144)."""
+    print_each: bool = False
+    print_err_kmer: bool = False
+    min_len: int = 0
+    n_threads: int = 4
+    min_frac: float = 0.5
+    fpr: float = 0.00004
+    chunk_size: int = 1_000_000_000
+
+
+@dataclass
+class QStat:
+    tot: int = 0
+    qv_raw: float = -1.0
+    qv: float = -1.0
+    cov: float = 0.0
+    err: float = 0.0
+    fpr_lower: float = 0.0
+    fpr_upper: float = 0.0
+    adj_cnt: np.ndarray = field(
+        default_factory=lambda: np.zeros(YAK_N_COUNTS))
+
+
+def run_qv(opt, fn, table, out=None):
+    out = out or sys.stdout
+    """Stream `fn` against `table`; returns the global occurrence-count
+    vector cnt[1024] (yak_qv, qv.c:116-135).  SQ/EK lines go to `out`."""
+    k = table.k
+    assert k < 32
+    cnt = np.zeros(YAK_N_COUNTS, np.int64)
+    chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
+    chunk = -(-chunk // 1024) * 1024
+    for name, L, vals in scan_file(fn, table, chunk):
+        if L < opt.min_len:
+            continue
+        has_kmer = vals != NO_KMER
+        t = np.maximum(vals, 0)          # t < 0 -> 0 (qv.c:60)
+        tot = int(np.count_nonzero(has_kmer))
+        non0 = int(np.count_nonzero(t > 0))
+        if opt.print_err_kmer:
+            for i in np.nonzero(has_kmer & (t == 0))[0]:
+                out.write(f"EK\t{name}\t{i + 1 - k}\n")
+        if opt.print_each:
+            qv = -1.0
+            if tot > 0:
+                if non0 > 0:
+                    if tot > non0:
+                        qv = math.log(tot / non0) / k
+                        qv = -_Q * math.log(qv)
+                    else:
+                        qv = 99.0
+                else:
+                    qv = 0.0
+            out.write(f"SQ\t{name}\t{L}\t{tot}\t{non0}\t{qv:.2f}\n")
+        if non0 < tot * opt.min_frac:
+            continue
+        cnt += np.bincount(t[has_kmer], minlength=YAK_N_COUNTS)
+    return cnt
+
+
+def qv_solve(hist, cnt, kmer, fpr):
+    """The empirical QV model (yak_qv_solve).
+
+    hist: 1024-bin histogram of the read table; cnt: 1024-bin occurrence
+    histogram of the evaluated sequence's k-mers.  Returns (ret, QStat);
+    ret == -1 means the adjusted model was not computable (low coverage)
+    and only qv_raw is meaningful.
+    """
+    hist = np.asarray(hist, np.int64)
+    cnt = np.asarray(cnt, np.int64)
+    n = YAK_N_COUNTS
+    qs = QStat()
+    qs.err = float(cnt[0])
+    qs.tot = int(cnt.sum())
+    qs.adj_cnt = cnt.astype(np.float64).copy()
+    if qs.tot > 0 and qs.tot > cnt[0]:
+        qs.qv_raw = -_Q * _log(_log(qs.tot / (qs.tot - cnt[0])) / kmer)
+
+    # spectrum peak (first strict max over [2, 1022]) and valley before it
+    max_c, max_cnt = -1, 0
+    for c in range(2, n - 1):
+        if cnt[c] > max_cnt:
+            max_cnt, max_c = int(cnt[c]), c
+    if max_c < 0:
+        qs.fpr_upper = 1.0
+        return -1, qs  # degenerate input (reference reads OOB here)
+    min_c, min_cnt = -1, max_cnt
+    for c in range(2, max_c):
+        if cnt[c] < min_cnt:
+            min_cnt, min_c = int(cnt[c]), c
+    qs.cov = cnt[max_c] / hist[max_c] if hist[max_c] else math.inf
+
+    qs.fpr_upper = 1.0
+    for c in range(2, max_c):
+        denom = qs.cov * hist[c]
+        e = cnt[c] / denom if denom else math.inf
+        if e < qs.fpr_upper:
+            qs.fpr_upper = e
+    if fpr > qs.fpr_upper:
+        fpr = qs.fpr_upper * 0.5
+
+    qs.fpr_lower = 0.0
+    if min_c > 2 and hist[2] > hist[min_c]:
+        e = (cnt[2] - cnt[min_c]) / (qs.cov * (hist[2] - hist[min_c]))
+        if e > qs.fpr_lower:
+            qs.fpr_lower = e
+    if fpr < qs.fpr_lower:
+        fpr = qs.fpr_lower
+    if qs.fpr_lower >= qs.fpr_upper:
+        print("Warning: the FPR upper bound is smaller than the lower bound. "
+              "Trust the lower bound.", file=sys.stderr)
+
+    if max_c <= 4:
+        return -1, qs
+    n_ext = min(max_c - min_c + 1, 8)
+    if n_ext < 3:
+        return -1, qs
+
+    # sampling-error adjustment in [min_c, max_c)
+    for c in range(max_c - 1, min_c - 1, -1):
+        err = (hist[c] - cnt[c] / qs.cov) / (1.0 - fpr)
+        qs.adj_cnt[c] = max(cnt[c] - err * qs.cov * fpr, 0.0)
+
+    # degree-2 polynomial fit of adjacent-count ratios (normal equations)
+    x = np.arange(min_c, min_c + n_ext, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        y = (qs.adj_cnt[min_c + 1:min_c + n_ext + 1]
+             / qs.adj_cnt[min_c:min_c + n_ext])
+    powers = x[None, :] ** np.arange(5)[:, None]  # x^0..x^4 per point
+    A = np.empty((3, 3))
+    B = np.empty(3)
+    with np.errstate(invalid="ignore"):
+        for i in range(3):
+            for j in range(i + 1):
+                A[i, j] = A[j, i] = powers[i + j].sum()
+            B[i] = (powers[i] * y).sum()
+        coef = _solve_full_pivot(A, B)
+
+        # extrapolate below min_c
+        for c in range(min_c - 1, -1, -1):
+            r = coef[0] + coef[1] * c + coef[2] * c * c
+            if r < 1.01:  # NaN stays NaN, like the C comparison
+                r = 1.01
+            qs.adj_cnt[c] = qs.adj_cnt[c + 1] / r
+
+    adj_sum = float(qs.adj_cnt.sum())
+    if adj_sum <= qs.tot:
+        qs.err = qs.tot - adj_sum
+        qs.qv = -_Q * _log(_log(qs.tot / adj_sum) / kmer)
+    else:
+        print("WARNING: failed to estimate the calibrated QV", file=sys.stderr)
+        qs.err = 0.0
+        qs.qv = qs.qv_raw
+    return 0, qs
+
+
+def _cf(v, spec=".3f"):
+    """printf-compatible float text (C prints NaN with its sign bit)."""
+    if math.isnan(v):
+        return "-nan" if math.copysign(1.0, v) < 0 else "nan"
+    if math.isinf(v):
+        return "-inf" if v < 0 else "inf"
+    return f"{v:{spec}}"
+
+
+QV_HEADER = (
+    "CC\tCT  kmer_occurrence    short_read_kmer_count  raw_input_kmer_count  "
+    "adjusted_input_kmer_count\n"
+    "CC\tFR  fpr_lower_bound    fpr_upper_bound\n"
+    "CC\tER  total_input_kmers  adjusted_error_kmers\n"
+    "CC\tCV  coverage\n"
+    "CC\tQV  raw_quality_value  adjusted_quality_value\n"
+    "CC\n")
+
+
+def main_qv(opt, table, seq_fn, out=None):
+    out = out or sys.stdout
+    """The `qv` command body (main_qv, main.c:163-215)."""
+    hist = table.hist()
+    out.write(QV_HEADER)
+    cnt = run_qv(opt, seq_fn, table, out=out)
+    _, qs = qv_solve(hist, cnt, table.k, opt.fpr)
+    for i in range(YAK_N_COUNTS - 1, -1, -1):
+        out.write(f"CT\t{i}\t{hist[i]}\t{cnt[i]}\t{_cf(qs.adj_cnt[i])}\n")
+    out.write(f"FR\t{_cf(qs.fpr_lower, '.3g')}\t{_cf(qs.fpr_upper, '.3g')}\n")
+    out.write(f"ER\t{qs.tot}\t{_cf(qs.err)}\n")
+    out.write(f"CV\t{_cf(qs.cov)}\n")
+    out.write(f"QV\t{_cf(qs.qv_raw)}\t{_cf(qs.qv)}\n")
+    return qs

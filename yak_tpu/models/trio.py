@@ -1,0 +1,214 @@
+"""Trio binning (triobin.c) and phasing evaluation (trioeval.c).
+
+Both load pat/mat tables as 2-bit class flags (TRIOBIN1/2 load modes,
+htab.c:449-461), stream the child sequences, and type each position:
+  flag = table value (0 if absent); c1 = flag&3 (pat class), c2 = flag>>2&3
+  type 1 (pat-strong) if c1==2 && c2==0; type 2 (mat-strong) if c2==2 && c1==0
+then run streak logic over the per-position type array:
+  triobin:  nonzero-type streaks >= k-4 accumulate sc[type-1] bases,
+            then tb_classify -> p/m/a/0 (triobin.c:94-121)
+  trioeval: nonzero-type streaks >= min_n sites become phase-block
+            elements; count switch pairs and sites (trioeval.c:91-117)
+
+Table probes run on device via models/scan; the per-sequence run-length
+logic is vectorized NumPy on the value stream.
+"""
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from yak_tpu import YAK_LOAD_TRIOBIN1, YAK_LOAD_TRIOBIN2
+from yak_tpu.models.scan import scan_file, NO_KMER
+from yak_tpu.table import KmerTable
+
+
+@dataclass
+class TrioOpts:
+    min_cnt: int = 2
+    mid_cnt: int = 5
+    n_threads: int = 8
+    ratio_thres: float = 0.33   # triobin -r
+    min_n: int = 2              # trioeval -n
+    print_diff: bool = False    # triobin -p
+    print_err: bool = False     # trioeval -e
+    print_frag: bool = True     # trioeval (off with -F)
+
+
+def load_trio_tables(pat_fn, mat_fn, opt):
+    ch = KmerTable.restore(pat_fn, mode=YAK_LOAD_TRIOBIN1,
+                           min_cnt=opt.min_cnt, mid_cnt=opt.mid_cnt)
+    ch = KmerTable.restore(mat_fn, mode=YAK_LOAD_TRIOBIN2,
+                           min_cnt=opt.min_cnt, mid_cnt=opt.mid_cnt, into=ch)
+    return ch
+
+
+def _types_and_flags(vals):
+    """Per-position flag and type arrays from the scan value stream."""
+    is_k = vals != NO_KMER
+    flag = np.where(is_k, np.maximum(vals, 0), 0).astype(np.int32)
+    c1 = flag & 3
+    c2 = (flag >> 2) & 3
+    typ = np.zeros(len(vals), np.int32)
+    typ[is_k & (c1 == 2) & (c2 == 0)] = 1
+    typ[is_k & (c2 == 2) & (c1 == 0)] = 2
+    return is_k, flag, typ
+
+
+def _runs(arr):
+    """Run-length encode: returns (start, length, value) arrays."""
+    if len(arr) == 0:
+        return (np.zeros(0, np.int64),) * 3
+    change = np.nonzero(np.diff(arr) != 0)[0]
+    starts = np.concatenate([[0], change + 1])
+    lens = np.diff(np.concatenate([starts, [len(arr)]]))
+    return starts, lens, arr[starts]
+
+
+def tb_classify(sc, c, k, ratio_thres):
+    """Contig classification (tb_classify, triobin.c:103-121)."""
+    P, M = c[0 << 2 | 2], c[2 << 2 | 0]
+    if sc[0] == 0 and sc[1] == 0:
+        if P == M:
+            return "0"
+        if P >= k - 4 + M and (M <= 1 or P * 0.05 > M):
+            return "p"
+        if M >= k - 4 + P and (P <= 1 or M * 0.05 > P):
+            return "m"
+        return "0"
+    if sc[0] > k and sc[1] > k:
+        return "a"
+    if sc[0] >= k - 4 + sc[1] and sc[0] * 0.05 >= sc[1] and P * ratio_thres > M:
+        return "p"
+    if sc[1] >= k - 4 + sc[0] and sc[1] * 0.05 >= sc[0] and M * ratio_thres > P:
+        return "m"
+    return "a"
+
+
+class _BatchedOut:
+    """Reproduce the reference's output interleaving: per input batch
+    (bseq_read of `batch_bases`), all worker-emitted rows print first
+    (during kt_for), then the per-sequence summary rows (pipeline step 1
+    loop) — triobin.c:136-148, trioeval.c:132-149."""
+
+    def __init__(self, out, batch_bases):
+        self.out = out
+        self.batch_bases = batch_bases
+        self.worker_rows = []
+        self.summary_rows = []
+        self.cum = 0
+
+    def add(self, worker_text, summary_text, seq_len):
+        self.worker_rows.append(worker_text)
+        self.summary_rows.append(summary_text)
+        self.cum += seq_len
+        if self.cum >= self.batch_bases:
+            self.flush()
+
+    def flush(self):
+        self.out.write("".join(self.worker_rows))
+        self.out.write("".join(self.summary_rows))
+        self.worker_rows, self.summary_rows, self.cum = [], [], 0
+
+
+def main_triobin(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
+                 batch_bases=200_000_000):
+    out = out or sys.stdout
+    k = ch.k
+    chunk = max(1 << 14, min(batch_bases, chunk_cap))
+    chunk = -(-chunk // 1024) * 1024
+    bo = _BatchedOut(out, batch_bases)
+    for name, L, vals in scan_file(seq_fn, ch, chunk):
+        is_k, flag, typ = _types_and_flags(vals)
+        nk = int(np.count_nonzero(is_k))
+        c = np.bincount(flag[is_k], minlength=16)
+        wrows = []
+        if opt.print_diff:
+            for i in np.nonzero(is_k & ((flag >> 2 & 3) != (flag & 3)))[0]:
+                wrows.append(f"D\t{name}\t{i}\t{flag[i] & 3}\t{flag[i] >> 2 & 3}\n")
+        sc = [0, 0]
+        _, lens, tvals = _runs(typ)
+        for ln, tv in zip(lens, tvals):
+            if tv > 0 and ln >= k - 4:
+                sc[tv - 1] += int(ln)
+        t = tb_classify(sc, c, k, opt.ratio_thres)
+        srow = (f"{name}\t{t}\t{sc[0]}\t{sc[1]}\t{c[0 << 2 | 2]}\t"
+                f"{c[2 << 2 | 0]}\t{c[0 << 2 | 1]}\t{c[1 << 2 | 0]}\t"
+                f"{nk}\t{c[0]}\n")
+        bo.add("".join(wrows), srow, L)
+    bo.flush()
+
+
+TRIOEVAL_HEADER = (
+    "C\tS  seqName     #patKmer  #matKmer  #pat-pat  #pat-mat  #mat-pat  "
+    "#mat-mat  seqLen\n"
+    "C\tF  seqName     type      startPos  endPos    count\n"
+    "C\tW  #switchErr  denominator  switchErrRate\n"
+    "C\tH  #hammingErr denominator  hammingErrRate\n"
+    "C\tN  #totPatKmer #totMatKmer  errRate\n"
+    "C\n")
+
+
+def main_trioeval(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
+                  batch_bases=1_000_000_000):
+    """Phase-block switch statistics (te_worker + summary,
+    trioeval.c:91-117,195-209)."""
+    out = out or sys.stdout
+    k = ch.k
+    chunk = max(1 << 14, min(batch_bases, chunk_cap))
+    chunk = -(-chunk // 1024) * 1024
+    n_pair = n_site = n_switch = n_err = 0
+    n_par = [0, 0]
+    out.write(TRIOEVAL_HEADER)
+    bo = _BatchedOut(out, batch_bases)
+    for name, L, vals in scan_file(seq_fn, ch, chunk):
+        _, _, typ = _types_and_flags(vals)
+        c = [0, 0, 0, 0]
+        d = [0, 0]
+        last = 0
+        f_type = f_st = f_en = f_cnt = 0
+        wrows = []
+        starts, lens, tvals = _runs(typ)
+        for st, ln, tv in zip(starts, lens, tvals):
+            if tv > 0 and ln >= opt.min_n:
+                n = (int(ln) + k - 1) // k
+                cc = int(tv) - 1
+                c[cc << 1 | cc] += n - 1
+                d[cc] += n
+                if last > 0:
+                    c[(last - 1) << 1 | cc] += 1
+                    if opt.print_err and last - 1 != cc:
+                        wrows.append(f"E\t{name}\t{st + ln}\t{last}\t{cc + 1}\n")
+                if f_type != tv:
+                    if f_type > 0 and opt.print_frag:
+                        wrows.append(f"F\t{name}\t{f_type}\t{f_st}\t{f_en}\t"
+                                     f"{f_cnt}\n")
+                    f_type, f_st, f_cnt = int(tv), int(st) + 1 - k, 0
+                f_cnt += 1
+                f_en = int(st + ln) + 1  # trioeval.c:109: f_en = i + 1
+                last = int(tv)
+        if f_type > 0 and opt.print_frag:
+            wrows.append(f"F\t{name}\t{f_type}\t{f_st}\t{f_en}\t{f_cnt}\n")
+        n_par[0] += d[0]
+        n_par[1] += d[1]
+        if d[0] + d[1] >= 2:
+            n_pair += c[0] + c[1] + c[2] + c[3]
+            n_switch += c[1] + c[2]
+            n_site += d[0] + d[1]
+            n_err += min(d[0], d[1])
+        bo.add("".join(wrows),
+               f"S\t{name}\t{d[0]}\t{d[1]}\t{c[0]}\t{c[1]}\t{c[2]}\t"
+               f"{c[3]}\t{L}\n", L)
+    bo.flush()
+    out.write(f"W\t{n_switch}\t{n_pair}\t{_div(n_switch, n_pair):.6f}\n")
+    out.write(f"H\t{n_err}\t{n_site}\t{_div(n_err, n_site):.6f}\n")
+    out.write(f"N\t{n_par[0]}\t{n_par[1]}\t"
+              f"{_div(min(n_par[0], n_par[1]), n_par[0] + n_par[1]):.6f}\n")
+
+
+def _div(a, b):
+    # C double division: 0/0 -> nan, x/0 -> inf; %.6f of nan prints below
+    if b == 0:
+        return float("nan") if a == 0 else float("inf")
+    return a / b

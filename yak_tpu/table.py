@@ -38,10 +38,13 @@ class KmerTable:
         self.bf = None
         self.bf_shift = bf_shift
         self.bf_n_hash = bf_n_hash
-        if bf_shift > 0:
-            if bf_shift <= pre:
-                raise ValueError("bloom bf_shift must exceed pre (htab.c:23)")
-            self.bf = make_bloom(bf_shift)
+        if bf_shift > pre:
+            # per-shard filter must hold at least one 512-bit block and at
+            # most 2^64 bits, else yak_bf_init returns NULL and counting
+            # runs ungated (bbf.c:9, htab.c:23-27)
+            per_shard = bf_shift - pre
+            if 9 <= per_shard <= 64 - 9:
+                self.bf = make_bloom(bf_shift)
 
     # -- hot path ---------------------------------------------------------
 
