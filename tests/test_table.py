@@ -1,9 +1,8 @@
-"""Unit tests for the functional counting table (ops/hashtable.py)."""
+"""Unit tests for the counting table (ops/sorttable.py via KmerTable)."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from yak_tpu.ops import hashtable as ht
 from yak_tpu.table import KmerTable
 
 

@@ -1,9 +1,10 @@
 """KmerTable: the user-facing counting-table object.
 
-Wraps the device-resident functional table (ops/hashtable.py) plus the
-optional Bloom prefilter (ops/bloom.py) with host-driven lifecycle:
-amortized growth, `.yak` dump/restore (io/yakfmt.py) with the five load
-modes, and the table-algebra operations of the reference
+Wraps the device-resident sorted-array table (ops/sorttable.py — see its
+docstring for why sort-merge beats probing on TPU) plus the optional
+Bloom prefilter (ops/bloom.py) with host-driven lifecycle: pad-extend
+growth, `.yak` dump/restore (io/yakfmt.py) with the five load modes, and
+the table-algebra operations of the reference
 (shrink/setcnt/clear/merge/subtract/isec/getseq — htab.c:102-367).
 
 Single-device implementation; the multi-chip path (parallel/mesh.py)
@@ -15,8 +16,8 @@ import sys
 import jax.numpy as jnp
 import numpy as np
 
-from yak_tpu import (YAK_MAX_COUNT, YAK_LOAD_ALL)
-from yak_tpu.ops import hashtable as ht
+from yak_tpu import YAK_MAX_COUNT, YAK_LOAD_ALL
+from yak_tpu.ops import sorttable as st
 from yak_tpu.ops.bloom import make_bloom, bloom_insert
 from yak_tpu.ops.hash import hash64_inv
 from yak_tpu.io import yakfmt
@@ -27,14 +28,27 @@ def _log(msg):
 
 
 class KmerTable:
-    def __init__(self, k, pre=10, cap_log2=16, bf_n_hash=4, bf_shift=0):
+    """Deferred-merge note: insert batches are accumulated on device and
+    folded into the sorted table with ONE sort-merge once enough lanes
+    are pending (an LSM-style compaction) — duplicates across the whole
+    pending window coalesce in a single segmented reduction, so per-chunk
+    cost drops from O(cap + B) to O(B log B) amortized.  Every read
+    operation flushes first; saturating-count semantics are unaffected
+    because min(c + m1 + m2, 1023) == min(min(c + m1, 1023) + m2, 1023)
+    for per-occurrence increments."""
+
+    def __init__(self, k, pre=10, cap_log2=16, bf_n_hash=4, bf_shift=0,
+                 flush_lanes=None):
         if pre < 10:
             raise ValueError("pre must be at least YAK_COUNTER_BITS (10)")
         self.k = k
         self.pre = pre
-        self.cap_log2 = cap_log2
-        self.keys, self.cnt = ht.make_table(cap_log2)
-        self.tot = 0          # distinct entries (h->tot parity)
+        self.flush_lanes = flush_lanes  # None = max(2^23, cap)
+        self.keys, self.cnt, self.size = st.make_table(1 << cap_log2)
+        self._tot = 0         # host mirror of size (h->tot parity)
+        self._pend = []       # deferred (h, add, valid) batches
+        self._pend_lanes = 0
+        self._pend_create = True
         self.bf = None
         self.bf_shift = bf_shift
         self.bf_n_hash = bf_n_hash
@@ -46,101 +60,138 @@ class KmerTable:
             if 9 <= per_shard <= 64 - 9:
                 self.bf = make_bloom(bf_shift)
 
+    @property
+    def cap(self):
+        return self.keys.shape[0]
+
+    @property
+    def tot(self):
+        self.flush()
+        return self._tot
+
+    def _ensure_capacity(self, need):
+        if need <= self.cap:
+            return
+        new_cap = self.cap
+        while new_cap < need:
+            new_cap *= 2
+        self.keys, self.cnt, self.size = st.grow(
+            self.keys, self.cnt, self.size, new_cap)
+
     # -- hot path ---------------------------------------------------------
 
     def insert_hashes(self, h, valid, create_new=True):
-        """Count a raw (duplicate-bearing) hash batch into the table.
+        """Count a raw (duplicate-bearing) hash batch into the table
+        (deferred; folded in at the next flush).
 
         Reproduces yak_ch_insert_list (htab.c:51-78): Bloom-gated create
         on pass 1, increment-existing-only when create_new=False.
-        Returns the number of newly created distinct k-mers.
         """
-        hs, starts, add = ht.dedup(h, valid)
+        add = None
         if self.bf is not None and create_new:
+            hs, starts, mult = st.dedup(h, valid)
             self.bf, n_before = bloom_insert(
                 self.bf, hs, starts, pre=self.pre, n_shift=self.bf_shift,
                 n_hashes=self.bf_n_hash)
-            add = jnp.where(n_before == self.bf_n_hash, add, add - 1)
-            starts = starts & (add > 0)
-        if create_new:
-            # the batch can create at most sum(starts) new entries; pre-size
-            # so the probe loop can always terminate (no in-loop growth)
-            self._ensure_capacity(self.tot + int(jnp.sum(starts)))
-        self.keys, self.cnt, n_new, n_pend = ht.update(
-            self.keys, self.cnt, hs, add, starts,
-            cap_log2=self.cap_log2, mode=ht.ADD, create=create_new)
-        assert int(n_pend) == 0
-        self.tot += int(n_new)
-        return int(n_new)
+            add = jnp.where(n_before == self.bf_n_hash, mult, mult - 1)
+            h, valid = hs, starts & (add > 0)
+        if add is None:
+            add = jnp.ones(h.shape, jnp.int32)
+        if create_new != self._pend_create:
+            self.flush()
+            self._pend_create = create_new
+        self._pend.append((h, add, valid))
+        self._pend_lanes += h.shape[0]
+        if self._pend_lanes >= (self.flush_lanes or max(1 << 23, self.cap)):
+            self.flush()
+
+    def flush(self):
+        """Fold all pending insert batches into the table (one sort-merge)."""
+        if not self._pend:
+            return
+        h = jnp.concatenate([p[0] for p in self._pend])
+        add = jnp.concatenate([p[1] for p in self._pend])
+        valid = jnp.concatenate([p[2] for p in self._pend])
+        self._pend, self._pend_lanes = [], 0
+        if self._pend_create:
+            self._ensure_capacity(self._tot + h.shape[0])
+        self.keys, self.cnt, self.size, _, overflow = st.merge_batch(
+            self.keys, self.cnt, self.size, h, add, valid,
+            mode=st.ADD, create=self._pend_create)
+        self._tot = int(self.size)
 
     def lookup_hashes(self, h, valid):
         """int32 counts per lane; -1 where absent (yak_ch_get)."""
-        return ht.lookup(self.keys, self.cnt, h, valid, cap_log2=self.cap_log2)
-
-    def _ensure_capacity(self, n_entries, load_limit=0.72):
-        """Amortized host-driven growth (replaces khashl's kick-out rehash)."""
-        if n_entries <= load_limit * (1 << self.cap_log2):
-            return
-        new_log2 = self.cap_log2
-        while n_entries > load_limit * (1 << new_log2):
-            new_log2 += 1
-        h_np, c_np = self.items()
-        self.keys, self.cnt = ht.make_table(new_log2)
-        self.cap_log2 = new_log2
-        self.keys, self.cnt = ht.insert_pairs(
-            self.keys, self.cnt, h_np, c_np, cap_log2=new_log2)
-        _log(f"grew table to 2^{self.cap_log2} slots ({len(h_np)} entries)")
+        self.flush()
+        return st.lookup(self.keys, self.cnt, self.size, h, valid)
 
     # -- cold-path table ops ------------------------------------------------
 
     def items(self):
-        """Host (hash u64[N], count i32[N]) of occupied entries."""
-        return ht.occupied_np(self.keys, self.cnt)
+        """Host (hash u64[N], count i32[N]) of live entries (sorted)."""
+        n = self.tot
+        return (np.asarray(self.keys)[:n].copy(),
+                np.asarray(self.cnt)[:n].copy())
 
     def hist(self):
         """1024-bin count histogram (yak_ch_hist)."""
-        return np.asarray(ht.hist(self.cnt))
+        self.flush()
+        return np.asarray(st.hist(self.cnt, self.size))
 
     def clear_counts(self):
-        self.cnt = ht.clear_counts(self.cnt)
+        self.flush()
+        self.cnt = st.map_counts(self.cnt, self.size, 0, 0)
 
     def set_counts(self, value):
         assert 0 <= value <= YAK_MAX_COUNT
-        self.cnt = ht.set_counts(self.cnt, value)
+        self.flush()
+        self.cnt = st.map_counts(self.cnt, self.size, 1, value)
 
     def destroy_bf(self):
         self.bf = None
 
-    def _rebuild(self, h_np, c_np):
-        self.keys, self.cnt, self.cap_log2 = ht.build_from_pairs(h_np, c_np)
-        self.tot = len(h_np)
+    def _set_pairs(self, h_np, c_np):
+        """Replace contents with unique host (hash, count) pairs."""
+        order = np.argsort(h_np, kind="stable")
+        h_np, c_np = h_np[order], c_np[order]
+        n = len(h_np)
+        cap = max(self.cap, 1 << 14)
+        while cap < n:
+            cap *= 2
+        keys = np.zeros(cap, np.uint64)
+        cnts = np.full(cap, -1, np.int32)
+        keys[:n] = h_np
+        cnts[:n] = c_np
+        self.keys = jnp.asarray(keys)
+        self.cnt = jnp.asarray(cnts)
+        self.size = jnp.int32(n)
+        self._pend, self._pend_lanes = [], 0
+        self._tot = n
 
-    def shrink(self, cmin, cmax, tighten=True):
+    def shrink(self, cmin, cmax):
         """Keep entries with count in [cmin, cmax] (yak_ch_shrink)."""
         cmax = cmax if cmin <= cmax <= YAK_MAX_COUNT else YAK_MAX_COUNT
-        h_np, c_np = self.items()
-        sel = (c_np >= cmin) & (c_np <= cmax)
-        self._rebuild(h_np[sel], c_np[sel])
+        self.flush()
+        keep = (self.cnt >= cmin) & (self.cnt <= cmax)
+        self.keys, self.cnt, self.size = st.compact_where(
+            self.keys, self.cnt, self.size, keep)
+        self._tot = int(self.size)
 
     def merge(self, other, cmin, cmax):
         """Merge `other` as +1 presence votes for counts in [cmin, cmax]
         (yak_ch_merge, htab.c:241-285; used by cntasm)."""
         cmax = cmax if cmin <= cmax <= YAK_MAX_COUNT else YAK_MAX_COUNT
-        h_np, c_np = other.items()
-        sel = (c_np >= cmin) & (c_np <= cmax)
-        h_sel = h_np[sel]
-        # unique keys: straight saturating-add update, create with count 1
-        chunk = 1 << 22
-        for off in range(0, len(h_sel), chunk):
-            h = jnp.asarray(h_sel[off:off + chunk], jnp.uint64)
-            ones = jnp.ones(h.shape, jnp.int32)
-            active = jnp.ones(h.shape, bool)
-            self._ensure_capacity(self.tot + h.shape[0])
-            self.keys, self.cnt, n_new, n_pend = ht.update(
-                self.keys, self.cnt, h, ones, active,
-                cap_log2=self.cap_log2, mode=ht.ADD, create=True)
-            assert int(n_pend) == 0
-            self.tot += int(n_new)
+        self.flush()
+        other.flush()
+        lane = jnp.arange(other.cap, dtype=jnp.int32)
+        sel = ((lane < other.size) & (other.cnt >= cmin)
+               & (other.cnt <= cmax))
+        self._ensure_capacity(self.tot + other.tot)
+        ones = jnp.ones(other.cap, jnp.int32)
+        self.keys, self.cnt, self.size, n_new, _ = st.merge_batch(
+            self.keys, self.cnt, self.size, other.keys, ones, sel,
+            mode=st.ADD, create=True)
+        self._tot = int(self.size)
 
     def subtract(self, other):
         """Drop k-mers present in `other` (yak_ch_subtract)."""
@@ -152,15 +203,16 @@ class KmerTable:
 
     def _filter_by_membership(self, other, keep_present):
         assert self.k == other.k and self.pre == other.pre
-        h_np, c_np = self.items()
-        present = np.zeros(len(h_np), bool)
-        chunk = 1 << 22
-        for off in range(0, len(h_np), chunk):
-            h = jnp.asarray(h_np[off:off + chunk], jnp.uint64)
-            r = other.lookup_hashes(h, jnp.ones(h.shape, bool))
-            present[off:off + chunk] = np.asarray(r) >= 0
-        sel = present if keep_present else ~present
-        self._rebuild(h_np[sel], c_np[sel])
+        self.flush()
+        other.flush()
+        lane = jnp.arange(self.cap, dtype=jnp.int32)
+        live = lane < self.size
+        r = other.lookup_hashes(self.keys, live)
+        present = r >= 0
+        keep = present if keep_present else (~present & live)
+        self.keys, self.cnt, self.size = st.compact_where(
+            self.keys, self.cnt, self.size, keep)
+        self._tot = int(self.size)
 
     def getseq(self):
         """All (k-mer u64, count) pairs with hashes inverted back to packed
@@ -187,19 +239,20 @@ class KmerTable:
         hashes, vals = hashes[keep], vals[keep]
         if into is None:
             t = cls(k, pre)
-            t._rebuild(hashes, vals)
+            t._set_pairs(hashes, vals.astype(np.int32))
             return t
         t = into
         assert t.k == k and t.pre == pre
+        t.flush()
         chunk = 1 << 22
-        for off in range(0, len(hashes), chunk):
+        for off in range(0, max(len(hashes), 1), chunk):
             h = jnp.asarray(hashes[off:off + chunk], jnp.uint64)
             a = jnp.asarray(vals[off:off + chunk], jnp.int32)
-            active = jnp.ones(h.shape, bool)
+            if h.shape[0] == 0:
+                break
+            valid = jnp.ones(h.shape, bool)
             t._ensure_capacity(t.tot + h.shape[0])
-            t.keys, t.cnt, n_new, n_pend = ht.update(
-                t.keys, t.cnt, h, a, active,
-                cap_log2=t.cap_log2, mode=ht.OR, create=True)
-            assert int(n_pend) == 0
-            t.tot += int(n_new)
+            t.keys, t.cnt, t.size, n_new, _ = st.merge_batch(
+                t.keys, t.cnt, t.size, h, a, valid, mode=st.OR, create=True)
+            t._tot = int(t.size)
         return t
