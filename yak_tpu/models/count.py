@@ -14,8 +14,7 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from yak_tpu.io.fasta import FastxReader
-from yak_tpu.io.pack import pack_records
+from yak_tpu.io.chunks import ChunkSource
 from yak_tpu.ops.kmers import extract_kmer_hashes
 from yak_tpu.table import KmerTable
 
@@ -52,24 +51,15 @@ def count_file(fn, opt, table=None):
         assert table.k == opt.k and table.pre == opt.pre
     chunk = _device_chunk(opt)
     t0 = time.time()
-    n_seq = 0
-    reader = FastxReader(fn)
-
-    def recs():
-        nonlocal n_seq
-        for rec in reader:
-            if len(rec.seq) < opt.k:
-                continue  # count.c:94
-            n_seq += 1
-            yield rec
-
-    for packed in pack_records(recs(), chunk, opt.k, with_meta=False):
+    src = ChunkSource(fn, chunk, opt.k, min_len=opt.k,  # count.c:94 skip
+                      with_meta=False)
+    for packed in src:
         codes = jnp.asarray(packed.codes)[None, :]
         h, valid = extract_kmer_hashes(codes, opt.k)
         table.insert_hashes(h[0], valid[0], create_new=create_new)
-    reader.close()
-    print(f"[M::count_file::{time.time()-t0:.3f}] processed {n_seq} sequences; "
-          f"{table.tot} distinct k-mers in the hash table", file=sys.stderr)
+    print(f"[M::count_file::{time.time()-t0:.3f}] processed {src.n_seq} "
+          f"sequences; {table.tot} distinct k-mers in the hash table",
+          file=sys.stderr)
     return table
 
 
@@ -95,10 +85,8 @@ def recount(fn, table):
     table.clear_counts()
     o = CountOpts(k=table.k, pre=table.pre)
     chunk = _device_chunk(o)
-    reader = FastxReader(fn)
-    for packed in pack_records(iter(reader), chunk, table.k, with_meta=False):
+    for packed in ChunkSource(fn, chunk, table.k, with_meta=False):
         codes = jnp.asarray(packed.codes)[None, :]
         h, valid = extract_kmer_hashes(codes, table.k)
         table.insert_hashes(h[0], valid[0], create_new=False)
-    reader.close()
     return table

@@ -22,8 +22,7 @@ min_cnt — chkerr; t — qv).
 import numpy as np
 import jax.numpy as jnp
 
-from yak_tpu.io.fasta import FastxReader
-from yak_tpu.io.pack import pack_records
+from yak_tpu.io.chunks import ChunkSource
 from yak_tpu.ops.kmers import extract_kmer_hashes
 
 NO_KMER = -2
@@ -33,7 +32,6 @@ MISSING = -1
 def scan_file(fn, table, chunk_size, on_progress=None):
     """Yield (name, seq_len, vals int32[seq_len]) per sequence, in order."""
     k = table.k
-    reader = FastxReader(fn)
     live = {}   # sid -> [name, length, vals]
     done_until = -1
 
@@ -46,7 +44,7 @@ def scan_file(fn, table, chunk_size, on_progress=None):
                 yield name, L, vals
         done_until = upto - 1
 
-    for packed in pack_records(iter(reader), chunk_size, k, with_meta=True):
+    for packed in ChunkSource(fn, chunk_size, k, with_meta=True):
         codes = jnp.asarray(packed.codes)[None, :]
         h, valid = extract_kmer_hashes(codes, k)
         t = table.lookup_hashes(h[0], valid[0])
@@ -76,5 +74,4 @@ def scan_file(fn, table, chunk_size, on_progress=None):
         if on_progress is not None:
             on_progress(len(packed.seq_names))
 
-    reader.close()
     yield from emit_complete(1 << 62)

@@ -1,0 +1,174 @@
+"""Native (C++) ingest runtime bindings.
+
+`libyakfastx.so` implements the streaming FASTA/FASTQ parser, 2-bit
+encoder, and fixed-shape chunk packer with a background pipeline thread
+(fastx.cpp) — the framework's equivalent of the reference's kseq/bseq
+front-end and the read stage of its kt_pipeline.  This module builds the
+library on first use (g++, cached by mtime) and exposes it through
+ctypes as `NativePackReader`, a drop-in for io.pack.pack_records.
+
+If the toolchain or zlib is unavailable the package falls back to the
+pure-Python reader transparently (`available()` returns False).
+"""
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fastx.cpp")
+_LIB = os.path.join(_DIR, "libyakfastx.so")
+
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB,
+           _SRC, "-lz", "-lpthread"]
+    r = subprocess.run(cmd, capture_output=True)
+    if r.returncode != 0:
+        print(f"[W::native] build failed, using Python reader:\n"
+              f"{r.stderr.decode()[:500]}", file=sys.stderr)
+        return False
+    return True
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("YAK_TPU_NO_NATIVE"):
+        return None
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_LIB)
+    except OSError as e:
+        print(f"[W::native] load failed, using Python reader: {e}",
+              file=sys.stderr)
+        return None
+    lib.yx_open.restype = ctypes.c_void_p
+    lib.yx_open.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+                            ctypes.c_long, ctypes.c_int, ctypes.c_int]
+    lib.yx_next.restype = ctypes.c_long
+    lib.yx_next.argtypes = [ctypes.c_void_p]
+    for name, res in [("yx_codes", ctypes.POINTER(ctypes.c_uint8)),
+                      ("yx_seq_id", ctypes.POINTER(ctypes.c_int32)),
+                      ("yx_pos", ctypes.POINTER(ctypes.c_int32)),
+                      ("yx_meta_names", ctypes.c_char_p)]:
+        getattr(lib, name).restype = res
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.yx_meta_n.restype = ctypes.c_long
+    lib.yx_meta_n.argtypes = [ctypes.c_void_p]
+    lib.yx_meta_names_len.restype = ctypes.c_long
+    lib.yx_meta_names_len.argtypes = [ctypes.c_void_p]
+    lib.yx_meta_fill.restype = None
+    lib.yx_meta_fill.argtypes = [ctypes.c_void_p,
+                                 ctypes.POINTER(ctypes.c_int64),
+                                 ctypes.POINTER(ctypes.c_int64)]
+    lib.yx_n_seq.restype = ctypes.c_int64
+    lib.yx_n_seq.argtypes = [ctypes.c_void_p]
+    lib.yx_close.restype = None
+    lib.yx_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available():
+    return _load() is not None
+
+
+class _NativeChunk:
+    """Mirror of io.pack.PackedChunk backed by native buffers (copied out,
+    since the native chunk is recycled on the next yx_next)."""
+
+    __slots__ = ("codes", "seq_id", "pos", "n_bases", "seq_names", "seq_lens")
+
+
+class NativePackReader:
+    """Iterate PackedChunk-compatible chunks from a FASTA/FASTQ path.
+
+    min_len: drop records shorter than this before packing (count.c:94's
+    `l < k` skip; pass 0 to keep everything, the scan path).
+    """
+
+    def __init__(self, path, chunk_size, k, min_len=0, with_meta=True,
+                 n_buf=4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._chunk_size = int(chunk_size)
+        self._with_meta = with_meta
+        p = "-" if path in (None, "-") else str(path)
+        self._h = lib.yx_open(p.encode(), self._chunk_size, int(k),
+                              int(min_len), int(bool(with_meta)), int(n_buf))
+        if not self._h:
+            raise FileNotFoundError(p)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._h is None:
+            raise StopIteration
+        n = self._lib.yx_next(self._h)
+        if n < 0:
+            self.close()
+            raise StopIteration
+        c = _NativeChunk()
+        c.n_bases = int(n)
+        cs = self._chunk_size
+        c.codes = np.ctypeslib.as_array(
+            self._lib.yx_codes(self._h), (cs,)).copy()
+        if self._with_meta:
+            c.seq_id = np.ctypeslib.as_array(
+                self._lib.yx_seq_id(self._h), (cs,)).copy()
+            c.pos = np.ctypeslib.as_array(
+                self._lib.yx_pos(self._h), (cs,)).copy()
+            m = int(self._lib.yx_meta_n(self._h))
+            gids = np.empty(m, np.int64)
+            lens = np.empty(m, np.int64)
+            if m:
+                self._lib.yx_meta_fill(
+                    self._h,
+                    gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+                nlen = int(self._lib.yx_meta_names_len(self._h))
+                blob = ctypes.string_at(
+                    self._lib.yx_meta_names(self._h), nlen)
+                names = blob.decode().split("\n")[:m]
+            else:
+                names = []
+            c.seq_names = {int(g): nm for g, nm in zip(gids, names)}
+            c.seq_lens = {int(g): int(l) for g, l in zip(gids, lens)}
+        else:
+            c.seq_id = None
+            c.pos = None
+            c.seq_names = {}
+            c.seq_lens = {}
+        return c
+
+    @property
+    def n_seq(self):
+        """Records accepted so far (parser side; final after exhaustion)."""
+        return int(self._lib.yx_n_seq(self._h)) if self._h else self._n_seq
+
+    def close(self):
+        if self._h is not None:
+            self._n_seq = int(self._lib.yx_n_seq(self._h))
+            self._lib.yx_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

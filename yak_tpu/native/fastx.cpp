@@ -1,0 +1,355 @@
+// Native ingest runtime: streaming FASTA/FASTQ parser + 2-bit encoder +
+// fixed-shape chunk packer with a background pipeline thread.
+//
+// This is the TPU framework's equivalent of the reference's C front-end
+// (kseq.h record parsing, bseq.c:33-58 chunk batching) and of the
+// kt_pipeline read-stage overlap (kthread.c:74-159): a producer thread
+// parses and packs the NEXT device chunk while the consumer (JAX) runs
+// extract/insert on the current one, through a bounded chunk queue.
+//
+// Packing semantics are EXACTLY those of yak_tpu/io/pack.py (the pure-
+// Python fallback): all sequences concatenate into one flat uint8 code
+// buffer of fixed size, separated by one N cell (code 4); sequences that
+// straddle a chunk boundary are split with a (k-1)-base halo so every
+// k-mer window is produced exactly once; optional per-position metadata
+// (sequence id, base offset) for the lookup workloads.  Differential
+// tests in tests/test_native.py assert chunk-stream equality against the
+// Python packer.
+//
+// Build: g++ -O3 -shared -fPIC -o libyakfastx.so fastx.cpp -lz -lpthread
+// (done automatically by yak_tpu/native/__init__.py).
+
+#include <zlib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <unistd.h>
+
+namespace {
+
+// A..Z encode table: A/a=0 C/c=1 G/g=2 T/t=3, everything else 4
+// (misc.c:4-21 semantics).
+struct Nt4 {
+    uint8_t t[256];
+    Nt4() {
+        memset(t, 4, sizeof(t));
+        t[(int)'A'] = t[(int)'a'] = 0;
+        t[(int)'C'] = t[(int)'c'] = 1;
+        t[(int)'G'] = t[(int)'g'] = 2;
+        t[(int)'T'] = t[(int)'t'] = 3;
+    }
+};
+const Nt4 NT4;
+
+struct Chunk {
+    std::vector<uint8_t> codes;    // [chunk_size], pad = 4
+    std::vector<int32_t> seq_id;   // [chunk_size], -1 = separator/pad
+    std::vector<int32_t> pos;      // [chunk_size]
+    long n_bases = 0;
+    // sequences appearing in this chunk (incl. halo continuations),
+    // ascending gid; names '\n'-joined in the same order
+    std::vector<int64_t> meta_gid;
+    std::vector<int64_t> meta_len;
+    std::string meta_names;
+
+    explicit Chunk(long cs, bool with_meta)
+        : codes(cs, 4),
+          seq_id(with_meta ? cs : 0, -1),
+          pos(with_meta ? cs : 0, 0) {}
+};
+
+// Buffered line reader over a gzFile (gz* reads plain files too).
+class LineReader {
+  public:
+    explicit LineReader(gzFile f) : f_(f), buf_(1 << 20) {}
+
+    // Appends one line (without trailing \r?\n) to `out`; false at EOF
+    // when nothing was appended.
+    bool getline(std::string &out) {
+        out.clear();
+        bool any = false;
+        for (;;) {
+            if (p_ == n_) {
+                n_ = gzread(f_, buf_.data(), (unsigned)buf_.size());
+                p_ = 0;
+                if (n_ <= 0) return any;
+            }
+            char *nl = (char *)memchr(buf_.data() + p_, '\n', n_ - p_);
+            if (nl) {
+                long len = nl - (buf_.data() + p_);
+                out.append(buf_.data() + p_, len);
+                p_ += len + 1;
+                if (!out.empty() && out.back() == '\r') out.pop_back();
+                return true;
+            }
+            out.append(buf_.data() + p_, n_ - p_);
+            p_ = n_;
+            any = true;
+        }
+    }
+
+  private:
+    gzFile f_;
+    std::vector<char> buf_;
+    long p_ = 0, n_ = 0;
+};
+
+struct Record {
+    std::string name;
+    std::string seq;  // raw bases (encoded on pack)
+};
+
+// FASTA/FASTQ record parser, same tolerance as io/fasta.py: seeks to the
+// next '>'/'@' header, multi-line sequences, multi-line FASTQ quality
+// read until len(qual) >= len(seq).
+class FastxParser {
+  public:
+    FastxParser(gzFile f) : lr_(f) {}
+
+    bool next(Record &rec) {
+        std::string line;
+        if (!pending_.empty()) {
+            line.swap(pending_);
+        } else {
+            for (;;) {
+                if (!lr_.getline(line)) return false;
+                if (!line.empty() && (line[0] == '>' || line[0] == '@'))
+                    break;
+            }
+        }
+        bool is_fq = line[0] == '@';
+        size_t sp = line.find_first_of(" \t");
+        rec.name = line.substr(1, sp == std::string::npos ? std::string::npos
+                                                          : sp - 1);
+        rec.seq.clear();
+        if (!is_fq) {
+            while (lr_.getline(line)) {
+                if (!line.empty() && (line[0] == '>' || line[0] == '@')) {
+                    pending_.swap(line);
+                    break;
+                }
+                strip_append(rec.seq, line);
+            }
+        } else {
+            while (lr_.getline(line)) {
+                if (!line.empty() && line[0] == '+') break;
+                strip_append(rec.seq, line);
+            }
+            size_t qlen = 0;
+            while (qlen < rec.seq.size()) {
+                if (!lr_.getline(line)) break;
+                qlen += stripped_len(line);
+            }
+        }
+        return true;
+    }
+
+  private:
+    static void strip_append(std::string &dst, const std::string &line) {
+        size_t b = 0, e = line.size();
+        while (b < e && isspace((unsigned char)line[b])) b++;
+        while (e > b && isspace((unsigned char)line[e - 1])) e--;
+        dst.append(line, b, e - b);
+    }
+    static size_t stripped_len(const std::string &line) {
+        size_t b = 0, e = line.size();
+        while (b < e && isspace((unsigned char)line[b])) b++;
+        while (e > b && isspace((unsigned char)line[e - 1])) e--;
+        return e - b;
+    }
+    LineReader lr_;
+    std::string pending_;
+};
+
+class Stream {
+  public:
+    Stream(const char *path, long chunk_size, int k, long min_len,
+           bool with_meta, int n_buf)
+        : chunk_size_(chunk_size), k_(k), min_len_(min_len),
+          with_meta_(with_meta), max_queue_(n_buf < 1 ? 1 : n_buf) {
+        if (!path || !strcmp(path, "-"))
+            f_ = gzdopen(dup(0), "r");
+        else
+            f_ = gzopen(path, "r");
+        if (f_) {
+            gzbuffer(f_, 1 << 20);
+            worker_ = std::thread([this] { produce(); });
+            ok_ = true;
+        }
+    }
+
+    ~Stream() {
+        {
+            std::lock_guard<std::mutex> g(mu_);
+            stop_ = true;
+        }
+        cv_space_.notify_all();
+        if (worker_.joinable()) worker_.join();
+        if (f_) gzclose(f_);
+    }
+
+    bool ok() const { return ok_; }
+
+    // Pop the next chunk; nullptr at end of stream.
+    std::unique_ptr<Chunk> pop() {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_data_.wait(lk, [this] { return !queue_.empty() || done_; });
+        if (queue_.empty()) return nullptr;
+        auto c = std::move(queue_.front());
+        queue_.pop_front();
+        cv_space_.notify_one();
+        return c;
+    }
+
+    int64_t n_seq() const { return n_seq_.load(); }
+
+  private:
+    void emit(std::unique_ptr<Chunk> c) {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_space_.wait(lk,
+                       [this] { return queue_.size() < max_queue_ || stop_; });
+        if (stop_) return;
+        queue_.push_back(std::move(c));
+        cv_data_.notify_one();
+    }
+
+    void add_meta(Chunk &c, int64_t gid, const Record &rec) {
+        if (!with_meta_) return;
+        c.meta_gid.push_back(gid);
+        c.meta_len.push_back((int64_t)rec.seq.size());
+        c.meta_names.append(rec.name);
+        c.meta_names.push_back('\n');
+    }
+
+    void produce() {
+        FastxParser parser(f_);
+        auto cur = std::make_unique<Chunk>(chunk_size_, with_meta_);
+        long w = 0;
+        Record rec;
+        int64_t gid = 0;
+        while (!stop_ && parser.next(rec)) {
+            if ((long)rec.seq.size() < min_len_) continue;
+            int64_t g = gid++;
+            n_seq_.fetch_add(1);
+            const long L = (long)rec.seq.size();
+            add_meta(*cur, g, rec);
+            long off = 0;
+            while (off < L) {
+                if (chunk_size_ - w < k_) {  // no room for a single window
+                    emit(std::move(cur));
+                    if (stop_) return;
+                    cur = std::make_unique<Chunk>(chunk_size_, with_meta_);
+                    w = 0;
+                    add_meta(*cur, g, rec);
+                }
+                long take = std::min(L - off, chunk_size_ - w);
+                const char *src = rec.seq.data() + off;
+                uint8_t *dst = cur->codes.data() + w;
+                for (long i = 0; i < take; i++)
+                    dst[i] = NT4.t[(unsigned char)src[i]];
+                if (with_meta_) {
+                    int32_t *sid = cur->seq_id.data() + w;
+                    int32_t *pos = cur->pos.data() + w;
+                    for (long i = 0; i < take; i++) {
+                        sid[i] = (int32_t)g;
+                        pos[i] = (int32_t)(off + i);
+                    }
+                }
+                cur->n_bases += take;
+                w += take;
+                off += take;
+                if (off < L) {  // halo: continuation re-reads k-1 bases
+                    off -= k_ - 1;
+                    emit(std::move(cur));
+                    if (stop_) return;
+                    cur = std::make_unique<Chunk>(chunk_size_, with_meta_);
+                    w = 0;
+                    add_meta(*cur, g, rec);
+                }
+            }
+            w += 1;  // one separator cell (already code 4)
+        }
+        if (cur->n_bases > 0 && !stop_) emit(std::move(cur));
+        {
+            std::lock_guard<std::mutex> g(mu_);
+            done_ = true;
+        }
+        cv_data_.notify_all();
+    }
+
+    const long chunk_size_;
+    const int k_;
+    const long min_len_;
+    const bool with_meta_;
+    const size_t max_queue_;
+
+    gzFile f_ = nullptr;
+    bool ok_ = false;
+    std::thread worker_;
+    std::mutex mu_;
+    std::condition_variable cv_data_, cv_space_;
+    std::deque<std::unique_ptr<Chunk>> queue_;
+    bool done_ = false, stop_ = false;
+    std::atomic<int64_t> n_seq_{0};
+};
+
+struct Handle {
+    std::unique_ptr<Stream> stream;
+    std::unique_ptr<Chunk> current;  // owned until the next yx_next
+};
+
+}  // namespace
+
+extern "C" {
+
+void *yx_open(const char *path, long chunk_size, int k, long min_len,
+              int with_meta, int n_buf) {
+    auto h = std::make_unique<Handle>();
+    h->stream = std::make_unique<Stream>(path, chunk_size, k, min_len,
+                                         with_meta != 0, n_buf);
+    if (!h->stream->ok()) return nullptr;
+    return h.release();
+}
+
+// Advance to the next chunk.  Returns n_bases (>=0) or -1 at EOF.
+long yx_next(void *hp) {
+    auto *h = (Handle *)hp;
+    h->current = h->stream->pop();
+    if (!h->current) return -1;
+    return h->current->n_bases;
+}
+
+const uint8_t *yx_codes(void *hp) { return ((Handle *)hp)->current->codes.data(); }
+const int32_t *yx_seq_id(void *hp) { return ((Handle *)hp)->current->seq_id.data(); }
+const int32_t *yx_pos(void *hp) { return ((Handle *)hp)->current->pos.data(); }
+
+long yx_meta_n(void *hp) { return (long)((Handle *)hp)->current->meta_gid.size(); }
+
+void yx_meta_fill(void *hp, int64_t *gids, int64_t *lens) {
+    auto &c = *((Handle *)hp)->current;
+    memcpy(gids, c.meta_gid.data(), c.meta_gid.size() * sizeof(int64_t));
+    memcpy(lens, c.meta_len.data(), c.meta_len.size() * sizeof(int64_t));
+}
+
+long yx_meta_names_len(void *hp) {
+    return (long)((Handle *)hp)->current->meta_names.size();
+}
+
+const char *yx_meta_names(void *hp) {
+    return ((Handle *)hp)->current->meta_names.data();
+}
+
+int64_t yx_n_seq(void *hp) { return ((Handle *)hp)->stream->n_seq(); }
+
+void yx_close(void *hp) { delete (Handle *)hp; }
+
+}  // extern "C"

@@ -148,8 +148,7 @@ def build_count_step(mesh, k, cap_log2, chunk, route_cap=None,
 def count_file_mesh(fn, opt, mesh, cap_log2=None):
     """Count one file into a fresh MeshTable (data-parallel ingest:
     the host packer deals flat chunks round-robin to the chips)."""
-    from yak_tpu.io.fasta import FastxReader
-    from yak_tpu.io.pack import pack_records
+    from yak_tpu.io.chunks import ChunkSource
 
     n_dev = mesh.devices.size
     cap_log2 = cap_log2 or opt.cap_log2
@@ -159,15 +158,9 @@ def count_file_mesh(fn, opt, mesh, cap_log2=None):
     step = build_count_step(mesh, opt.k, cap_log2, chunk)
     sh = NamedSharding(mesh, P("d"))
 
-    reader = FastxReader(fn)
-
-    def recs():
-        for rec in reader:
-            if len(rec.seq) >= opt.k:
-                yield rec
-
     group = []
-    for packed in pack_records(recs(), chunk, opt.k, with_meta=False):
+    for packed in ChunkSource(fn, chunk, opt.k, min_len=opt.k,
+                              with_meta=False):
         group.append(packed.codes)
         if len(group) == n_dev:
             table = _apply(step, table, group, sh)
@@ -176,7 +169,6 @@ def count_file_mesh(fn, opt, mesh, cap_log2=None):
         while len(group) < n_dev:
             group.append(np.full(chunk, 4, np.uint8))
         table = _apply(step, table, group, sh)
-    reader.close()
     return table
 
 
