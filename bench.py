@@ -55,7 +55,9 @@ def pack_chunks(reads):
 
 
 def run_count(chunks, jnp, extract, KmerTable):
-    table = KmerTable(K, cap_log2=22, flush_lanes=1 << 27)
+    # cap 2^23 preallocated (no growth -> one stable merge shape);
+    # flush every 3 chunks (~12.6M lanes) -> 5 identical merge calls
+    table = KmerTable(K, cap_log2=23, flush_lanes=1 << 23)
     for c in chunks:
         codes = jnp.asarray(c)[None, :]
         h, valid = extract(codes, K)

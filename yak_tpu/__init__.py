@@ -21,11 +21,22 @@ The `.yak` table file format is reproduced exactly (htab.c:373-481) as the
 interop surface with hifiasm-era tooling.
 """
 
+import os
+
 import jax
 
 # The whole engine works on 64-bit hashes and 2k-bit packed k-mers;
 # uint64 must be first-class.
 jax.config.update("jax_enable_x64", True)
+
+# XLA sort/scan graphs at table scale take tens of seconds to compile on
+# TPU toolchains; a persistent on-disk cache makes that a one-time cost
+# across processes (measured 30s -> 0.05s on re-run).
+_cache = os.environ.get("YAK_TPU_COMPILE_CACHE",
+                        os.path.expanduser("~/.cache/yak_tpu_xla"))
+if _cache:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"
 

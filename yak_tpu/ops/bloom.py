@@ -111,8 +111,7 @@ def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes):
     # for an end lane e, need csum at its run start-1; get start positions via
     # propagating the last start index with a max-scan
     lane_ix = jax.lax.broadcasted_iota(jnp.int64, w_s.shape, 0)
-    start_ix = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(word_start, lane_ix, jnp.int64(-1)))
+    start_ix = jax.lax.cummax(jnp.where(word_start, lane_ix, jnp.int64(-1)))
     run_mask_sum = csum0[lane_ix + 1] - csum0[jnp.maximum(start_ix, 0)]
     word_mask = run_mask_sum.astype(jnp.uint32)  # bits unique => fits u32
     upd_w = jnp.where(word_end, w_s, jnp.int64(bf.shape[0]))

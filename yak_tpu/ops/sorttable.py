@@ -1,29 +1,35 @@
-"""TPU-native counting table, sort-merge edition.
+"""TPU-native counting table: sorted-array state, sort-merge updates.
 
-Measured on TPU v5e: XLA sort moves ~550M u64/s while scatter manages
-~7M/s and gather ~46M/s.  Any open-addressing scheme pays one scatter +
-several gathers per key; a sorted-array table pays only sorts and scans.
-So the table is a *sorted* dense array of (hash, count) and every batch
-operation is a sort-merge join — zero random HBM access:
-
-  state     tkeys: uint64[cap] (ascending in [0, size)), tcnt: int32[cap],
-            size: int32 scalar (device)
-  insert    concat(table, batch) -> sort by (pad, key, tag) -> segmented
-            reduce per key run (sum / or / last, by mode) -> keep run
-            ends -> compaction sort -> new table.  Within-batch
-            duplicates coalesce in the same reduction, so the separate
-            dedup pass of the probing design disappears.
-  lookup    sort-join: queries tagged after table entries with equal
-            keys; a segmented copy-first scan propagates the table count
-            to every query lane; a final sort by original index restores
-            order.
-  hist      sort the 10-bit count field + searchsorted boundary diff.
-
-Semantics are exactly the reference's (htab.c): saturating 10-bit
-counts, flag-OR load modes, create vs update-only; only the *layout*
+Measured on TPU v5e: XLA sort moves billions of u64/s while scatter
+manages ~7M/s and gather ~46M/s.  Any open-addressing scheme pays one
+scatter + several gathers per key; a sorted-array table pays only sorts
+and streaming scans — zero random HBM access.  So the table is a
+*sorted* dense array of (hash, count) and every batch op is a sort-merge
+join.  Semantics are exactly the reference's (htab.c): saturating 10-bit
+counts, flag-OR load modes, create vs update-only; only the layout
 changed (sorted array vs khashl slots), which has no behavioral surface
-beyond dump key order (documented in io/yakfmt.py — and sorted order is
-what we already write).
+beyond dump key order (documented in io/yakfmt.py).
+
+Compile-time design (TPU specific, measured on this toolchain): XLA sort
+compile cost grows steeply with the number of sort *operands*, and
+`associative_scan` builds O(log n)-level graphs that take minutes to
+compile at 2^20+ lanes, while `cumsum`/`cummax` compile in seconds and
+run at memory speed.  Therefore every hot op here:
+
+  * sorts with ONE key and minimal payload, packing the pad/tag flags
+    around the hash — a k<=31 canonical hash fits in 2k <= 62 bits, so
+    the packed sort key is `pad<<63 | hash<<1 | tag`: pad (invalid /
+    beyond-size) lanes sort last, equal hashes stay adjacent, and the
+    low tag bit puts the table entry first within its run;
+  * replaces segmented scans with cumsum-difference reductions: keys are
+    contiguous runs after sorting, per-run totals are differences of an
+    inclusive prefix sum read at run ends, and "prefix before my run"
+    propagates with a single cummax over the (monotone, non-negative)
+    prefix masked to run-end lanes.
+
+k in [32, 63] hashes (yak_hash_long) use all 64 bits, so those tables
+fall back to multi-operand sorts (`packable=False`) — the path the
+reference itself documents as inexact and slow (main.c:50-52).
 
 Growth needs no rehash: pad-extend the arrays (host-side concat).
 """
@@ -32,13 +38,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from yak_tpu import YAK_COUNTER_BITS, YAK_MAX_COUNT
 
 ADD = 0  # cnt = min(table + sum(batch), max_count)
-OR = 1   # cnt = table | OR(batch)
-SET = 2  # cnt = last batch value (batch keys must be unique)
+OR = 1   # cnt = table | batch (batch keys must be unique within a call)
+
+_PAD = jnp.uint64(1 << 63)   # packed bit 63: invalid/beyond-size lane
+_TAG = jnp.uint64(1)         # packed bit 0: batch/query (table = 0)
+_ONE = jnp.uint64(1)
+# field split of the combined i64 prefix: bits [0,40) value sum,
+# bits [40,63) table-entry count (sums stay < 2^40 / 2^23 by size bounds)
+_FSHIFT = jnp.int64(40)
+_FMASK = jnp.int64((1 << 40) - 1)
 
 
 def make_table(cap):
@@ -46,103 +58,146 @@ def make_table(cap):
             jnp.int32(0))
 
 
-def _seg_scan(vals, starts, op):
-    """Segmented inclusive scan: segments begin where starts is True."""
-    def combine(a, b):
-        af, av = a
-        bf, bv = b
-        if op == "sum":
-            v = jnp.where(bf, bv, av + bv)
-        elif op == "or":
-            v = jnp.where(bf, bv, av | bv)
-        else:  # "first": propagate the first value of the segment
-            v = jnp.where(bf, bv, av)
-        return af | bf, v
-    _, out = jax.lax.associative_scan(combine, (starts, vals))
-    return out
+def _shift1(x, fill):
+    """x shifted right by one lane, `fill` in lane 0."""
+    return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
 
-@partial(jax.jit, static_argnames=("mode", "create", "max_count"),
+def _run_marks(key, real):
+    """(start, end) lane masks of the key runs inside the real prefix."""
+    n = key.shape[0]
+    first = jnp.concatenate([jnp.ones(1, bool), jnp.zeros(n - 1, bool)])
+    newkey = first | (key != _shift1(key, 0))
+    start = real & newkey
+    nxt_new = jnp.concatenate([newkey[1:], jnp.ones(1, bool)])
+    nxt_real = jnp.concatenate([real[1:], jnp.zeros(1, bool)])
+    end = real & (nxt_new | ~nxt_real)
+    return start, end, newkey
+
+
+def _run_totals(W, end):
+    """Per-run totals of non-negative i64 W at run-end lanes.
+
+    P = cumsum(W) is monotone non-negative; the prefix just before each
+    run is the P value at the previous run end, propagated by cummax
+    over P masked to end lanes (0-sentinel is exact because P >= 0).
+    """
+    P = jnp.cumsum(W)
+    Q = jax.lax.cummax(jnp.where(end, P, jnp.int64(0)))
+    return P - _shift1(Q, jnp.int64(0))
+
+
+@partial(jax.jit,
+         static_argnames=("mode", "create", "max_count", "packable"),
          donate_argnums=(0, 1))
 def merge_batch(tkeys, tcnt, size, h, add, valid, *, mode=ADD, create=True,
-                max_count=YAK_MAX_COUNT):
+                max_count=YAK_MAX_COUNT, packable=True):
     """Merge a (possibly duplicate-bearing) batch into the table.
 
     Returns (tkeys, tcnt, size, n_new, overflow): n_new = newly created
     distinct keys (int64); overflow True if the merged size exceeded cap
     (results then truncated — caller must grow and retry).
+
+    OR mode requires batch keys unique within the call (true for the
+    only caller, `.yak` restore: dump files hold unique hashes).
+
+    packable=False (k >= 32 full-width hashes): pad/tag become extra
+    sort operands instead of spare key bits.
     """
     cap = tkeys.shape[0]
-    B = h.shape[0]
-    N = cap + B
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    pad = jnp.concatenate([(lane_t >= size), ~valid]).astype(jnp.uint8)
-    K = jnp.concatenate([tkeys, h])
-    tag = jnp.concatenate([jnp.zeros(cap, jnp.uint8), jnp.ones(B, jnp.uint8)])
     V = jnp.concatenate([tcnt, add.astype(jnp.int32)])
-    pad, K, tag, V = jax.lax.sort((pad, K, tag, V), num_keys=3)
+    if packable:
+        pt = jnp.where(lane_t < size, tkeys << _ONE, _PAD)
+        pb = (h << _ONE) | _TAG | jnp.where(valid, jnp.uint64(0), _PAD)
+        K = jnp.concatenate([pt, pb])
+        K, V = jax.lax.sort((K, V), num_keys=1)
+        real = K < _PAD
+        key = (K & ~_PAD) >> _ONE
+        is_table = real & ((K & _TAG) == 0)
+    else:
+        B = h.shape[0]
+        pad = jnp.concatenate([(lane_t >= size), ~valid]).astype(jnp.uint8)
+        tag = jnp.concatenate(
+            [jnp.zeros(cap, jnp.uint8), jnp.ones(B, jnp.uint8)])
+        key = jnp.concatenate([tkeys, h])
+        pad, key, tag, V = jax.lax.sort((pad, key, tag, V), num_keys=3)
+        real = pad == 0
+        is_table = real & (tag == 0)
+    start, end, newkey = _run_marks(key, real)
 
-    real = pad == 0
-    prev_K = jnp.concatenate([K[:1], K[:-1]])
-    first = jnp.concatenate([jnp.ones(1, bool), jnp.zeros(N - 1, bool)])
-    newkey = first | (K != prev_K)
-    start = real & newkey
-    # run end: last real lane of a key run (pads sort after all real lanes)
-    nxt_new = jnp.concatenate([newkey[1:], jnp.ones(1, bool)])
-    nxt_real = jnp.concatenate([real[1:], jnp.zeros(1, bool)])
-    end = real & (nxt_new | ~nxt_real)
-
-    is_table = (tag == 0) & real
-    has_table = _seg_scan(is_table.astype(jnp.int32), start, "or")
+    Vm = jnp.where(real, V, 0).astype(jnp.int64)
+    W = Vm | (is_table.astype(jnp.int64) << _FSHIFT)
+    tot = _run_totals(W, end)
+    has_table = (tot >> _FSHIFT) > 0
     if mode == ADD:
-        total = _seg_scan(V, start, "sum")
-        outV = jnp.minimum(total, max_count)
-    elif mode == OR:
-        outV = _seg_scan(V, start, "or")  # table count | batch flags
-    else:  # SET: run end lane is the batch lane (tag sorts after table)
-        outV = V
+        outV = jnp.minimum(tot & _FMASK, max_count).astype(jnp.int32)
+    else:  # OR: runs have <= 1 table and <= 1 batch lane
+        outV = jnp.where(newkey, V, _shift1(V, 0) | V)
 
-    created = end & (has_table == 0)
+    created = end & ~has_table
     if create:
         keep = end
         n_new = jnp.sum(created, dtype=jnp.int64)
     else:
-        keep = end & (has_table == 1)
+        keep = end & has_table
         n_new = jnp.int64(0)
 
     new_size = jnp.sum(keep, dtype=jnp.int32)
     overflow = new_size > cap
 
     # compaction: kept lanes first, ascending key order preserved
-    drop = (~keep).astype(jnp.uint8)
-    _, K2, V2 = jax.lax.sort((drop, K, outV), num_keys=2)
-    return K2[:cap], V2[:cap], jnp.minimum(new_size, cap), n_new, overflow
+    if packable:
+        Kc = jnp.where(keep, key, key | _PAD)
+        Kc, Vc = jax.lax.sort((Kc, outV), num_keys=1)
+        Kc = Kc[:cap] & ~_PAD
+        Vc = Vc[:cap]
+    else:
+        drop = (~keep).astype(jnp.uint8)
+        _, Kc, Vc = jax.lax.sort((drop, key, outV), num_keys=2)
+        Kc, Vc = Kc[:cap], Vc[:cap]
+    return Kc, Vc, jnp.minimum(new_size, cap), n_new, overflow
 
 
-@jax.jit
-def lookup(tkeys, tcnt, size, h, valid):
+@partial(jax.jit, static_argnames=("packable",))
+def lookup(tkeys, tcnt, size, h, valid, *, packable=True):
     """int32 count per query lane; -1 when absent/invalid (yak_ch_get)."""
     cap = tkeys.shape[0]
     B = h.shape[0]
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    pad = jnp.concatenate([(lane_t >= size), ~valid]).astype(jnp.uint8)
-    K = jnp.concatenate([tkeys, h])
-    tag = jnp.concatenate([jnp.zeros(cap, jnp.uint8), jnp.ones(B, jnp.uint8)])
     V = jnp.concatenate([tcnt, jnp.full(B, -1, jnp.int32)])
     idx = jnp.concatenate([
         jnp.full(cap, B, jnp.int32),
         jax.lax.broadcasted_iota(jnp.int32, (B,), 0)])
-    pad, K, tag, V, idx = jax.lax.sort((pad, K, tag, V, idx), num_keys=3)
+    if packable:
+        pt = jnp.where(lane_t < size, tkeys << _ONE, _PAD)
+        pq = (h << _ONE) | _TAG | jnp.where(valid, jnp.uint64(0), _PAD)
+        K = jnp.concatenate([pt, pq])
+        K, V, idx = jax.lax.sort((K, V, idx), num_keys=1)
+        real = K < _PAD
+        key = (K & ~_PAD) >> _ONE
+        is_table = real & ((K & _TAG) == 0)
+    else:
+        pad = jnp.concatenate([(lane_t >= size), ~valid]).astype(jnp.uint8)
+        tag = jnp.concatenate(
+            [jnp.zeros(cap, jnp.uint8), jnp.ones(B, jnp.uint8)])
+        key = jnp.concatenate([tkeys, h])
+        pad, key, tag, V, idx = jax.lax.sort((pad, key, tag, V, idx),
+                                             num_keys=3)
+        real = pad == 0
+        is_table = real & (tag == 0)
+    start, _end, _ = _run_marks(key, real)
 
-    N = cap + B
-    real = pad == 0
-    prev_K = jnp.concatenate([K[:1], K[:-1]])
-    first = jnp.concatenate([jnp.ones(1, bool), jnp.zeros(N - 1, bool)])
-    start = real & (first | (K != prev_K))
-    res = _seg_scan(V, start | ~real, "first")
-    # restore original query order; invalid lanes got pad=1 -> res
-    # position: sort by idx (queries 0..B-1 first, table lanes idx=B)
-    res = jnp.where(real, res, -1)
+    # propagate the run's table count (the run's FIRST lane, tag order) to
+    # every query lane of the same run: cummax over (run_id << 11 | V+1)
+    # records the latest table record; a lane hits iff the run ids match.
+    run_id = jnp.cumsum(start.astype(jnp.int32)).astype(jnp.int64)
+    G = jnp.where(is_table, (run_id << 11) | (V.astype(jnp.int64) + 1),
+                  jnp.int64(0))
+    Gm = jax.lax.cummax(G)
+    hit = real & ((Gm >> 11) == run_id)
+    res = jnp.where(hit, (Gm & 0x7FF).astype(jnp.int32) - 1, -1)
+    # restore original query order (table lanes carry idx=B, sliced off)
     _, res_q = jax.lax.sort((idx, res), num_keys=1)
     return res_q[:B]
 
@@ -167,40 +222,46 @@ def map_counts(tcnt, size, fn_id, value):
     return jnp.where(live, new, tcnt)
 
 
-@jax.jit
-def compact_where(tkeys, tcnt, size, keep):
+@partial(jax.jit, static_argnames=("packable",))
+def compact_where(tkeys, tcnt, size, keep, *, packable=True):
     """Keep live entries where `keep`; returns (tkeys, tcnt, new_size).
-    The sorted order is preserved (used by shrink/subtract/isec)."""
+    The ascending key order is preserved (used by shrink/subtract/isec)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, tkeys.shape, 0)
-    live = lane < size
-    k = keep & live
-    drop = (~k).astype(jnp.uint8)
-    _, K2, V2 = jax.lax.sort((drop, tkeys, tcnt), num_keys=2)
-    return K2, V2, jnp.sum(k, dtype=jnp.int32)
+    k = keep & (lane < size)
+    if packable:
+        Kc = jnp.where(k, tkeys, tkeys | _PAD)
+        Kc, Vc = jax.lax.sort((Kc, tcnt), num_keys=1)
+        Kc = Kc & ~_PAD
+    else:
+        drop = (~k).astype(jnp.uint8)
+        _, Kc, Vc = jax.lax.sort((drop, tkeys, tcnt), num_keys=2)
+    return Kc, Vc, jnp.sum(k, dtype=jnp.int32)
 
 
-@jax.jit
-def dedup(h, valid):
+@partial(jax.jit, static_argnames=("packable",))
+def dedup(h, valid, *, packable=True):
     """Sort a hash batch and coalesce duplicates (for the Bloom gate,
     which needs per-unique-key multiplicities *before* the table merge).
 
     Returns (hs, starts, mult): hashes sorted with invalid lanes last,
     run-start mask, and the run's multiplicity (defined at start lanes).
-    Scatter/gather-free: run length = distance to the next run start,
-    via a reverse min-scan.
+    Run length = distance to the next run start (reverse cummin).
     """
     n = h.shape[0]
-    inv = (~valid).astype(jnp.uint8)
-    inv_s, hs = jax.lax.sort((inv, h), num_keys=2)
-    vs = inv_s == 0
-    prev = jnp.concatenate([hs[:1], hs[:-1]])
-    first = jnp.concatenate([jnp.ones(1, bool), jnp.zeros(n - 1, bool)])
-    starts = vs & (first | (hs != prev))
+    if packable:
+        Kb = h | jnp.where(valid, jnp.uint64(0), _PAD)
+        (hs,) = jax.lax.sort((Kb,), num_keys=1)
+        vs = hs < _PAD
+        hs = hs & ~_PAD
+    else:
+        inv = (~valid).astype(jnp.uint8)
+        inv_s, hs = jax.lax.sort((inv, h), num_keys=2)
+        vs = inv_s == 0
+    starts, _, _ = _run_marks(hs, vs)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     spos = jnp.where(starts, lane, n)
-    # next start strictly after lane i: reverse inclusive min-scan, shifted
-    rmin = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(spos)))
-    nxt = jnp.concatenate([rmin[1:], jnp.full(1, n, jnp.int32)])
+    nxt = jnp.concatenate(
+        [jax.lax.cummin(spos, reverse=True)[1:], jnp.full(1, n, jnp.int32)])
     total_valid = jnp.sum(vs, dtype=jnp.int32)
     mult = jnp.minimum(nxt, total_valid) - lane
     return hs, starts, mult

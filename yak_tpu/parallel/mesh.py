@@ -109,8 +109,7 @@ def build_count_step(mesh, k, cap_log2, chunk, route_cap=None,
             lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
             is_first = jnp.concatenate(
                 [jnp.ones(1, bool), owner_s[1:] != owner_s[:-1]])
-            bucket_start = jax.lax.associative_scan(
-                jnp.maximum, jnp.where(is_first, lane, -1))
+            bucket_start = jax.lax.cummax(jnp.where(is_first, lane, -1))
             rank = lane - bucket_start
             ok = (owner_s < n_dev) & (rank < C)
             overflow = jnp.sum((owner_s < n_dev) & (rank >= C),
@@ -133,7 +132,8 @@ def build_count_step(mesh, k, cap_log2, chunk, route_cap=None,
         add = jnp.ones(recv_h.shape, jnp.int32)
         keys2, cnt2, size2, n_new, toverflow = st.merge_batch(
             keys.reshape(-1), cnt.reshape(-1), size.reshape(()),
-            recv_h, add, recv_v, mode=st.ADD, create=create_new)
+            recv_h, add, recv_v, mode=st.ADD, create=create_new,
+            packable=k <= 31)
         return (keys2[None, :], cnt2[None, :], size2[None], n_new[None],
                 overflow[None], toverflow[None])
 

@@ -43,6 +43,9 @@ class KmerTable:
             raise ValueError("pre must be at least YAK_COUNTER_BITS (10)")
         self.k = k
         self.pre = pre
+        # k<=31 canonical hashes fit in 62 bits -> single-key packed
+        # sorts; k>=32 (yak_hash_long) uses all 64 bits (ops/sorttable)
+        self._packable = k <= 31
         self.flush_lanes = flush_lanes  # None = max(2^23, cap)
         self.keys, self.cnt, self.size = st.make_table(1 << cap_log2)
         self._tot = 0         # host mirror of size (h->tot parity)
@@ -89,7 +92,8 @@ class KmerTable:
         """
         add = None
         if self.bf is not None and create_new:
-            hs, starts, mult = st.dedup(h, valid)
+            hs, starts, mult = st.dedup(h, valid,
+                                        packable=self._packable)
             self.bf, n_before = bloom_insert(
                 self.bf, hs, starts, pre=self.pre, n_shift=self.bf_shift,
                 n_hashes=self.bf_n_hash)
@@ -117,13 +121,15 @@ class KmerTable:
             self._ensure_capacity(self._tot + h.shape[0])
         self.keys, self.cnt, self.size, _, overflow = st.merge_batch(
             self.keys, self.cnt, self.size, h, add, valid,
-            mode=st.ADD, create=self._pend_create)
+            mode=st.ADD, create=self._pend_create,
+            packable=self._packable)
         self._tot = int(self.size)
 
     def lookup_hashes(self, h, valid):
         """int32 counts per lane; -1 where absent (yak_ch_get)."""
         self.flush()
-        return st.lookup(self.keys, self.cnt, self.size, h, valid)
+        return st.lookup(self.keys, self.cnt, self.size, h, valid,
+                         packable=self._packable)
 
     # -- cold-path table ops ------------------------------------------------
 
@@ -174,7 +180,8 @@ class KmerTable:
         self.flush()
         keep = (self.cnt >= cmin) & (self.cnt <= cmax)
         self.keys, self.cnt, self.size = st.compact_where(
-            self.keys, self.cnt, self.size, keep)
+            self.keys, self.cnt, self.size, keep,
+            packable=self._packable)
         self._tot = int(self.size)
 
     def merge(self, other, cmin, cmax):
@@ -190,7 +197,7 @@ class KmerTable:
         ones = jnp.ones(other.cap, jnp.int32)
         self.keys, self.cnt, self.size, n_new, _ = st.merge_batch(
             self.keys, self.cnt, self.size, other.keys, ones, sel,
-            mode=st.ADD, create=True)
+            mode=st.ADD, create=True, packable=self._packable)
         self._tot = int(self.size)
 
     def subtract(self, other):
@@ -211,7 +218,8 @@ class KmerTable:
         present = r >= 0
         keep = present if keep_present else (~present & live)
         self.keys, self.cnt, self.size = st.compact_where(
-            self.keys, self.cnt, self.size, keep)
+            self.keys, self.cnt, self.size, keep,
+            packable=self._packable)
         self._tot = int(self.size)
 
     def getseq(self):
@@ -253,6 +261,7 @@ class KmerTable:
             valid = jnp.ones(h.shape, bool)
             t._ensure_capacity(t.tot + h.shape[0])
             t.keys, t.cnt, t.size, n_new, _ = st.merge_batch(
-                t.keys, t.cnt, t.size, h, a, valid, mode=st.OR, create=True)
+                t.keys, t.cnt, t.size, h, a, valid, mode=st.OR,
+                create=True, packable=t._packable)
             t._tot = int(t.size)
         return t
