@@ -54,23 +54,17 @@ def pack_chunks(reads):
     return chunks
 
 
-def run_count(chunks, jnp, extract, KmerTable):
-    # cap 2^23 preallocated (no growth -> one stable merge shape);
-    # flush every 3 chunks (~12.6M lanes) -> 5 identical merge calls
+def run_count(chunks, KmerTable):
+    # cap 2^23 preallocated (no growth -> one stable fused-step shape);
+    # groups of 3 chunks (~12.6M lanes) -> 5 identical fused dispatches
     table = KmerTable(K, cap_log2=23, flush_lanes=1 << 23)
     for c in chunks:
-        codes = jnp.asarray(c)[None, :]
-        h, valid = extract(codes, K)
-        table.insert_hashes(h.reshape(-1), valid.reshape(-1))
+        table.insert_codes(c)
     table.flush()
     return table
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from yak_tpu.ops.kmers import extract_kmer_hashes
     from yak_tpu.table import KmerTable
 
     reads = make_reads()
@@ -79,11 +73,11 @@ def main():
 
     # warm-up: full identical pass so every shape (extract, final merge)
     # is compiled before the timed run
-    warm = run_count(chunks, jnp, extract_kmer_hashes, KmerTable)
+    warm = run_count(chunks, KmerTable)
     assert warm.tot > 0
 
     t0 = time.time()
-    table = run_count(chunks, jnp, extract_kmer_hashes, KmerTable)
+    table = run_count(chunks, KmerTable)
     tot = table.tot  # syncs: flush + size fetch
     dt = time.time() - t0
     print(f"[bench] {n_kmers/1e6:.1f}M k-mer instances, {tot} distinct, "

@@ -12,10 +12,7 @@ import sys
 import time
 from dataclasses import dataclass
 
-import jax.numpy as jnp
-
 from yak_tpu.io.chunks import ChunkSource
-from yak_tpu.ops.kmers import extract_kmer_hashes
 from yak_tpu.table import KmerTable
 
 
@@ -54,9 +51,7 @@ def count_file(fn, opt, table=None):
     src = ChunkSource(fn, chunk, opt.k, min_len=opt.k,  # count.c:94 skip
                       with_meta=False)
     for packed in src:
-        codes = jnp.asarray(packed.codes)[None, :]
-        h, valid = extract_kmer_hashes(codes, opt.k)
-        table.insert_hashes(h[0], valid[0], create_new=create_new)
+        table.insert_codes(packed.codes, create_new=create_new)
     print(f"[M::count_file::{time.time()-t0:.3f}] processed {src.n_seq} "
           f"sequences; {table.tot} distinct k-mers in the hash table",
           file=sys.stderr)
@@ -86,7 +81,5 @@ def recount(fn, table):
     o = CountOpts(k=table.k, pre=table.pre)
     chunk = _device_chunk(o)
     for packed in ChunkSource(fn, chunk, table.k, with_meta=False):
-        codes = jnp.asarray(packed.codes)[None, :]
-        h, valid = extract_kmer_hashes(codes, table.k)
-        table.insert_hashes(h[0], valid[0], create_new=False)
+        table.insert_codes(packed.codes, create_new=False)
     return table

@@ -1,20 +1,29 @@
 """Vectorized canonical k-mer extraction.
 
-The reference walks each sequence base-by-base with a rolling 2-bit window
-(count.c:28-60).  On TPU the same computation is a windowed map: for a
-padded batch of base codes [B, L] (code 4 = N or padding), the k-mer
-starting at column i is a static-slice reduction over columns i..i+k-1,
-so the whole batch is k fused VPU passes — no scalar loop, no dynamic
-shapes.
+The reference walks each sequence base-by-base with a rolling 2-bit
+window (count.c:28-60).  On TPU the same computation is a windowed map
+over a padded code batch [B, L] (code 4 = N or padding).
 
-Semantics (must match the reference bit-for-bit):
-- k <= 31 (count.c:28-43): forward 2-bit packing, reverse-complement
-  packing, canonical = min(fwd, rev), hash = hash64(canonical, 4^k - 1).
-- 32 <= k <= 63 (count.c:45-60): four 1-bit planes; hash = hash_long
-  (inexact by design).
-- Windows containing any N are invalid; N restarts the window, which in
-  window terms simply means "window contains a 4 => invalid".
-- The k-mer *end* position in the original sequence is start + k - 1
+k <= 31 uses a bit-parallel formulation instead of a k-step unrolled
+loop (which costs O(k) full passes over u64 accumulators — measured
+~160ms per 4M-lane chunk): the 2-bit codes are split into two 1-bit
+planes, each plane packs into u32 words (32 bases/word), and every
+window's 31-bit plane value comes from ONE vectorized funnel shift
+(w[q] >> r | w[q+1] << (32-r), broadcast over all (q, r)) — no gathers,
+no per-base loop.  Forward values need the window bits reversed
+(base j contributes bit k-1-j), done with a 5-step u32 bit-reverse;
+reverse-complement values use the unreversed funnel output complemented.
+A 5-step morton spread interleaves the two planes into the 2k-bit
+packed k-mer, then yak's invertible hash applies (ops/hash.py).
+
+Semantics (bit-for-bit with the reference):
+- k <= 31 (count.c:28-43): fwd/rev 2-bit packing, canonical = min,
+  hash = hash64(canonical, 4^k - 1).
+- 32 <= k <= 63 (count.c:45-60): four 1-bit planes, hash = hash_long
+  (inexact by design) — kept as the straightforward unrolled loop.
+- windows containing any N (code >= 4) are invalid; N restarts the
+  window, which in window terms means "window contains a 4 => invalid".
+- the k-mer *end* position in the original sequence is start + k - 1
   (used by qv/trio/chkerr per-position logic).
 """
 
@@ -41,32 +50,101 @@ def extract_kmer_hashes(codes, k):
     B, L = codes.shape
     if L < k:
         return (jnp.zeros((B, 0), jnp.uint64), jnp.zeros((B, 0), bool))
+    if k <= 31:
+        return _extract_bitparallel(codes, k)
     M = L - k + 1
+    valid = _valid_windows(codes, k)
+    return _hash_long_planes(codes, k, M), valid
+
+
+def _valid_windows(codes, k):
+    B = codes.shape[0]
     is_n = (codes >= 4).astype(jnp.int32)
-    # valid[i] <=> no N in codes[i:i+k] (windowed sum of is_n == 0)
     cs = jnp.cumsum(is_n, axis=1)
     cs = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cs], axis=1)
-    valid = (cs[:, k:] - cs[:, :-k]) == 0
-
-    if k <= 31:
-        hashes = _hash_short(codes, k, M)
-    else:
-        hashes = _hash_long_planes(codes, k, M)
-    return hashes, valid
+    return (cs[:, k:] - cs[:, :-k]) == 0
 
 
-def _hash_short(codes, k, M):
-    mask = jnp.uint64((1 << (2 * k)) - 1)
-    c64 = codes.astype(jnp.uint64)
-    fwd = jnp.zeros_like(c64[:, :M])
-    rev = jnp.zeros_like(c64[:, :M])
-    three = jnp.uint64(3)
-    for j in range(k):
-        cj = c64[:, j : j + M] & three  # &3 keeps N windows harmless; masked by `valid`
-        fwd = fwd | (cj << jnp.uint64(2 * (k - 1 - j)))
-        rev = rev | ((three - cj) << jnp.uint64(2 * j))
+def _pack_plane(bits, B, W):
+    """Pack bool/0-1 u32 [B, W*32] into u32 words [B, W], LSB = first."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    return jnp.sum(bits.reshape(B, W, 32).astype(jnp.uint32) << r,
+                   axis=2, dtype=jnp.uint32)
+
+
+def _funnel(words, k):
+    """All 31-bit windows of a packed bit stream.
+
+    words: u32 [B, W]; returns u32 [B, (W-1)*32] where out[:, 32q+r] =
+    bits q*32+r .. +k-1 of the stream (LSB = first base of the window).
+    """
+    B, W = words.shape
+    lo = words[:, :-1, None]                    # [B, W-1, 1]
+    hi = words[:, 1:, None]
+    r = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    # (lo >> r) | (hi << (32-r)); r==0 must not shift hi by 32 (UB) —
+    # shift in two steps so the 32-shift becomes a harmless full shift-out
+    win = (lo >> r) | ((hi << (31 - r)) << 1)
+    win = win.reshape(B, (W - 1) * 32)
+    return win & jnp.uint32((1 << k) - 1)
+
+
+def _bitrev(x, k):
+    """Reverse the low k (<=31) bits of u32 lanes (classic 5-step swap)."""
+    x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    x = (x << 16) | (x >> 16)
+    return x >> jnp.uint32(32 - k)
+
+
+def _spread(x):
+    """Morton-spread u64 lanes: bit i -> bit 2i (low 31 bits used)."""
+    x = (x | (x << jnp.uint64(16))) & jnp.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << jnp.uint64(8))) & jnp.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << jnp.uint64(4))) & jnp.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << jnp.uint64(2))) & jnp.uint64(0x3333333333333333)
+    x = (x | (x << jnp.uint64(1))) & jnp.uint64(0x5555555555555555)
+    return x
+
+
+def _extract_bitparallel(codes, k):
+    B, L = codes.shape
+    M = L - k + 1
+    # pad L to a multiple of 32 plus one extra word (funnel reads w[q+1];
+    # (W-1)*32 >= L >= M guarantees full window coverage)
+    W = (L + 31) // 32 + 1
+    padL = W * 32
+    if padL != L:
+        codes = jnp.concatenate(
+            [codes, jnp.full((B, padL - L), 4, jnp.uint8)], axis=1)
+
+    lo = codes & jnp.uint8(1)
+    hi = (codes >> jnp.uint8(1)) & jnp.uint8(1)
+    nn = (codes >= 4).astype(jnp.uint8)
+    plo = _pack_plane(lo, B, W)
+    phi = _pack_plane(hi, B, W)
+    pnn = _pack_plane(nn, B, W)
+
+    wlo = _funnel(plo, k)[:, :M]     # natural order: bit j = base i+j
+    whi = _funnel(phi, k)[:, :M]
+    wnn = _funnel(pnn, k)[:, :M]
+    valid = wnn == 0
+
+    m31 = jnp.uint32((1 << k) - 1)
+    fwd_lo = _bitrev(wlo, k)         # fwd wants bit k-1-j
+    fwd_hi = _bitrev(whi, k)
+    rev_lo = (~wlo) & m31            # complement, natural order
+    rev_hi = (~whi) & m31
+
+    fwd = (_spread(fwd_lo.astype(jnp.uint64))
+           | (_spread(fwd_hi.astype(jnp.uint64)) << jnp.uint64(1)))
+    rev = (_spread(rev_lo.astype(jnp.uint64))
+           | (_spread(rev_hi.astype(jnp.uint64)) << jnp.uint64(1)))
     canon = jnp.minimum(fwd, rev)
-    return hash64(canon, mask, ns=jnp)
+    mask = jnp.uint64((1 << (2 * k)) - 1)
+    return hash64(canon, mask, ns=jnp), valid
 
 
 def _hash_long_planes(codes, k, M):

@@ -87,12 +87,10 @@ def _run_totals(W, end):
     return P - _shift1(Q, jnp.int64(0))
 
 
-@partial(jax.jit,
-         static_argnames=("mode", "create", "max_count", "packable"),
-         donate_argnums=(0, 1))
-def merge_batch(tkeys, tcnt, size, h, add, valid, *, mode=ADD, create=True,
-                max_count=YAK_MAX_COUNT, packable=True):
+def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
+                     create=True, max_count=YAK_MAX_COUNT, packable=True):
     """Merge a (possibly duplicate-bearing) batch into the table.
+    (Pure body — call inside an enclosing jit, e.g. ops/countstep.py.)
 
     Returns (tkeys, tcnt, size, n_new, overflow): n_new = newly created
     distinct keys (int64); overflow True if the merged size exceeded cap
@@ -157,6 +155,12 @@ def merge_batch(tkeys, tcnt, size, h, add, valid, *, mode=ADD, create=True,
         _, Kc, Vc = jax.lax.sort((drop, key, outV), num_keys=2)
         Kc, Vc = Kc[:cap], Vc[:cap]
     return Kc, Vc, jnp.minimum(new_size, cap), n_new, overflow
+
+
+merge_batch = partial(jax.jit,
+                      static_argnames=("mode", "create", "max_count",
+                                       "packable"),
+                      donate_argnums=(0, 1))(merge_batch_impl)
 
 
 @partial(jax.jit, static_argnames=("packable",))

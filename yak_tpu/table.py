@@ -38,7 +38,7 @@ class KmerTable:
     for per-occurrence increments."""
 
     def __init__(self, k, pre=10, cap_log2=16, bf_n_hash=4, bf_shift=0,
-                 flush_lanes=None):
+                 flush_lanes=None, cap_hinted=None):
         if pre < 10:
             raise ValueError("pre must be at least YAK_COUNTER_BITS (10)")
         self.k = k
@@ -47,11 +47,18 @@ class KmerTable:
         # sorts; k>=32 (yak_hash_long) uses all 64 bits (ops/sorttable)
         self._packable = k <= 31
         self.flush_lanes = flush_lanes  # None = max(2^23, cap)
+        # explicit capacity hint (-K): skip the group-size growth prior
+        self._cap_hinted = cap_log2 > 16 if cap_hinted is None else cap_hinted
         self.keys, self.cnt, self.size = st.make_table(1 << cap_log2)
         self._tot = 0         # host mirror of size (h->tot parity)
         self._pend = []       # deferred (h, add, valid) batches
+        self._pend_codes = []  # deferred host code chunks (hot count path)
         self._pend_lanes = 0
         self._pend_create = True
+        # one-step-late overflow bookkeeping for the fused code path:
+        # (pre-step keys, cnt, size, bf, codes_group, overflow_flag)
+        self._last_step = None
+        self._group_g = None   # fixed chunks-per-group (stable step shape)
         self.bf = None
         self.bf_shift = bf_shift
         self.bf_n_hash = bf_n_hash
@@ -70,6 +77,7 @@ class KmerTable:
     @property
     def tot(self):
         self.flush()
+        self._tot = int(self.size)
         return self._tot
 
     def _ensure_capacity(self, need):
@@ -82,6 +90,87 @@ class KmerTable:
             self.keys, self.cnt, self.size, new_cap)
 
     # -- hot path ---------------------------------------------------------
+
+    def insert_codes(self, codes, create_new=True):
+        """Queue one fixed-size flat base-code chunk (uint8, 4 = N/pad).
+
+        The hot `count` path: chunks accumulate host-side and fold into
+        the table in groups via ONE fused XLA program (extract + optional
+        Bloom gate + sort-merge, ops/countstep.py) — one transfer + one
+        dispatch per group.  All chunks of a table must share a length.
+        """
+        if self._pend_create != create_new:
+            self.flush()
+            self._pend_create = create_new
+        self._pend_codes.append(codes)
+        if self._group_g is None:
+            lanes = max(codes.shape[0] - self.k + 1, 1)
+            target = self.flush_lanes or max(1 << 23, self.cap)
+            self._group_g = max(1, -(-target // lanes))
+        if len(self._pend_codes) >= self._group_g:
+            self._fold_codes()
+
+    def _fold_codes(self):
+        """Fold pending code chunks (padded to the fixed group size)."""
+        from yak_tpu.ops.countstep import get_count_step
+
+        if not self._pend_codes:
+            return
+        group = self._pend_codes
+        self._pend_codes = []
+        # pad to the next power of two <= the full group size: at most
+        # log2(G) distinct step shapes ever compile, and a small final
+        # group is not inflated to the full flush width
+        g_full = self._group_g or len(group)
+        g = min(g_full, 1 << max(len(group) - 1, 0).bit_length())
+        if len(group) < g:
+            pad = np.full(group[0].shape, 4, np.uint8)
+            group = group + [pad] * (g - len(group))
+        codes = jnp.asarray(np.stack(group))
+        # capacity prior (only without an explicit cap hint): a group of
+        # L lanes creates at most L keys and typically ~L/2 distinct;
+        # grow proactively so the first folds don't walk the doubling
+        # ladder (each cap is a fresh XLA shape).  With a hint, trust it:
+        # overflow replay doubles from there if the user undershot.
+        lanes = g * max(group[0].shape[0] - self.k + 1, 1)
+        if not self._cap_hinted and self.cap * 2 < lanes:
+            need = 1 << max((lanes // 2 - 1).bit_length(), 14)
+            self.keys, self.cnt, self.size = st.grow(
+                self.keys, self.cnt, self.size, need)
+        bloom_cfg = None
+        use_bf = self.bf is not None and self._pend_create
+        if use_bf:
+            bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
+        step = get_count_step(self.k, self._pend_create, bloom_cfg)
+
+        self._check_last_step()  # one step late: previous fold settled
+        prev = (self.keys, self.cnt, self.size, self.bf)
+        if use_bf:
+            out = step(codes, self.keys, self.cnt, self.size, self.bf)
+            (self.keys, self.cnt, self.size, _n, ovf, self.bf) = out
+        else:
+            (self.keys, self.cnt, self.size, _n, ovf) = step(
+                codes, self.keys, self.cnt, self.size)
+        self._last_step = (prev, codes, ovf, step, use_bf)
+
+    def _check_last_step(self):
+        """Settle the previous fused fold: on overflow, grow the preserved
+        pre-step table and replay (the step does not donate, so the old
+        state is intact)."""
+        if self._last_step is None:
+            return
+        prev, codes, ovf, step, use_bf = self._last_step
+        self._last_step = None
+        while bool(ovf):
+            keys, cnt, size, bf = prev
+            keys, cnt, size = st.grow(keys, cnt, size, 2 * keys.shape[0])
+            prev = (keys, cnt, size, bf)
+            if use_bf:
+                (self.keys, self.cnt, self.size, _n, ovf, self.bf) = step(
+                    codes, keys, cnt, size, bf)
+            else:
+                (self.keys, self.cnt, self.size, _n, ovf) = step(
+                    codes, keys, cnt, size)
 
     def insert_hashes(self, h, valid, create_new=True):
         """Count a raw (duplicate-bearing) hash batch into the table
@@ -110,7 +199,9 @@ class KmerTable:
             self.flush()
 
     def flush(self):
-        """Fold all pending insert batches into the table (one sort-merge)."""
+        """Fold all pending inserts into the table and settle overflow."""
+        self._fold_codes()
+        self._check_last_step()
         if not self._pend:
             return
         h = jnp.concatenate([p[0] for p in self._pend])
@@ -158,6 +249,8 @@ class KmerTable:
 
     def _set_pairs(self, h_np, c_np):
         """Replace contents with unique host (hash, count) pairs."""
+        self._pend, self._pend_codes = [], []
+        self._pend_lanes, self._last_step = 0, None
         order = np.argsort(h_np, kind="stable")
         h_np, c_np = h_np[order], c_np[order]
         n = len(h_np)
