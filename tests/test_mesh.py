@@ -68,3 +68,34 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_mesh_lookup_matches_single(data):
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from yak_tpu.parallel.mesh import build_lookup_step
+
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(8)
+    sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh, cap_log2=14)
+
+    chunk = 2048
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 5, size=(8, chunk)).astype(np.uint8)
+    codes = np.where(rng.random(codes.shape) < 0.95, codes % 4, 4
+                     ).astype(np.uint8)
+
+    step = build_lookup_step(mesh, opt.k, chunk)
+    sh = NamedSharding(mesh, P("d"))
+    dcodes = jax.device_put(jax.numpy.asarray(codes), sh)
+    vals, hasw, ovf = step(dcodes, sharded.keys, sharded.cnt, sharded.size)
+    assert int(np.asarray(ovf).max()) == 0
+
+    from yak_tpu.ops.kmers import extract_kmer_hashes
+    h, valid = extract_kmer_hashes(jax.numpy.asarray(codes), opt.k)
+    want = single.lookup_hashes(h.reshape(-1), valid.reshape(-1))
+    np.testing.assert_array_equal(
+        np.asarray(vals).reshape(-1), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(hasw), np.asarray(valid))

@@ -23,7 +23,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from yak_tpu.io.chunks import ChunkSource
-from yak_tpu.ops.kmers import extract_kmer_hashes
 
 NO_KMER = -2
 MISSING = -1
@@ -44,11 +43,14 @@ def scan_file(fn, table, chunk_size, on_progress=None):
                 yield name, L, vals
         done_until = upto - 1
 
+    from yak_tpu.ops.countstep import get_scan_step
+
+    table.flush()
+    step = get_scan_step(k)
     for packed in ChunkSource(fn, chunk_size, k, with_meta=True):
         codes = jnp.asarray(packed.codes)[None, :]
-        h, valid = extract_kmer_hashes(codes, k)
-        t = table.lookup_hashes(h[0], valid[0])
-        t_np = np.asarray(t)
+        t, valid = step(codes, table.keys, table.cnt, table.size)
+        t_np = np.asarray(t[0])
         valid_np = np.asarray(valid[0])
         M = t_np.shape[0]
         sid_np = packed.seq_id[:M]

@@ -54,6 +54,7 @@ def get_count_step(k, create, bloom_cfg=None):
 
     @jax.jit
     def step_bf(codes, tkeys, tcnt, size, bf):
+        # Bloom-gated create pass (yak_ch_insert_list, htab.c:61-70)
         h, valid = extract_kmer_hashes(codes, k)
         h, valid = h.reshape(-1), valid.reshape(-1)
         hs, starts, mult = st.dedup(h, valid, packable=packable)
@@ -66,3 +67,22 @@ def get_count_step(k, create, bloom_cfg=None):
         return out + (bf2,)
 
     return step_bf
+
+
+@lru_cache(maxsize=None)
+def get_scan_step(k):
+    """Fused lookup step for the scan-side workloads (qv/trio/sexchr/
+    chkerr): codes [G, L] -> per-window (value, has_window) in one XLA
+    program.  value = table count/flags, -1 where the k-mer is absent
+    (yak_ch_get); has_window False where the window has an N."""
+    packable = k <= 31
+
+    @jax.jit
+    def step(codes, tkeys, tcnt, size):
+        h, valid = extract_kmer_hashes(codes, k)
+        G, M = h.shape
+        vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                              valid.reshape(-1), packable=packable)
+        return vals.reshape(G, M), valid
+
+    return step

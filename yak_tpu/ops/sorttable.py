@@ -163,9 +163,9 @@ merge_batch = partial(jax.jit,
                       donate_argnums=(0, 1))(merge_batch_impl)
 
 
-@partial(jax.jit, static_argnames=("packable",))
-def lookup(tkeys, tcnt, size, h, valid, *, packable=True):
-    """int32 count per query lane; -1 when absent/invalid (yak_ch_get)."""
+def lookup_impl(tkeys, tcnt, size, h, valid, *, packable=True):
+    """int32 count per query lane; -1 when absent/invalid (yak_ch_get).
+    (Pure body — call inside an enclosing jit, e.g. ops/countstep.py.)"""
     cap = tkeys.shape[0]
     B = h.shape[0]
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
@@ -204,6 +204,9 @@ def lookup(tkeys, tcnt, size, h, valid, *, packable=True):
     # restore original query order (table lanes carry idx=B, sliced off)
     _, res_q = jax.lax.sort((idx, res), num_keys=1)
     return res_q[:B]
+
+
+lookup = partial(jax.jit, static_argnames=("packable",))(lookup_impl)
 
 
 @jax.jit

@@ -145,6 +145,70 @@ def build_count_step(mesh, k, cap_log2, chunk, route_cap=None,
     return jax.jit(step, donate_argnums=(1, 2))
 
 
+def build_lookup_step(mesh, k, chunk, route_cap=None):
+    """Compile the sharded scan step (the lookup-side workloads):
+    data-parallel extract -> all_to_all route each hash to its owner
+    chip -> local sorted-table lookup -> all_to_all the values back ->
+    restore original lane order.
+
+    Returns step(codes[D, chunk], keys[D, capd], cnt[D, capd], size[D])
+      -> (vals[D, M] int32 (-1 = absent), has_window[D, M] bool,
+          route_overflow[D]).
+    """
+    n_dev = mesh.devices.size
+    M = chunk - k + 1
+    C = route_cap or M
+
+    def local_step(codes, keys, cnt, size):
+        h, valid = extract_kmer_hashes(codes, k)
+        h, valid = h.reshape(-1), valid.reshape(-1)
+        if n_dev == 1:
+            vals = st.lookup_impl(keys.reshape(-1), cnt.reshape(-1),
+                                  size.reshape(()), h, valid,
+                                  packable=k <= 31)
+            return (vals[None, :], valid[None, :], jnp.zeros(1, jnp.int32))
+
+        owner = jnp.where(
+            valid, (h & jnp.uint64(n_dev - 1)).astype(jnp.uint32),
+            jnp.uint32(n_dev))
+        idx = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        owner_s, h_s, idx_s = jax.lax.sort((owner, h, idx), num_keys=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        is_first = jnp.concatenate(
+            [jnp.ones(1, bool), owner_s[1:] != owner_s[:-1]])
+        bucket_start = jax.lax.cummax(jnp.where(is_first, lane, -1))
+        rank = lane - bucket_start
+        ok = (owner_s < n_dev) & (rank < C)
+        overflow = jnp.sum((owner_s < n_dev) & (rank >= C), dtype=jnp.int32)
+        slot = jnp.where(ok, owner_s.astype(jnp.int32) * C + rank, n_dev * C)
+        send_h = jnp.zeros(n_dev * C, jnp.uint64).at[slot].set(
+            h_s, mode="drop")
+        send_v = jnp.zeros(n_dev * C, bool).at[slot].set(ok, mode="drop")
+        recv_h = jax.lax.all_to_all(send_h.reshape(n_dev, C), "d",
+                                    split_axis=0, concat_axis=0,
+                                    tiled=True).reshape(-1)
+        recv_v = jax.lax.all_to_all(send_v.reshape(n_dev, C), "d",
+                                    split_axis=0, concat_axis=0,
+                                    tiled=True).reshape(-1)
+        vals = st.lookup_impl(keys.reshape(-1), cnt.reshape(-1),
+                              size.reshape(()), recv_h, recv_v,
+                              packable=k <= 31)
+        back = jax.lax.all_to_all(vals.reshape(n_dev, C), "d",
+                                  split_axis=0, concat_axis=0,
+                                  tiled=True).reshape(-1)
+        # sorted lane -> its routed value; unsort to original lane order
+        v_sorted = jnp.where(ok, back[jnp.minimum(slot, n_dev * C - 1)], -1)
+        _, v_orig = jax.lax.sort((idx_s, v_sorted), num_keys=1)
+        return (v_orig[None, :], valid[None, :], overflow[None])
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d")),
+        out_specs=(P("d"), P("d"), P("d")),
+        check_rep=False)
+    return jax.jit(step)
+
+
 def count_file_mesh(fn, opt, mesh, cap_log2=None):
     """Count one file into a fresh MeshTable (data-parallel ingest:
     the host packer deals flat chunks round-robin to the chips)."""
