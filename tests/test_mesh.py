@@ -99,3 +99,28 @@ def test_mesh_lookup_matches_single(data):
     np.testing.assert_array_equal(
         np.asarray(vals).reshape(-1), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(hasw), np.asarray(valid))
+
+
+def test_mesh_qv_matches_single(data, tmp_path):
+    """Full qv report via the mesh-sharded scanner == single-table qv."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    import io
+    from yak_tpu.models.qv import QvOpts, main_qv
+    from yak_tpu.models.scan import scan_file_mesh
+
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+    sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh, cap_log2=14)
+
+    rng = np.random.default_rng(9)
+    asm = util.make_genome(rng, 4000)
+    util.to_fasta(tmp_path / "asm.fa", [asm])
+
+    qopt = QvOpts(print_each=True, chunk_size=1 << 14)
+    a, b = io.StringIO(), io.StringIO()
+    main_qv(qopt, single, str(tmp_path / "asm.fa"), out=a)
+    main_qv(qopt, sharded, str(tmp_path / "asm.fa"), out=b,
+            scan=scan_file_mesh)
+    assert a.getvalue() == b.getvalue()

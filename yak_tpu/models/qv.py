@@ -92,16 +92,20 @@ class QStat:
         default_factory=lambda: np.zeros(YAK_N_COUNTS))
 
 
-def run_qv(opt, fn, table, out=None):
-    out = out or sys.stdout
+def run_qv(opt, fn, table, out=None, scan=None):
     """Stream `fn` against `table`; returns the global occurrence-count
-    vector cnt[1024] (yak_qv, qv.c:116-135).  SQ/EK lines go to `out`."""
+    vector cnt[1024] (yak_qv, qv.c:116-135).  SQ/EK lines go to `out`.
+
+    `scan` selects the scanner (default models.scan.scan_file; pass
+    scan_file_mesh for a mesh-sharded table)."""
+    out = out or sys.stdout
+    scan = scan or scan_file
     k = table.k
     assert k < 32
     cnt = np.zeros(YAK_N_COUNTS, np.int64)
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
-    for name, L, vals in scan_file(fn, table, chunk):
+    for name, L, vals in scan(fn, table, chunk):
         if L < opt.min_len:
             continue
         has_kmer = vals != NO_KMER
@@ -244,12 +248,12 @@ QV_HEADER = (
     "CC\n")
 
 
-def main_qv(opt, table, seq_fn, out=None):
-    out = out or sys.stdout
+def main_qv(opt, table, seq_fn, out=None, scan=None):
     """The `qv` command body (main_qv, main.c:163-215)."""
+    out = out or sys.stdout
     hist = table.hist()
     out.write(QV_HEADER)
-    cnt = run_qv(opt, seq_fn, table, out=out)
+    cnt = run_qv(opt, seq_fn, table, out=out, scan=scan)
     _, qs = qv_solve(hist, cnt, table.k, opt.fpr)
     for i in range(YAK_N_COUNTS - 1, -1, -1):
         out.write(f"CT\t{i}\t{hist[i]}\t{cnt[i]}\t{_cf(qs.adj_cnt[i])}\n")

@@ -5,10 +5,12 @@ sexchr.c, chkerr.c) has the same hot loop: stream sequences, extract
 canonical k-mer hashes, probe the table, then run small per-sequence
 logic over the per-position count/flag stream.
 
-Here the hot part (extract + probe) runs on device over fixed-shape flat
-chunks; the per-position value stream is reassembled per sequence on
-host.  `scan_file` yields (name, length, vals) per sequence where
-vals[i] is the table value of the k-mer *ending* at base i:
+The hot part (extract + probe) runs on device as ONE fused XLA program
+per chunk (ops/countstep.get_scan_step), or sharded over a mesh with
+all_to_all hash routing (parallel/mesh.build_lookup_step); the
+per-position value stream is reassembled per sequence on host.
+`scan_file` / `scan_file_mesh` yield (name, length, vals) per sequence
+where vals[i] is the table value of the k-mer *ending* at base i:
 
   NO_KMER (-2)  no k-mer ends here (window has an N / i < k-1)
   MISSING (-1)  k-mer extracted but absent from the table
@@ -28,42 +30,27 @@ NO_KMER = -2
 MISSING = -1
 
 
-def scan_file(fn, table, chunk_size, on_progress=None):
-    """Yield (name, seq_len, vals int32[seq_len]) per sequence, in order."""
-    k = table.k
+def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
+    """Drive the chunk stream through `provider` (a function mapping a
+    list of PackedChunks to per-chunk (vals, has_window) numpy arrays)
+    and reassemble per-sequence value streams in order."""
     live = {}   # sid -> [name, length, vals]
-    done_until = -1
 
     def emit_complete(upto):
-        """Yield all live sequences with sid < upto (they can't grow)."""
-        nonlocal done_until
         for sid in sorted(live):
             if sid < upto:
                 name, L, vals = live.pop(sid)
                 yield name, L, vals
-        done_until = upto - 1
 
-    from yak_tpu.ops.countstep import get_scan_step
-
-    table.flush()
-    step = get_scan_step(k)
-    for packed in ChunkSource(fn, chunk_size, k, with_meta=True):
-        codes = jnp.asarray(packed.codes)[None, :]
-        t, valid = step(codes, table.keys, table.cnt, table.size)
-        t_np = np.asarray(t[0])
-        valid_np = np.asarray(valid[0])
+    def handle(packed, t_np, valid_np):
         M = t_np.shape[0]
         sid_np = packed.seq_id[:M]
         pos_np = packed.pos[:M]
-
         for sid, name in packed.seq_names.items():
             if sid not in live:
                 live[sid] = [name, packed.seq_lens[sid],
-                             np.full(packed.seq_lens[sid], NO_KMER, np.int32)]
-        if packed.seq_names:
-            min_sid = min(packed.seq_names)
-            yield from emit_complete(min_sid)
-
+                             np.full(packed.seq_lens[sid], NO_KMER,
+                                     np.int32)]
         sel = valid_np & (sid_np >= 0)
         sids = sid_np[sel]
         ends = pos_np[sel] + (k - 1)
@@ -76,4 +63,67 @@ def scan_file(fn, table, chunk_size, on_progress=None):
         if on_progress is not None:
             on_progress(len(packed.seq_names))
 
+    batch = []
+    for packed in ChunkSource(fn, chunk_size, k, with_meta=True):
+        batch.append(packed)
+        if len(batch) < group_size:
+            continue
+        for p, (t_np, v_np) in zip(batch, provider(batch)):
+            if p.seq_names:
+                yield from emit_complete(min(p.seq_names))
+            handle(p, t_np, v_np)
+        batch = []
+    if batch:
+        for p, (t_np, v_np) in zip(batch, provider(batch)):
+            if p.seq_names:
+                yield from emit_complete(min(p.seq_names))
+            handle(p, t_np, v_np)
     yield from emit_complete(1 << 62)
+
+
+def scan_file(fn, table, chunk_size, on_progress=None):
+    """Yield (name, seq_len, vals int32[seq_len]) per sequence, in order
+    (single-table, one fused dispatch per chunk)."""
+    from yak_tpu.ops.countstep import get_scan_step
+
+    table.flush()
+    step = get_scan_step(table.k)
+
+    def provider(batch):
+        out = []
+        for packed in batch:
+            t, v = step(jnp.asarray(packed.codes)[None, :],
+                        table.keys, table.cnt, table.size)
+            out.append((np.asarray(t[0]), np.asarray(v[0])))
+        return out
+
+    yield from _scan_impl(fn, table.k, chunk_size, provider, 1, on_progress)
+
+
+def scan_file_mesh(fn, mtable, chunk_size, on_progress=None):
+    """Mesh-sharded scan: chunks are dealt to the chips data-parallel,
+    each hash is routed to its owner chip over ICI, and the values come
+    back in original lane order (parallel/mesh.build_lookup_step)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from yak_tpu.parallel.mesh import build_lookup_step
+
+    mesh = mtable.mesh
+    n_dev = mesh.devices.size
+    k = mtable.k
+    chunk = -(-max(1 << 14, int(chunk_size)) // 1024) * 1024
+    step = build_lookup_step(mesh, k, chunk)
+    sh = NamedSharding(mesh, P("d"))
+
+    def provider(batch):
+        group = [p.codes for p in batch]
+        while len(group) < n_dev:
+            group.append(np.full(chunk, 4, np.uint8))
+        codes = jax.device_put(jnp.asarray(np.stack(group)), sh)
+        vals, hasw, ovf = step(codes, mtable.keys, mtable.cnt, mtable.size)
+        if int(np.asarray(ovf).max()):
+            raise RuntimeError("all_to_all route capacity overflow")
+        v_np, h_np = np.asarray(vals), np.asarray(hasw)
+        return [(v_np[i], h_np[i]) for i in range(len(batch))]
+
+    yield from _scan_impl(fn, k, chunk, provider, n_dev, on_progress)
