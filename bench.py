@@ -57,7 +57,7 @@ def pack_chunks(reads):
 def run_count(chunks, KmerTable):
     # cap 2^23 preallocated (no growth -> one stable fused-step shape);
     # groups of 3 chunks (~12.6M lanes) -> 5 identical fused dispatches
-    table = KmerTable(K, cap_log2=23, flush_lanes=1 << 24)
+    table = KmerTable(K, cap_log2=23, flush_lanes=1 << 23)
     for c in chunks:
         table.insert_codes(c)
     table.flush()

@@ -91,7 +91,7 @@ def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes):
         [base + zi.astype(jnp.uint64) for zi in zs], axis=0).reshape(-1)
     act = jnp.broadcast_to(active, (n_hashes, n)).reshape(-1)
     inv = (~act).astype(jnp.uint8)
-    inv_s, pos_s = jax.lax.sort((inv, allpos), num_keys=2)
+    inv_s, pos_s = jax.lax.sort((inv, allpos), num_keys=2, is_stable=False)
     valid_s = inv_s == 0
     prev = jnp.concatenate([pos_s[:1], pos_s[:-1]])
     firstlane = jnp.concatenate(

@@ -109,7 +109,7 @@ def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
         pt = jnp.where(lane_t < size, tkeys << _ONE, _PAD)
         pb = (h << _ONE) | _TAG | jnp.where(valid, jnp.uint64(0), _PAD)
         K = jnp.concatenate([pt, pb])
-        K, V = jax.lax.sort((K, V), num_keys=1)
+        K, V = jax.lax.sort((K, V), num_keys=1, is_stable=False)
         real = K < _PAD
         key = (K & ~_PAD) >> _ONE
         is_table = real & ((K & _TAG) == 0)
@@ -119,7 +119,7 @@ def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
         tag = jnp.concatenate(
             [jnp.zeros(cap, jnp.uint8), jnp.ones(B, jnp.uint8)])
         key = jnp.concatenate([tkeys, h])
-        pad, key, tag, V = jax.lax.sort((pad, key, tag, V), num_keys=3)
+        pad, key, tag, V = jax.lax.sort((pad, key, tag, V), num_keys=3, is_stable=False)
         real = pad == 0
         is_table = real & (tag == 0)
     start, end, newkey = _run_marks(key, real)
@@ -147,12 +147,12 @@ def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
     # compaction: kept lanes first, ascending key order preserved
     if packable:
         Kc = jnp.where(keep, key, key | _PAD)
-        Kc, Vc = jax.lax.sort((Kc, outV), num_keys=1)
+        Kc, Vc = jax.lax.sort((Kc, outV), num_keys=1, is_stable=False)
         Kc = Kc[:cap] & ~_PAD
         Vc = Vc[:cap]
     else:
         drop = (~keep).astype(jnp.uint8)
-        _, Kc, Vc = jax.lax.sort((drop, key, outV), num_keys=2)
+        _, Kc, Vc = jax.lax.sort((drop, key, outV), num_keys=2, is_stable=False)
         Kc, Vc = Kc[:cap], Vc[:cap]
     return Kc, Vc, jnp.minimum(new_size, cap), n_new, overflow
 
@@ -177,7 +177,7 @@ def lookup_impl(tkeys, tcnt, size, h, valid, *, packable=True):
         pt = jnp.where(lane_t < size, tkeys << _ONE, _PAD)
         pq = (h << _ONE) | _TAG | jnp.where(valid, jnp.uint64(0), _PAD)
         K = jnp.concatenate([pt, pq])
-        K, V, idx = jax.lax.sort((K, V, idx), num_keys=1)
+        K, V, idx = jax.lax.sort((K, V, idx), num_keys=1, is_stable=False)
         real = K < _PAD
         key = (K & ~_PAD) >> _ONE
         is_table = real & ((K & _TAG) == 0)
@@ -187,7 +187,7 @@ def lookup_impl(tkeys, tcnt, size, h, valid, *, packable=True):
             [jnp.zeros(cap, jnp.uint8), jnp.ones(B, jnp.uint8)])
         key = jnp.concatenate([tkeys, h])
         pad, key, tag, V, idx = jax.lax.sort((pad, key, tag, V, idx),
-                                             num_keys=3)
+                                             num_keys=3, is_stable=False)
         real = pad == 0
         is_table = real & (tag == 0)
     start, _end, _ = _run_marks(key, real)
@@ -202,7 +202,7 @@ def lookup_impl(tkeys, tcnt, size, h, valid, *, packable=True):
     hit = real & ((Gm >> 11) == run_id)
     res = jnp.where(hit, (Gm & 0x7FF).astype(jnp.int32) - 1, -1)
     # restore original query order (table lanes carry idx=B, sliced off)
-    _, res_q = jax.lax.sort((idx, res), num_keys=1)
+    _, res_q = jax.lax.sort((idx, res), num_keys=1, is_stable=False)
     return res_q[:B]
 
 
@@ -237,11 +237,11 @@ def compact_where(tkeys, tcnt, size, keep, *, packable=True):
     k = keep & (lane < size)
     if packable:
         Kc = jnp.where(k, tkeys, tkeys | _PAD)
-        Kc, Vc = jax.lax.sort((Kc, tcnt), num_keys=1)
+        Kc, Vc = jax.lax.sort((Kc, tcnt), num_keys=1, is_stable=False)
         Kc = Kc & ~_PAD
     else:
         drop = (~k).astype(jnp.uint8)
-        _, Kc, Vc = jax.lax.sort((drop, tkeys, tcnt), num_keys=2)
+        _, Kc, Vc = jax.lax.sort((drop, tkeys, tcnt), num_keys=2, is_stable=False)
     return Kc, Vc, jnp.sum(k, dtype=jnp.int32)
 
 
@@ -257,12 +257,12 @@ def dedup(h, valid, *, packable=True):
     n = h.shape[0]
     if packable:
         Kb = h | jnp.where(valid, jnp.uint64(0), _PAD)
-        (hs,) = jax.lax.sort((Kb,), num_keys=1)
+        (hs,) = jax.lax.sort((Kb,), num_keys=1, is_stable=False)
         vs = hs < _PAD
         hs = hs & ~_PAD
     else:
         inv = (~valid).astype(jnp.uint8)
-        inv_s, hs = jax.lax.sort((inv, h), num_keys=2)
+        inv_s, hs = jax.lax.sort((inv, h), num_keys=2, is_stable=False)
         vs = inv_s == 0
     starts, _, _ = _run_marks(hs, vs)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)

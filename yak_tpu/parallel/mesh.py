@@ -104,7 +104,7 @@ def build_count_step(mesh, k, cap_log2, chunk, route_cap=None,
             owner = jnp.where(
                 valid, (h & jnp.uint64(n_dev - 1)).astype(jnp.uint32),
                 jnp.uint32(n_dev))
-            owner_s, h_s = jax.lax.sort((owner, h), num_keys=1)
+            owner_s, h_s = jax.lax.sort((owner, h), num_keys=1, is_stable=False)
             # rank within bucket = lane - first lane of the bucket
             lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
             is_first = jnp.concatenate(
@@ -172,7 +172,7 @@ def build_lookup_step(mesh, k, chunk, route_cap=None):
             valid, (h & jnp.uint64(n_dev - 1)).astype(jnp.uint32),
             jnp.uint32(n_dev))
         idx = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        owner_s, h_s, idx_s = jax.lax.sort((owner, h, idx), num_keys=1)
+        owner_s, h_s, idx_s = jax.lax.sort((owner, h, idx), num_keys=1, is_stable=False)
         lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
         is_first = jnp.concatenate(
             [jnp.ones(1, bool), owner_s[1:] != owner_s[:-1]])
@@ -198,7 +198,7 @@ def build_lookup_step(mesh, k, chunk, route_cap=None):
                                   tiled=True).reshape(-1)
         # sorted lane -> its routed value; unsort to original lane order
         v_sorted = jnp.where(ok, back[jnp.minimum(slot, n_dev * C - 1)], -1)
-        _, v_orig = jax.lax.sort((idx_s, v_sorted), num_keys=1)
+        _, v_orig = jax.lax.sort((idx_s, v_sorted), num_keys=1, is_stable=False)
         return (v_orig[None, :], valid[None, :], overflow[None])
 
     step = shard_map(
