@@ -27,13 +27,18 @@ from yak_tpu.ops.kmers import extract_kmer_hashes
 
 
 @lru_cache(maxsize=None)
-def get_count_step(k, create, bloom_cfg=None):
+def get_count_step(k, create, bloom_cfg=None, compact=True):
     """Compiled fused step for static (k, create, bloom_cfg).
 
     bloom_cfg: None or (pre, bf_shift, bf_n_hash).
 
     Returns step(codes[G, L] u8, tkeys, tcnt, size[, bf]) ->
       (tkeys', tcnt', size', n_new, overflow[, bf']).
+
+    compact=False (k <= 31 only): the merged stream comes back as
+    (khi, klo, outV, size, n_new, overflow[, bf']) u32 planes with
+    dropped lanes marked, for the Pallas streaming compactor
+    (ops/pallas_compact.py) — see table.KmerTable._fold_codes.
     """
     packable = k <= 31
 
@@ -46,7 +51,7 @@ def get_count_step(k, create, bloom_cfg=None):
             add = jnp.ones(h.shape, jnp.int32)
             return st.merge_batch_impl(tkeys, tcnt, size, h, add, valid,
                                        mode=st.ADD, create=create,
-                                       packable=packable)
+                                       packable=packable, compact=compact)
 
         return step
 
@@ -63,10 +68,21 @@ def get_count_step(k, create, bloom_cfg=None):
         add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
         out = st.merge_batch_impl(tkeys, tcnt, size, hs, add,
                                   starts & (add > 0), mode=st.ADD,
-                                  create=create, packable=packable)
+                                  create=create, packable=packable,
+                                  compact=compact)
         return out + (bf2,)
 
     return step_bf
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def recombine_u64(khi, klo, cap):
+    """(hi, lo) u32 planes -> u64 keys, truncated to the table capacity
+    (the Pallas compactor works on full merged width; the table keeps
+    the first `cap` slots, callers having checked overflow)."""
+    k = ((khi.astype(jnp.uint64) << jnp.uint64(32))
+         | klo.astype(jnp.uint64))
+    return k[:cap]
 
 
 @lru_cache(maxsize=None)

@@ -88,7 +88,8 @@ def _run_totals(W, end):
 
 
 def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
-                     create=True, max_count=YAK_MAX_COUNT, packable=True):
+                     create=True, max_count=YAK_MAX_COUNT, packable=True,
+                     compact=True):
     """Merge a (possibly duplicate-bearing) batch into the table.
     (Pure body — call inside an enclosing jit, e.g. ops/countstep.py.)
 
@@ -101,6 +102,12 @@ def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
 
     packable=False (k >= 32 full-width hashes): pad/tag become extra
     sort operands instead of spare key bits.
+
+    compact=False (packable only): skip the in-XLA compaction sort and
+    return (khi u32[N], klo u32[N], outV i32[N], new_size, n_new,
+    overflow) — the full-width merged stream with dropped lanes marked
+    by khi bit 31, for the Pallas streaming compactor
+    (ops/pallas_compact.py) to close up outside this jit.
     """
     cap = tkeys.shape[0]
     lane_t = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
@@ -144,6 +151,13 @@ def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
     new_size = jnp.sum(keep, dtype=jnp.int32)
     overflow = new_size > cap
 
+    if not compact:
+        assert packable
+        Kc = jnp.where(keep, key, key | _PAD)
+        khi = (Kc >> jnp.uint64(32)).astype(jnp.uint32)
+        klo = (Kc & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        return khi, klo, outV, jnp.minimum(new_size, cap), n_new, overflow
+
     # compaction: kept lanes first, ascending key order preserved
     if packable:
         Kc = jnp.where(keep, key, key | _PAD)
@@ -159,7 +173,7 @@ def merge_batch_impl(tkeys, tcnt, size, h, add, valid, *, mode=ADD,
 
 merge_batch = partial(jax.jit,
                       static_argnames=("mode", "create", "max_count",
-                                       "packable"),
+                                       "packable", "compact"),
                       donate_argnums=(0, 1))(merge_batch_impl)
 
 

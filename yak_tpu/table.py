@@ -17,7 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from yak_tpu import YAK_MAX_COUNT, YAK_LOAD_ALL
+from yak_tpu.ops import pallas_compact
 from yak_tpu.ops import sorttable as st
+from yak_tpu.ops.countstep import recombine_u64
 from yak_tpu.ops.bloom import make_bloom, bloom_insert
 from yak_tpu.ops.hash import hash64_inv
 from yak_tpu.io import yakfmt
@@ -141,17 +143,43 @@ class KmerTable:
         use_bf = self.bf is not None and self._pend_create
         if use_bf:
             bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
-        step = get_count_step(self.k, self._pend_create, bloom_cfg)
+        use_pallas = self._use_pallas()
+        step = get_count_step(self.k, self._pend_create, bloom_cfg,
+                              compact=not use_pallas)
 
         self._check_last_step()  # one step late: previous fold settled
         prev = (self.keys, self.cnt, self.size, self.bf)
+        ovf = self._run_step(step, codes, prev, use_bf, use_pallas)
+        self._last_step = (prev, codes, ovf, step, use_bf, use_pallas)
+
+    def _use_pallas(self):
+        """The Pallas streaming compactor replaces the second merge sort
+        on real TPUs (50-80x faster at table widths); tests on CPU and
+        the k>=32 full-width-hash path keep the XLA compaction."""
+        if not self._packable or not pallas_compact.enabled():
+            return False
+        import jax
+
+        return jax.default_backend() == "tpu"
+
+    def _run_step(self, step, codes, state, use_bf, use_pallas):
+        """Queue one fused fold against `state`; leaves the (possibly
+        uncompacted-then-Pallas-compacted) result in self.*; returns the
+        device overflow flag."""
+        keys, cnt, size, bf = state
+        args = (codes, keys, cnt, size) + ((bf,) if use_bf else ())
+        out = step(*args)
         if use_bf:
-            out = step(codes, self.keys, self.cnt, self.size, self.bf)
-            (self.keys, self.cnt, self.size, _n, ovf, self.bf) = out
+            *out, self.bf = out
+        if use_pallas:
+            khi, klo, outV, self.size, _n, ovf = out
+            khi, klo, outV = pallas_compact.compact_u32(khi, klo, outV)
+            cap = keys.shape[0]
+            self.keys = recombine_u64(khi, klo, cap)
+            self.cnt = outV[:cap]
         else:
-            (self.keys, self.cnt, self.size, _n, ovf) = step(
-                codes, self.keys, self.cnt, self.size)
-        self._last_step = (prev, codes, ovf, step, use_bf)
+            self.keys, self.cnt, self.size, _n, ovf = out
+        return ovf
 
     def _check_last_step(self):
         """Settle the previous fused fold: on overflow, grow the preserved
@@ -159,18 +187,13 @@ class KmerTable:
         state is intact)."""
         if self._last_step is None:
             return
-        prev, codes, ovf, step, use_bf = self._last_step
+        prev, codes, ovf, step, use_bf, use_pallas = self._last_step
         self._last_step = None
         while bool(ovf):
             keys, cnt, size, bf = prev
             keys, cnt, size = st.grow(keys, cnt, size, 2 * keys.shape[0])
             prev = (keys, cnt, size, bf)
-            if use_bf:
-                (self.keys, self.cnt, self.size, _n, ovf, self.bf) = step(
-                    codes, keys, cnt, size, bf)
-            else:
-                (self.keys, self.cnt, self.size, _n, ovf) = step(
-                    codes, keys, cnt, size)
+            ovf = self._run_step(step, codes, prev, use_bf, use_pallas)
 
     def insert_hashes(self, h, valid, create_new=True):
         """Count a raw (duplicate-bearing) hash batch into the table
