@@ -76,13 +76,13 @@ def get_count_step(k, create, bloom_cfg=None, compact=True):
 
 
 @partial(jax.jit, static_argnames=("cap",))
-def recombine_u64(khi, klo, cap):
-    """(hi, lo) u32 planes -> u64 keys, truncated to the table capacity
-    (the Pallas compactor works on full merged width; the table keeps
-    the first `cap` slots, callers having checked overflow)."""
-    k = ((khi.astype(jnp.uint64) << jnp.uint64(32))
-         | klo.astype(jnp.uint64))
-    return k[:cap]
+def finalize_compacted(khi, klo, v, cap):
+    """One dispatch: the Pallas compactor's 2-D padded planes -> table
+    state (keys u64[cap], cnt i32[cap]).  Truncation to `cap` is safe —
+    callers check the merge's overflow flag."""
+    keys = ((khi.reshape(-1)[:cap].astype(jnp.uint64) << jnp.uint64(32))
+            | klo.reshape(-1)[:cap].astype(jnp.uint64))
+    return keys, v.reshape(-1)[:cap]
 
 
 @lru_cache(maxsize=None)

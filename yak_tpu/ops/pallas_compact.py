@@ -164,11 +164,18 @@ def _kernel(khi_ref, klo_ref, v_ref, ohi_ref, olo_ref, ov_ref,
 
 
 @lru_cache(maxsize=None)
-def _compact_call(n_pad, interpret):
+def _compact_call(n, interpret):
+    n_pad = -(-n // T) * T
     grid = n_pad // T
     out_rows = (n_pad + S) // 128
 
     def fn(khi, klo, v):
+        if n_pad != n:
+            khi = jnp.concatenate(
+                [khi, jnp.full(n_pad - n, 0xFFFFFFFF, jnp.uint32)])
+            klo = jnp.concatenate(
+                [klo, jnp.zeros(n_pad - n, jnp.uint32)])
+            v = jnp.concatenate([v, jnp.zeros(n_pad - n, jnp.int32)])
         return pl.pallas_call(
             _kernel,
             grid=(grid,),
@@ -195,28 +202,27 @@ def _compact_call(n_pad, interpret):
     return jax.jit(fn)
 
 
-def compact_u32(khi, klo, v, interpret=False):
+def compact_raw(khi, klo, v, interpret=False):
     """Compact (khi, klo, v) u32/u32/i32 arrays, dropping lanes whose
-    khi bit 31 is set.  Returns same-length arrays with kept lanes
-    packed at the front in original order (tail = garbage).
+    khi bit 31 is set; kept lanes pack at the front in original order.
+    Returns 2-D padded planes ((n_pad+S)/128, 128) — ONE dispatch; the
+    caller slices/recombines inside its own jit (countstep.finalize).
 
     Must be called OUTSIDE any jit (it flips the x64 flag around the
     dispatch — Pallas grids mis-lower under x64 on this toolchain).
     """
-    n = khi.shape[0]
-    n_pad = -(-n // T) * T
     x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
-        if n_pad != n:
-            padh = jnp.full(n_pad - n, 0xFFFFFFFF, jnp.uint32)
-            pad0 = jnp.zeros(n_pad - n, jnp.uint32)
-            khi = jnp.concatenate([khi, padh])
-            klo = jnp.concatenate([klo, pad0])
-            v = jnp.concatenate([v, pad0.astype(jnp.int32)])
-        ohi, olo, ov = _compact_call(n_pad, interpret)(khi, klo, v)
+        return _compact_call(khi.shape[0], interpret)(khi, klo, v)
     finally:
         jax.config.update("jax_enable_x64", x64)
+
+
+def compact_u32(khi, klo, v, interpret=False):
+    """Test-friendly wrapper: flat same-length outputs (tail garbage)."""
+    n = khi.shape[0]
+    ohi, olo, ov = compact_raw(khi, klo, v, interpret)
     return (ohi.reshape(-1)[:n], olo.reshape(-1)[:n], ov.reshape(-1)[:n])
 
 

@@ -19,7 +19,7 @@ import numpy as np
 from yak_tpu import YAK_MAX_COUNT, YAK_LOAD_ALL
 from yak_tpu.ops import pallas_compact
 from yak_tpu.ops import sorttable as st
-from yak_tpu.ops.countstep import recombine_u64
+from yak_tpu.ops.countstep import finalize_compacted
 from yak_tpu.ops.bloom import make_bloom, bloom_insert
 from yak_tpu.ops.hash import hash64_inv
 from yak_tpu.io import yakfmt
@@ -173,10 +173,9 @@ class KmerTable:
             *out, self.bf = out
         if use_pallas:
             khi, klo, outV, self.size, _n, ovf = out
-            khi, klo, outV = pallas_compact.compact_u32(khi, klo, outV)
-            cap = keys.shape[0]
-            self.keys = recombine_u64(khi, klo, cap)
-            self.cnt = outV[:cap]
+            khi, klo, outV = pallas_compact.compact_raw(khi, klo, outV)
+            self.keys, self.cnt = finalize_compacted(
+                khi, klo, outV, keys.shape[0])
         else:
             self.keys, self.cnt, self.size, _n, ovf = out
         return ovf
