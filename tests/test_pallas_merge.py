@@ -1,0 +1,117 @@
+"""Pallas merge-reduce kernel vs the XLA merge_batch ground truth
+(interpret mode on CPU; real-TPU parity via bench/.tpu_parity)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yak_tpu.ops import sorttable as st
+from yak_tpu.ops.countstep import _pmerge_prep_impl, finalize_pmerge
+from yak_tpu.ops.pallas_merge import merge_reduce
+
+
+def run_both(tpairs, batch, adds, valid, cap, create=True):
+    """Returns ((keys, cnt, size, n_new, ovf) kernel, same XLA)."""
+    tk = np.zeros(cap, np.uint64)
+    tc = np.full(cap, -1, np.int32)
+    hs, cs = tpairs
+    order = np.argsort(hs)
+    tk[:len(hs)] = hs[order]
+    tc[:len(hs)] = cs[order]
+    args = (jnp.asarray(tk), jnp.asarray(tc), jnp.int32(len(hs)),
+            jnp.asarray(batch), jnp.asarray(adds), jnp.asarray(valid))
+
+    prep = _pmerge_prep_impl(*args)
+    out = merge_reduce(*prep, Na=cap, Nb=len(batch), create=create,
+                       interpret=True)
+    got = finalize_pmerge(*out, cap=cap)
+
+    want = st.merge_batch(*args, mode=st.ADD, create=create, packable=True)
+    return got, want
+
+
+def check(got, want):
+    gk, gc, gs, gn, go = [np.asarray(x) for x in got]
+    wk, wc, ws, wn, wo = [np.asarray(x) for x in want]
+    assert int(gs) == int(ws), (int(gs), int(ws))
+    assert bool(go) == bool(wo)
+    assert int(gn) == int(wn), (int(gn), int(wn))
+    n = int(ws)
+    np.testing.assert_array_equal(gk[:n], wk[:n])
+    np.testing.assert_array_equal(gc[:n], wc[:n])
+
+
+def make_case(rng, cap, n_table, n_batch, key_space, max_cnt=900):
+    hs = rng.choice(key_space, size=n_table, replace=False).astype(np.uint64)
+    cs = rng.integers(0, max_cnt, n_table).astype(np.int32)
+    batch = rng.choice(key_space, size=n_batch, replace=True).astype(
+        np.uint64)
+    adds = np.ones(n_batch, np.int32)
+    valid = rng.random(n_batch) < 0.97
+    return (hs, cs), batch, adds, valid
+
+
+def test_basic_multi_tile():
+    rng = np.random.default_rng(0)
+    space = rng.integers(0, 1 << 62, 60000, dtype=np.uint64)
+    case = make_case(rng, 1 << 14, 9000, 20000, space)
+    check(*run_both(*case, cap=1 << 14))
+
+
+def test_heavy_duplicates_and_saturation():
+    """One key repeated across 3 tiles exercises the run carry and the
+    1023 saturation; a table hit on that key exercises carried has_table."""
+    rng = np.random.default_rng(1)
+    hot = np.uint64(12345)
+    batch = np.full(20000, hot, np.uint64)
+    batch[17000:] = rng.integers(0, 1 << 62, 3000, dtype=np.uint64)
+    adds = np.ones(20000, np.int32)
+    valid = np.ones(20000, bool)
+    tpairs = (np.array([hot, 77], np.uint64), np.array([5, 3], np.int32))
+    got, want = run_both(tpairs, batch, adds, valid, cap=1 << 14)
+    check(got, want)
+
+
+def test_create_false_increment_only():
+    rng = np.random.default_rng(2)
+    space = rng.integers(0, 1 << 62, 30000, dtype=np.uint64)
+    case = make_case(rng, 1 << 14, 7000, 12000, space)
+    check(*run_both(*case, cap=1 << 14, create=False))
+
+
+def test_empty_table_and_overflow():
+    rng = np.random.default_rng(3)
+    space = rng.integers(0, 1 << 62, 40000, dtype=np.uint64)
+    tpairs = (np.zeros(0, np.uint64), np.zeros(0, np.int32))
+    batch = rng.choice(space, size=30000).astype(np.uint64)
+    adds = np.ones(30000, np.int32)
+    valid = np.ones(30000, bool)
+    # cap 2^14 = 16384 < distinct(batch) -> overflow flagged identically
+    got, want = run_both(tpairs, batch, adds, valid, cap=1 << 14)
+    gs, ws = np.asarray(got[4]), np.asarray(want[4])
+    assert bool(gs) == bool(ws)
+
+
+@pytest.mark.parametrize("n_hot", [8191, 8192, 8193, 16384])
+def test_run_at_tile_boundary(n_hot):
+    """Runs closing exactly at (or around) tile edges exercise the carry
+    open/inject paths deterministically."""
+    hot = np.uint64(999)
+    later = np.uint64(1 << 40)
+    batch = np.concatenate([np.full(n_hot, hot, np.uint64),
+                            np.full(300, later, np.uint64)])
+    adds = np.ones(len(batch), np.int32)
+    valid = np.ones(len(batch), bool)
+    tpairs = (np.zeros(0, np.uint64), np.zeros(0, np.int32))
+    check(*run_both(tpairs, batch, adds, valid, cap=1 << 14))
+
+
+def test_create_false_carried_batch_only_run_dropped():
+    hot = np.uint64(4242)   # spans tiles, absent from the table
+    batch = np.full(12000, hot, np.uint64)
+    adds = np.ones(12000, np.int32)
+    valid = np.ones(12000, bool)
+    tpairs = (np.array([77], np.uint64), np.array([9], np.int32))
+    check(*run_both(tpairs, batch, adds, valid, cap=1 << 14,
+                    create=False))

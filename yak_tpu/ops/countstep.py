@@ -75,6 +75,101 @@ def get_count_step(k, create, bloom_cfg=None, compact=True):
     return step_bf
 
 
+def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid):
+    """Prep the Pallas merge-reduce kernel's inputs (ops/pallas_merge):
+    plane-split PAD-marked table, sorted+flipped+front-INF-padded batch,
+    and the merge-path diagonal splits.  Runs inside the fused step jit
+    (u64 allowed); the kernel itself runs in a separate 32-bit dispatch.
+    """
+    from yak_tpu.ops.pallas_merge import T as _T, _WA
+
+    cap = tkeys.shape[0]
+    B = h.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    live = lane < size
+    inf32 = jnp.uint32(0xFFFFFFFF)
+    maxu64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    # total order: packed = hash<<1 | stream (table=0, batch=1) — ties
+    # impossible, so the kernel's value-order tile selection is exactly
+    # the positional merge-path slice even with heavy key duplication
+    A_packed = jnp.where(live, tkeys << jnp.uint64(1), maxu64)
+    thi = (A_packed >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = (A_packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    tw = jnp.where(live, tcnt | jnp.int32(1 << 27), 0)
+
+    pk = jnp.where(valid, (h << jnp.uint64(1)) | jnp.uint64(1), maxu64)
+    pk, adds = jax.lax.sort((pk, add.astype(jnp.int32)), num_keys=1,
+                            is_stable=False)
+    bhi = (pk >> jnp.uint64(32)).astype(jnp.uint32)
+    blo = (pk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+
+    def dpad(x, front, tail_fill, tail_n):
+        return jnp.concatenate(
+            [jnp.full(_T, front, x.dtype), jnp.flip(x),
+             jnp.full(tail_n, tail_fill, x.dtype)])
+
+    b_raw = _T + B
+    b_len = (-(-b_raw // 1024) * 1024) + _WA
+    tail = b_len - b_raw
+    bhi_d = dpad(bhi, inf32, inf32, tail)
+    blo_d = dpad(blo, inf32, inf32, tail)
+    bw_d = dpad(adds, 0, 0, tail)
+
+    atail = _WA
+    thi = jnp.concatenate([thi, jnp.full(atail, inf32, jnp.uint32)])
+    tlo = jnp.concatenate([tlo, jnp.full(atail, inf32, jnp.uint32)])
+    tw = jnp.concatenate([tw, jnp.zeros(atail, jnp.int32)])
+
+    # merge-path diagonal splits over the packed u64 keys
+    grid = (cap + B) // _T + 1
+    D = jnp.minimum(jnp.arange(grid, dtype=jnp.int64) * _T, cap + B)
+    lo_b = jnp.maximum(jnp.int64(0), D - B)
+    hi_b = jnp.minimum(D, jnp.int64(cap))
+    iters = max(cap, 1).bit_length() + 1
+    for _ in range(iters):
+        m = (lo_b + hi_b) // 2
+        Am = A_packed[jnp.clip(m, 0, cap - 1)]
+        Bj = D - m - 1
+        Bv = pk[jnp.clip(Bj, 0, max(B - 1, 0))]
+        Bv = jnp.where(Bj < 0, jnp.uint64(0), Bv)
+        Bv = jnp.where(Bj >= B, maxu64, Bv)
+        pred = Am < Bv
+        active = lo_b < hi_b
+        lo_b = jnp.where(active & pred, m + 1, lo_b)
+        hi_b = jnp.where(active & ~pred, m, hi_b)
+    a_starts = lo_b.astype(jnp.int32)
+    return a_starts, thi, tlo, tw, bhi_d, blo_d, bw_d
+
+
+@lru_cache(maxsize=None)
+def get_count_step_pmerge(k):
+    """Fused extract + batch sort + merge-reduce prep (k <= 31 only);
+    the Pallas merge-reduce kernel consumes the outputs (create is a
+    kernel-side flag)."""
+    assert k <= 31
+
+    @jax.jit
+    def step(codes, tkeys, tcnt, size):
+        h, valid = extract_kmer_hashes(codes, k)
+        h, valid = h.reshape(-1), valid.reshape(-1)
+        add = jnp.ones(h.shape, jnp.int32)
+        return _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def finalize_pmerge(ohi, olo, ov, size11, nnew11, cap):
+    """One dispatch: merge-reduce outputs -> table state + flags.
+    Emitted keys are the packed hash<<1|stream form — unshift."""
+    keys = ((ohi.reshape(-1)[:cap].astype(jnp.uint64) << jnp.uint64(32))
+            | olo.reshape(-1)[:cap].astype(jnp.uint64)) >> jnp.uint64(1)
+    new_size = size11[0, 0]
+    return (keys, ov.reshape(-1)[:cap],
+            jnp.minimum(new_size, cap), nnew11[0, 0].astype(jnp.int64),
+            new_size > cap)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def finalize_compacted(khi, klo, v, cap):
     """One dispatch: the Pallas compactor's 2-D padded planes -> table

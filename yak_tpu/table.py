@@ -17,9 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from yak_tpu import YAK_MAX_COUNT, YAK_LOAD_ALL
-from yak_tpu.ops import pallas_compact
+from yak_tpu.ops import pallas_compact, pallas_merge
 from yak_tpu.ops import sorttable as st
-from yak_tpu.ops.countstep import finalize_compacted
+from yak_tpu.ops.countstep import (finalize_compacted, finalize_pmerge,
+                                   get_count_step_pmerge)
 from yak_tpu.ops.bloom import make_bloom, bloom_insert
 from yak_tpu.ops.hash import hash64_inv
 from yak_tpu.io import yakfmt
@@ -143,39 +144,64 @@ class KmerTable:
         use_bf = self.bf is not None and self._pend_create
         if use_bf:
             bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
-        use_pallas = self._use_pallas()
-        step = get_count_step(self.k, self._pend_create, bloom_cfg,
-                              compact=not use_pallas)
+        mode = self._pallas_mode(use_bf)
+        if mode == "pmerge":
+            step = get_count_step_pmerge(self.k)
+        else:
+            step = get_count_step(self.k, self._pend_create, bloom_cfg,
+                                  compact=mode != "compact")
 
         self._check_last_step()  # one step late: previous fold settled
         prev = (self.keys, self.cnt, self.size, self.bf)
-        ovf = self._run_step(step, codes, prev, use_bf, use_pallas)
-        self._last_step = (prev, codes, ovf, step, use_bf, use_pallas)
+        ovf = self._run_step(step, codes, prev, use_bf, mode)
+        self._last_step = (prev, codes, ovf, step, use_bf, mode)
 
-    def _use_pallas(self):
-        """The Pallas streaming compactor replaces the second merge sort
-        on real TPUs (50-80x faster at table widths); tests on CPU and
-        the k>=32 full-width-hash path keep the XLA compaction."""
-        if not self._packable or not pallas_compact.enabled():
-            return False
+    def _pallas_mode(self, use_bf):
+        """Pick the merge engine for this fold.
+
+        "pmerge": Pallas merge-reduce (ops/pallas_merge) — batch-only
+          sort + one streaming kernel; the non-Bloom create/update hot
+          path on real TPUs.
+        "compact": XLA merge sort + Pallas streaming compactor — the
+          Bloom path (dedup/gate reshape the batch inside the step).
+        "xla": pure XLA (CPU tests, k >= 32 full-width hashes).
+        """
+        import os
+
+        forced = os.environ.get("YAK_TPU_ENGINE", "auto")
+        if forced == "xla" or not self._packable \
+                or not pallas_compact.enabled():
+            return "xla"
         import jax
 
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return "xla"
+        if forced in ("pmerge", "compact"):
+            return "compact" if (use_bf and forced == "pmerge") else forced
+        return "compact" if use_bf else "pmerge"
 
-    def _run_step(self, step, codes, state, use_bf, use_pallas):
-        """Queue one fused fold against `state`; leaves the (possibly
-        uncompacted-then-Pallas-compacted) result in self.*; returns the
-        device overflow flag."""
+    def _run_step(self, step, codes, state, use_bf, mode):
+        """Queue one fused fold against `state`; leaves the result in
+        self.*; returns the device overflow flag."""
         keys, cnt, size, bf = state
+        cap = keys.shape[0]
+        if mode == "pmerge":
+            prep = step(codes, keys, cnt, size)
+            B = codes.shape[0] * (codes.shape[1] - self.k + 1)
+            out = pallas_merge.merge_reduce(
+                *prep, Na=cap, Nb=B, create=self._pend_create)
+            (self.keys, self.cnt, self.size, _n, ovf) = finalize_pmerge(
+                *out, cap=cap)
+            return ovf
         args = (codes, keys, cnt, size) + ((bf,) if use_bf else ())
         out = step(*args)
         if use_bf:
             *out, self.bf = out
-        if use_pallas:
+        if mode == "compact":
             khi, klo, outV, self.size, _n, ovf = out
             khi, klo, outV = pallas_compact.compact_raw(khi, klo, outV)
             self.keys, self.cnt = finalize_compacted(
-                khi, klo, outV, keys.shape[0])
+                khi, klo, outV, cap)
         else:
             self.keys, self.cnt, self.size, _n, ovf = out
         return ovf
@@ -186,13 +212,13 @@ class KmerTable:
         state is intact)."""
         if self._last_step is None:
             return
-        prev, codes, ovf, step, use_bf, use_pallas = self._last_step
+        prev, codes, ovf, step, use_bf, mode = self._last_step
         self._last_step = None
         while bool(ovf):
             keys, cnt, size, bf = prev
             keys, cnt, size = st.grow(keys, cnt, size, 2 * keys.shape[0])
             prev = (keys, cnt, size, bf)
-            ovf = self._run_step(step, codes, prev, use_bf, use_pallas)
+            ovf = self._run_step(step, codes, prev, use_bf, mode)
 
     def insert_hashes(self, h, valid, create_new=True):
         """Count a raw (duplicate-bearing) hash batch into the table
