@@ -115,3 +115,35 @@ def test_create_false_carried_batch_only_run_dropped():
     tpairs = (np.array([77], np.uint64), np.array([9], np.int32))
     check(*run_both(tpairs, batch, adds, valid, cap=1 << 14,
                     create=False))
+
+
+def test_bloom_gated_pmerge_matches_xla_step():
+    """Bloom-gated batch (dedup'd keys with multiplicities as add
+    weights) through the merge-reduce kernel == the XLA bloom step."""
+    import jax.numpy as jnp
+    from yak_tpu.ops.bloom import make_bloom, bloom_insert
+    from yak_tpu.ops import sorttable as stm
+
+    rng = np.random.default_rng(7)
+    space = rng.integers(0, 1 << 62, 4000, dtype=np.uint64)
+    batch = rng.choice(space, size=12000).astype(np.uint64)
+    valid = rng.random(12000) < 0.95
+    cap = 1 << 14
+    tk, tc, sz = stm.make_table(cap)
+
+    pre, bf_shift, bf_n = 10, 20, 4
+    h = jnp.asarray(batch)
+    v = jnp.asarray(valid)
+    hs, starts, mult = stm.dedup(h, v, packable=True)
+    bf, n_before = bloom_insert(make_bloom(bf_shift), hs, starts, pre=pre,
+                                n_shift=bf_shift, n_hashes=bf_n)
+    add = jnp.where(n_before == bf_n, mult, mult - 1)
+    vv = starts & (add > 0)
+
+    prep = _pmerge_prep_impl(tk, tc, sz, hs, add, vv)
+    out = merge_reduce(*prep, Na=cap, Nb=12000, create=True,
+                       interpret=True)
+    got = finalize_pmerge(*out, cap=cap)
+    want = st.merge_batch(tk, tc, sz, hs, add, vv, mode=st.ADD,
+                          create=True, packable=True)
+    check(got, want)

@@ -1,6 +1,6 @@
 """End-to-end count parity on the REAL TPU (pallas path) vs the oracle."""
 import sys, subprocess
-sys.path.insert(0, 'tests')
+sys.path.insert(0, 'tests'); sys.path.insert(0, '.')
 import numpy as np
 import util
 from yak_tpu.models.count import count_file, CountOpts

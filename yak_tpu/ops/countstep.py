@@ -142,20 +142,38 @@ def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid):
 
 
 @lru_cache(maxsize=None)
-def get_count_step_pmerge(k):
-    """Fused extract + batch sort + merge-reduce prep (k <= 31 only);
-    the Pallas merge-reduce kernel consumes the outputs (create is a
-    kernel-side flag)."""
+def get_count_step_pmerge(k, bloom_cfg=None):
+    """Fused extract [+ Bloom gate] + batch sort + merge-reduce prep
+    (k <= 31 only); the Pallas merge-reduce kernel consumes the outputs
+    (create is a kernel-side flag)."""
     assert k <= 31
 
+    if bloom_cfg is None:
+
+        @jax.jit
+        def step(codes, tkeys, tcnt, size):
+            h, valid = extract_kmer_hashes(codes, k)
+            h, valid = h.reshape(-1), valid.reshape(-1)
+            add = jnp.ones(h.shape, jnp.int32)
+            return _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid)
+
+        return step
+
+    pre, bf_shift, bf_n_hash = bloom_cfg
+
     @jax.jit
-    def step(codes, tkeys, tcnt, size):
+    def step_bf(codes, tkeys, tcnt, size, bf):
         h, valid = extract_kmer_hashes(codes, k)
         h, valid = h.reshape(-1), valid.reshape(-1)
-        add = jnp.ones(h.shape, jnp.int32)
-        return _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid)
+        hs, starts, mult = st.dedup(h, valid, packable=True)
+        bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,
+                                     n_shift=bf_shift, n_hashes=bf_n_hash)
+        add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+        out = _pmerge_prep_impl(tkeys, tcnt, size, hs, add,
+                                starts & (add > 0))
+        return out + (bf2,)
 
-    return step
+    return step_bf
 
 
 @partial(jax.jit, static_argnames=("cap",))

@@ -146,7 +146,7 @@ class KmerTable:
             bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
         mode = self._pallas_mode(use_bf)
         if mode == "pmerge":
-            step = get_count_step_pmerge(self.k)
+            step = get_count_step_pmerge(self.k, bloom_cfg)
         else:
             step = get_count_step(self.k, self._pend_create, bloom_cfg,
                                   compact=mode != "compact")
@@ -177,8 +177,8 @@ class KmerTable:
         if jax.default_backend() != "tpu":
             return "xla"
         if forced in ("pmerge", "compact"):
-            return "compact" if (use_bf and forced == "pmerge") else forced
-        return "compact" if use_bf else "pmerge"
+            return forced
+        return "pmerge"
 
     def _run_step(self, step, codes, state, use_bf, mode):
         """Queue one fused fold against `state`; leaves the result in
@@ -186,7 +186,10 @@ class KmerTable:
         keys, cnt, size, bf = state
         cap = keys.shape[0]
         if mode == "pmerge":
-            prep = step(codes, keys, cnt, size)
+            if use_bf:
+                *prep, self.bf = step(codes, keys, cnt, size, bf)
+            else:
+                prep = step(codes, keys, cnt, size)
             B = codes.shape[0] * (codes.shape[1] - self.k + 1)
             out = pallas_merge.merge_reduce(
                 *prep, Na=cap, Nb=B, create=self._pend_create)
