@@ -75,7 +75,7 @@ def get_count_step(k, create, bloom_cfg=None, compact=True):
     return step_bf
 
 
-def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid):
+def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid, unit_adds=False):
     """Prep the Pallas merge-reduce kernel's inputs (ops/pallas_merge):
     plane-split PAD-marked table, sorted+flipped+front-INF-padded batch,
     and the merge-path diagonal splits.  Runs inside the fused step jit
@@ -98,8 +98,13 @@ def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid):
     tw = jnp.where(live, tcnt | jnp.int32(1 << 27), 0)
 
     pk = jnp.where(valid, (h << jnp.uint64(1)) | jnp.uint64(1), maxu64)
-    pk, adds = jax.lax.sort((pk, add.astype(jnp.int32)), num_keys=1,
-                            is_stable=False)
+    if unit_adds:
+        # constant add weights: sort keys alone (less payload bandwidth)
+        (pk,) = jax.lax.sort((pk,), num_keys=1, is_stable=False)
+        adds = jnp.ones(B, jnp.int32)
+    else:
+        pk, adds = jax.lax.sort((pk, add.astype(jnp.int32)), num_keys=1,
+                                is_stable=False)
     bhi = (pk >> jnp.uint64(32)).astype(jnp.uint32)
     blo = (pk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
 
@@ -155,7 +160,8 @@ def get_count_step_pmerge(k, bloom_cfg=None):
             h, valid = extract_kmer_hashes(codes, k)
             h, valid = h.reshape(-1), valid.reshape(-1)
             add = jnp.ones(h.shape, jnp.int32)
-            return _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid)
+            return _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid,
+                                     unit_adds=True)
 
         return step
 
