@@ -20,6 +20,32 @@ NumPy arrays for the per-sequence workloads (qv/trio/sexchr/chkerr).
 import numpy as np
 
 
+def pack_planes(codes):
+    """Host-side bit-plane packing of u8 base codes [L] or [B, L] into
+    LSB-first u32 planes (lo, hi, nn) of [B, W] with W =
+    ops.kmers.planes_words(L).
+
+    The hot ingest path: the h2d transfer then carries 3 bits/base
+    (2-bit code + N mask) instead of 8, and the device skips the plane
+    packing entirely (ops/kmers.extract_from_planes).  np.packbits with
+    bitorder='little' + a little-endian u32 view yields exactly the
+    "bit j of word w = base 32w+j" layout the funnel shift expects.
+    """
+    codes = np.atleast_2d(codes)
+    B, L = codes.shape
+    W = (L + 31) // 32 + 1
+    padL = W * 32
+    if padL != L:
+        codes = np.concatenate(
+            [codes, np.full((B, padL - L), 4, np.uint8)], axis=1)
+    out = []
+    for bits in (codes & 1, (codes >> 1) & 1, codes >= 4):
+        b = np.packbits(np.ascontiguousarray(bits), axis=1,
+                        bitorder="little")
+        out.append(b.view(np.uint32).reshape(B, W))
+    return tuple(out)
+
+
 class PackedChunk:
     """A fixed-size flat code buffer plus per-position provenance."""
 

@@ -23,17 +23,32 @@ import jax.numpy as jnp
 
 from yak_tpu.ops import sorttable as st
 from yak_tpu.ops.bloom import bloom_insert
-from yak_tpu.ops.kmers import extract_kmer_hashes
+from yak_tpu.ops.kmers import extract_from_planes, extract_kmer_hashes
+
+
+def _extractor(k, planes_L):
+    """Extraction closure for the fused steps.
+
+    planes_L=None: the step takes a u8 [G, L] code block.
+    planes_L=L: the step takes a host-packed plane triple
+    (plo, phi, pnn) u32 [G, W] (io/pack.pack_planes) — the h2d transfer
+    carries 3 bits/base instead of 8 and the device skips plane packing.
+    """
+    if planes_L is None:
+        return lambda codes: extract_kmer_hashes(codes, k)
+    return lambda pl3: extract_from_planes(*pl3, k, planes_L)
 
 
 @lru_cache(maxsize=None)
-def get_count_step(k, create, bloom_cfg=None, compact=True):
-    """Compiled fused step for static (k, create, bloom_cfg).
+def get_count_step(k, create, bloom_cfg=None, compact=True, planes_L=None):
+    """Compiled fused step for static (k, create, bloom_cfg, planes_L).
 
     bloom_cfg: None or (pre, bf_shift, bf_n_hash).
 
-    Returns step(codes[G, L] u8, tkeys, tcnt, size[, bf]) ->
-      (tkeys', tcnt', size', n_new, overflow[, bf']).
+    Returns step(codes, tkeys, tcnt, size[, bf]) ->
+      (tkeys', tcnt', size', n_new, overflow[, bf']), where codes is a
+    u8 [G, L] code block, or with planes_L=L a (plo, phi, pnn) plane
+    triple (see _extractor).
 
     compact=False (k <= 31 only): the merged stream comes back as
     (khi, klo, outV, size, n_new, overflow[, bf']) u32 planes with
@@ -41,12 +56,13 @@ def get_count_step(k, create, bloom_cfg=None, compact=True):
     (ops/pallas_compact.py) — see table.KmerTable._fold_codes.
     """
     packable = k <= 31
+    ext = _extractor(k, planes_L)
 
     if bloom_cfg is None:
 
         @jax.jit
         def step(codes, tkeys, tcnt, size):
-            h, valid = extract_kmer_hashes(codes, k)
+            h, valid = ext(codes)
             h, valid = h.reshape(-1), valid.reshape(-1)
             add = jnp.ones(h.shape, jnp.int32)
             return st.merge_batch_impl(tkeys, tcnt, size, h, add, valid,
@@ -60,7 +76,7 @@ def get_count_step(k, create, bloom_cfg=None, compact=True):
     @jax.jit
     def step_bf(codes, tkeys, tcnt, size, bf):
         # Bloom-gated create pass (yak_ch_insert_list, htab.c:61-70)
-        h, valid = extract_kmer_hashes(codes, k)
+        h, valid = ext(codes)
         h, valid = h.reshape(-1), valid.reshape(-1)
         hs, starts, mult = st.dedup(h, valid, packable=packable)
         bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,
@@ -147,17 +163,18 @@ def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid, unit_adds=False):
 
 
 @lru_cache(maxsize=None)
-def get_count_step_pmerge(k, bloom_cfg=None):
+def get_count_step_pmerge(k, bloom_cfg=None, planes_L=None):
     """Fused extract [+ Bloom gate] + batch sort + merge-reduce prep
     (k <= 31 only); the Pallas merge-reduce kernel consumes the outputs
     (create is a kernel-side flag)."""
     assert k <= 31
+    ext = _extractor(k, planes_L)
 
     if bloom_cfg is None:
 
         @jax.jit
         def step(codes, tkeys, tcnt, size):
-            h, valid = extract_kmer_hashes(codes, k)
+            h, valid = ext(codes)
             h, valid = h.reshape(-1), valid.reshape(-1)
             add = jnp.ones(h.shape, jnp.int32)
             return _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid,
@@ -169,7 +186,7 @@ def get_count_step_pmerge(k, bloom_cfg=None):
 
     @jax.jit
     def step_bf(codes, tkeys, tcnt, size, bf):
-        h, valid = extract_kmer_hashes(codes, k)
+        h, valid = ext(codes)
         h, valid = h.reshape(-1), valid.reshape(-1)
         hs, starts, mult = st.dedup(h, valid, packable=True)
         bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,

@@ -109,24 +109,37 @@ def _spread(x):
     return x
 
 
-def _extract_bitparallel(codes, k):
+def planes_words(L):
+    """u32 words per plane for an L-base stream: one word of padding past
+    the last base (the funnel reads w[q+1])."""
+    return (L + 31) // 32 + 1
+
+
+def codes_to_planes(codes):
+    """Split u8 base codes [B, L] into LSB-first packed u32 bit planes
+    (lo, hi, nn) of shape [B, planes_words(L)].  Device-side fallback;
+    the hot ingest path packs these on host (io/pack.pack_planes) so the
+    h2d transfer carries 3 bits/base instead of 8."""
     B, L = codes.shape
-    M = L - k + 1
-    # pad L to a multiple of 32 plus one extra word (funnel reads w[q+1];
-    # (W-1)*32 >= L >= M guarantees full window coverage)
-    W = (L + 31) // 32 + 1
+    W = planes_words(L)
     padL = W * 32
     if padL != L:
         codes = jnp.concatenate(
             [codes, jnp.full((B, padL - L), 4, jnp.uint8)], axis=1)
-
     lo = codes & jnp.uint8(1)
     hi = (codes >> jnp.uint8(1)) & jnp.uint8(1)
     nn = (codes >= 4).astype(jnp.uint8)
-    plo = _pack_plane(lo, B, W)
-    phi = _pack_plane(hi, B, W)
-    pnn = _pack_plane(nn, B, W)
+    return (_pack_plane(lo, B, W), _pack_plane(hi, B, W),
+            _pack_plane(nn, B, W))
 
+
+def extract_from_planes(plo, phi, pnn, k, L):
+    """Canonical k-mer hashes from pre-packed bit planes (k <= 31).
+
+    plo/phi/pnn: u32[B, planes_words(L)] LSB-first planes; positions
+    >= L must be marked nn=1.  Returns (hashes u64[B, L-k+1], valid).
+    """
+    M = L - k + 1
     wlo = _funnel(plo, k)[:, :M]     # natural order: bit j = base i+j
     whi = _funnel(phi, k)[:, :M]
     wnn = _funnel(pnn, k)[:, :M]
@@ -145,6 +158,12 @@ def _extract_bitparallel(codes, k):
     canon = jnp.minimum(fwd, rev)
     mask = jnp.uint64((1 << (2 * k)) - 1)
     return hash64(canon, mask, ns=jnp), valid
+
+
+def _extract_bitparallel(codes, k):
+    L = codes.shape[1]
+    plo, phi, pnn = codes_to_planes(codes)
+    return extract_from_planes(plo, phi, pnn, k, L)
 
 
 def _hash_long_planes(codes, k, M):

@@ -129,7 +129,16 @@ class KmerTable:
         if len(group) < g:
             pad = np.full(group[0].shape, 4, np.uint8)
             group = group + [pad] * (g - len(group))
-        codes = jnp.asarray(np.stack(group))
+        planes_L = None
+        if self._packable:
+            # host-side bit-plane packing: 3 bits/base over the wire
+            # instead of 8, and no device-side plane packing
+            from yak_tpu.io.pack import pack_planes
+            planes_L = group[0].shape[0]
+            pl3 = pack_planes(np.stack(group))
+            codes = (tuple(jnp.asarray(p) for p in pl3), planes_L)
+        else:
+            codes = jnp.asarray(np.stack(group))
         # capacity prior (only without an explicit cap hint): a group of
         # L lanes creates at most L keys and typically ~L/2 distinct;
         # grow proactively so the first folds don't walk the doubling
@@ -146,10 +155,12 @@ class KmerTable:
             bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
         mode = self._pallas_mode(use_bf)
         if mode == "pmerge":
-            step = get_count_step_pmerge(self.k, bloom_cfg)
+            step = get_count_step_pmerge(self.k, bloom_cfg,
+                                         planes_L=planes_L)
         else:
             step = get_count_step(self.k, self._pend_create, bloom_cfg,
-                                  compact=mode != "compact")
+                                  compact=mode != "compact",
+                                  planes_L=planes_L)
 
         self._check_last_step()  # one step late: previous fold settled
         prev = (self.keys, self.cnt, self.size, self.bf)
@@ -185,18 +196,23 @@ class KmerTable:
         self.*; returns the device overflow flag."""
         keys, cnt, size, bf = state
         cap = keys.shape[0]
+        if isinstance(codes, tuple):   # host-packed plane triple
+            carg, L = codes
+            G = carg[0].shape[0]
+        else:
+            carg, (G, L) = codes, codes.shape
         if mode == "pmerge":
             if use_bf:
-                *prep, self.bf = step(codes, keys, cnt, size, bf)
+                *prep, self.bf = step(carg, keys, cnt, size, bf)
             else:
-                prep = step(codes, keys, cnt, size)
-            B = codes.shape[0] * (codes.shape[1] - self.k + 1)
+                prep = step(carg, keys, cnt, size)
+            B = G * (L - self.k + 1)
             out = pallas_merge.merge_reduce(
                 *prep, Na=cap, Nb=B, create=self._pend_create)
             (self.keys, self.cnt, self.size, _n, ovf) = finalize_pmerge(
                 *out, cap=cap)
             return ovf
-        args = (codes, keys, cnt, size) + ((bf,) if use_bf else ())
+        args = (carg, keys, cnt, size) + ((bf,) if use_bf else ())
         out = step(*args)
         if use_bf:
             *out, self.bf = out
