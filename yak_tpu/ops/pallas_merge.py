@@ -62,29 +62,33 @@ def _flat_iota(shape):
             + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
 
 
-def _load_window(src_refs, scratch_refs, sems, base_lane, sem_off):
+def _load_window(src_refs, scratch_refs, sems, base_lane, slot, sem_off):
     """Start DMAs for an aligned (WA)-lane window beginning at the
-    1024-aligned `base_lane` of each 2-D HBM plane."""
+    1024-aligned `base_lane` of each 2-D HBM plane, into double-buffer
+    `slot` of each (2, WR, 128) scratch."""
     rows = pl.multiple_of(base_lane // 128, _AR)
     for j, (src, dst) in enumerate(zip(src_refs, scratch_refs)):
         pltpu.make_async_copy(
-            src.at[pl.ds(rows, _WR), :], dst, sems.at[sem_off + j]).start()
+            src.at[pl.ds(rows, _WR), :], dst.at[slot],
+            sems.at[sem_off + j]).start()
 
 
-def _wait_window(src_refs, scratch_refs, sems, base_lane, sem_off):
+def _wait_window(src_refs, scratch_refs, sems, base_lane, slot, sem_off):
     rows = pl.multiple_of(base_lane // 128, _AR)
     for j, (src, dst) in enumerate(zip(src_refs, scratch_refs)):
         pltpu.make_async_copy(
-            src.at[pl.ds(rows, _WR), :], dst, sems.at[sem_off + j]).wait()
+            src.at[pl.ds(rows, _WR), :], dst.at[slot],
+            sems.at[sem_off + j]).wait()
 
 
-def _take_window(scratch_refs, off, n_left):
-    """Rotate the (WR,128) scratch so the true window starts at flat 0,
-    take the first (R,128) rows, and INF-mask lanes beyond n_left."""
+def _take_window(scratch_refs, slot, off, n_left):
+    """Rotate double-buffer `slot` of the (2, WR, 128) scratch so the
+    true window starts at flat 0, take the first (R,128) rows, and
+    INF-mask lanes beyond n_left."""
     out = []
     fi = None
     for ref in scratch_refs:
-        x = _rot_right_dyn(ref[:], jnp.int32(_WA) - off)[0:_R]
+        x = _rot_right_dyn(ref[slot], jnp.int32(_WA) - off)[0:_R]
         if fi is None:
             fi = _flat_iota(x.shape)
         out.append(x)
@@ -138,15 +142,24 @@ def _butterfly_compact(keep, planes):
     return planes
 
 
-def _make_kernel(Na, Nb, create):
+def _make_kernel(Na, Nb, create, grid):
     """Kernel closure over static (Na = table cap lanes, Nb = batch
-    lanes, create flag)."""
+    lanes, create flag, grid length).  Input windows are double-buffered:
+    step t prefetches step t+1's A/B windows into the alternate slot
+    before waiting on its own, so DMA latency hides behind compute."""
 
     def kernel(asr, Ahi, Alo, Aw, Bhi, Blo, Bw,
                Ohi, Olo, Ov, Osz, Onw,
                st, ck, wah, wal, waw, wbh, wbl, wbw,
                ph_, pl2, pv, sh, sl, sv, sems):
         t = pl.program_id(0)
+        slot = jax.lax.rem(t, 2)
+
+        def bases(tt):
+            a_tt = asr[tt]
+            b_tt = tt * T - a_tt
+            # b index into the front-INF-padded DESCENDING batch
+            return a_tt, (a_tt // A) * A, Nb - b_tt
 
         @pl.when(t == 0)
         def _():
@@ -156,18 +169,30 @@ def _make_kernel(Na, Nb, create):
             st[3] = jnp.int32(0)   # carry sum
             ck[0] = jnp.uint32(0)
             ck[1] = jnp.uint32(0)
+            a_0, a0_base, b0_idx = bases(0)
+            _load_window((Ahi, Alo, Aw), (wah, wal, waw), sems,
+                         a0_base, 0, 0)
+            _load_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems,
+                         (b0_idx // A) * A, 0, 3)
 
-        a_t = asr[t]
-        b_t = t * T - a_t
-        a_base = (a_t // A) * A
-        b_idx = Nb - b_t            # into the front-INF-padded desc batch
+        @pl.when(t + 1 < grid)
+        def _():
+            a_n, an_base, bn_idx = bases(t + 1)
+            nslot = 1 - slot
+            _load_window((Ahi, Alo, Aw), (wah, wal, waw), sems,
+                         an_base, nslot, nslot * 6)
+            _load_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems,
+                         (bn_idx // A) * A, nslot, nslot * 6 + 3)
+
+        a_t, a_base, b_idx = bases(t)
         b_base = (b_idx // A) * A
-        _load_window((Ahi, Alo, Aw), (wah, wal, waw), sems, a_base, 0)
-        _load_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems, b_base, 3)
-        _wait_window((Ahi, Alo, Aw), (wah, wal, waw), sems, a_base, 0)
-        _wait_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems, b_base, 3)
-        ah, al, aw = _take_window((wah, wal, waw), a_t - a_base, Na - a_t)
-        bh, bl, bw = _take_window((wbh, wbl, wbw), b_idx - b_base,
+        _wait_window((Ahi, Alo, Aw), (wah, wal, waw), sems, a_base,
+                     slot, slot * 6)
+        _wait_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems, b_base,
+                     slot, slot * 6 + 3)
+        ah, al, aw = _take_window((wah, wal, waw), slot, a_t - a_base,
+                                  Na - a_t)
+        bh, bl, bw = _take_window((wbh, wbl, wbw), slot, b_idx - b_base,
                                   jnp.int32(T))
 
         # cross-stream min-exchange: bwin[i] = B_asc[b_t + T-1-i]
@@ -257,10 +282,10 @@ def _make_kernel(Na, Nb, create):
 
         for j, (src, dst) in enumerate(((sh, Ohi), (sl, Olo), (sv, Ov))):
             pltpu.make_async_copy(
-                src, dst.at[pl.ds(base_rows, _SR), :], sems.at[6 + j]).start()
+                src, dst.at[pl.ds(base_rows, _SR), :], sems.at[12 + j]).start()
         for j, (src, dst) in enumerate(((sh, Ohi), (sl, Olo), (sv, Ov))):
             pltpu.make_async_copy(
-                src, dst.at[pl.ds(base_rows, _SR), :], sems.at[6 + j]).wait()
+                src, dst.at[pl.ds(base_rows, _SR), :], sems.at[12 + j]).wait()
 
         st[0] = new_tot
         st[1] = st[1] + created + inj_new
@@ -282,7 +307,7 @@ def _merge_call(Na, Nb, a_rows, b_rows, create, interpret):
     padded input rows, create)."""
     grid = (Na + Nb) // T + 1
     out_rows = (grid * T + S) // 128
-    kernel = _make_kernel(Na, Nb, create)
+    kernel = _make_kernel(Na, Nb, create, grid)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -293,19 +318,19 @@ def _merge_call(Na, Nb, a_rows, b_rows, create, interpret):
         scratch_shapes=[
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SMEM((2,), jnp.uint32),
-            pltpu.VMEM((_WR, 128), jnp.uint32),
-            pltpu.VMEM((_WR, 128), jnp.uint32),
-            pltpu.VMEM((_WR, 128), jnp.int32),
-            pltpu.VMEM((_WR, 128), jnp.uint32),
-            pltpu.VMEM((_WR, 128), jnp.uint32),
-            pltpu.VMEM((_WR, 128), jnp.int32),
+            pltpu.VMEM((2, _WR, 128), jnp.uint32),
+            pltpu.VMEM((2, _WR, 128), jnp.uint32),
+            pltpu.VMEM((2, _WR, 128), jnp.int32),
+            pltpu.VMEM((2, _WR, 128), jnp.uint32),
+            pltpu.VMEM((2, _WR, 128), jnp.uint32),
+            pltpu.VMEM((2, _WR, 128), jnp.int32),
             pltpu.VMEM((_AR, 128), jnp.uint32),
             pltpu.VMEM((_AR, 128), jnp.uint32),
             pltpu.VMEM((_AR, 128), jnp.int32),
             pltpu.VMEM((_SR, 128), jnp.uint32),
             pltpu.VMEM((_SR, 128), jnp.uint32),
             pltpu.VMEM((_SR, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((9,)),
+            pltpu.SemaphoreType.DMA((15,)),
         ],
     )
 
