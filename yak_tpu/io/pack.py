@@ -46,6 +46,52 @@ def pack_planes(codes):
     return tuple(out)
 
 
+def pack_planes2(codes):
+    """Like pack_planes but lo/hi only (2 bits/base on the wire), for
+    chunks whose N layout is periodic (detect_periodic): validity is
+    then recomputed on device from (R, w) alone
+    (ops/kmers.extract_periodic)."""
+    codes = np.atleast_2d(codes)
+    B, L = codes.shape
+    W = (L + 31) // 32 + 1
+    padL = W * 32
+    if padL != L:
+        codes = np.concatenate(
+            [codes, np.full((B, padL - L), 4, np.uint8)], axis=1)
+    out = []
+    for bits in (codes & 1, (codes >> 1) & 1):
+        b = np.packbits(np.ascontiguousarray(bits), axis=1,
+                        bitorder="little")
+        out.append(b.view(np.uint32).reshape(B, W))
+    return tuple(out)
+
+
+def detect_periodic(codes):
+    """Detect the fixed-length-read layout of a flat code chunk:
+    `[R bases][N] * m  [<= R tail bases]  [all-N pad]`.
+
+    Returns (R, w) — read length and pad start (number of leading cells
+    that are not tail pad) — or None if the chunk's N set is not exactly
+    {j*(R+1)+R : j < m} ∪ [w, L).  With (R, w), window validity is pure
+    iota arithmetic on device and the N plane need not be transferred.
+    """
+    L = codes.shape[0]
+    isn = codes >= 4
+    pad = int(np.argmax(~isn[::-1]))  # length of the all-N tail
+    if isn[L - 1 - pad]:
+        return None          # all N; let the general path pad
+    w = L - pad              # last non-N + 1
+    ns = np.flatnonzero(isn[:w])
+    if ns.size == 0:
+        return (w, w)        # single unbroken run then pad
+    R = int(ns[0])
+    if not np.array_equal(ns, R + (R + 1) * np.arange(ns.size)):
+        return None
+    if w - int(ns[-1]) - 1 > R:   # tail run longer than a read
+        return None
+    return (R, w)
+
+
 class PackedChunk:
     """A fixed-size flat code buffer plus per-position provenance."""
 

@@ -23,19 +23,35 @@ import jax.numpy as jnp
 
 from yak_tpu.ops import sorttable as st
 from yak_tpu.ops.bloom import bloom_insert
-from yak_tpu.ops.kmers import extract_from_planes, extract_kmer_hashes
+from yak_tpu.ops.kmers import (extract_from_planes, extract_from_planes_rm,
+                               extract_kmer_hashes, extract_periodic,
+                               extract_periodic_rm)
 
 
-def _extractor(k, planes_L):
+def _extractor(k, planes_L, rmajor=False):
     """Extraction closure for the fused steps.
 
     planes_L=None: the step takes a u8 [G, L] code block.
-    planes_L=L: the step takes a host-packed plane triple
+    planes_L=L (int): the step takes a host-packed plane triple
     (plo, phi, pnn) u32 [G, W] (io/pack.pack_planes) — the h2d transfer
     carries 3 bits/base instead of 8 and the device skips plane packing.
+    planes_L=("periodic", L, R): the step takes (plo, phi, wvec) —
+    2 bits/base on the wire; validity recomputed from the periodic
+    read layout (io/pack.detect_periodic, ops/kmers.extract_periodic).
+
+    rmajor=True (count steps, plane inputs only): windows come back in
+    the TPU-tile-friendly [G, 32, W-1] layout (ops/kmers._funnel_rm) —
+    only valid when the caller sorts the lanes anyway.
     """
     if planes_L is None:
         return lambda codes: extract_kmer_hashes(codes, k)
+    if isinstance(planes_L, tuple):
+        _, L, R = planes_L
+        if rmajor:
+            return lambda a: extract_periodic_rm(a[0], a[1], a[2], k, L, R)
+        return lambda a: extract_periodic(a[0], a[1], a[2], k, L, R)
+    if rmajor:
+        return lambda pl3: extract_from_planes_rm(*pl3, k, planes_L)
     return lambda pl3: extract_from_planes(*pl3, k, planes_L)
 
 
@@ -56,7 +72,7 @@ def get_count_step(k, create, bloom_cfg=None, compact=True, planes_L=None):
     (ops/pallas_compact.py) — see table.KmerTable._fold_codes.
     """
     packable = k <= 31
-    ext = _extractor(k, planes_L)
+    ext = _extractor(k, planes_L, rmajor=True)
 
     if bloom_cfg is None:
 
@@ -168,7 +184,7 @@ def get_count_step_pmerge(k, bloom_cfg=None, planes_L=None):
     (k <= 31 only); the Pallas merge-reduce kernel consumes the outputs
     (create is a kernel-side flag)."""
     assert k <= 31
-    ext = _extractor(k, planes_L)
+    ext = _extractor(k, planes_L, rmajor=True)
 
     if bloom_cfg is None:
 

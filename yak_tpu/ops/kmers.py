@@ -89,6 +89,74 @@ def _funnel(words, k):
     return win & jnp.uint32((1 << k) - 1)
 
 
+def _funnel_rm(words, k):
+    """R-MAJOR funnel: all k-bit windows of a packed bit stream as
+    [B, 32, W-1] where out[:, r, q] = bits of the window starting at
+    base 32q+r.  The q-major [B, (W-1)*32] form of _funnel has a
+    32-wide minor dim that wastes 3/4 of every (8,128) TPU tile; this
+    layout keeps the minor dim at W-1 (full lane utilization).  Window
+    ORDER differs from base order — callers that sort the hashes anyway
+    (the count path) don't care; position-aware callers (scan) must use
+    _funnel."""
+    B, W = words.shape
+    lo = words[:, None, :-1]                   # [B, 1, W-1]
+    hi = words[:, None, 1:]
+    r = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    win = (lo >> r) | ((hi << (31 - r)) << 1)
+    return win & jnp.uint32((1 << k) - 1)
+
+
+def rmajor_lanes(L):
+    """Lane count of the r-major extraction for an L-base stream (a
+    handful more than L-k+1; the extras are masked invalid)."""
+    return 32 * (planes_words(L) - 1)
+
+
+def _rmajor_index(shape):
+    """Base position 32q+r per [B, 32, W-1] lane."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    q = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return 32 * q + r
+
+
+def _hashes_rmajor(plo, phi, k):
+    wlo = _funnel_rm(plo, k)
+    whi = _funnel_rm(phi, k)
+    m31 = jnp.uint32((1 << k) - 1)
+    fwd_lo = _bitrev(wlo, k)
+    fwd_hi = _bitrev(whi, k)
+    rev_lo = (~wlo) & m31
+    rev_hi = (~whi) & m31
+    fwd = (_spread(fwd_lo.astype(jnp.uint64))
+           | (_spread(fwd_hi.astype(jnp.uint64)) << jnp.uint64(1)))
+    rev = (_spread(rev_lo.astype(jnp.uint64))
+           | (_spread(rev_hi.astype(jnp.uint64)) << jnp.uint64(1)))
+    canon = jnp.minimum(fwd, rev)
+    mask = jnp.uint64((1 << (2 * k)) - 1)
+    return hash64(canon, mask, ns=jnp)
+
+
+def extract_periodic_rm(plo, phi, wvec, k, L, R):
+    """R-major extract_periodic for the count path: hashes and validity
+    as [B, 32, W-1] (window order != base order; the batch is sorted
+    downstream so only the (hash, valid) pairing matters)."""
+    h = _hashes_rmajor(plo, phi, k)
+    i = _rmajor_index(h.shape)
+    M = L - k + 1
+    valid = ((i % (R + 1) <= R - k) & (i < M)
+             & (i < (wvec.astype(jnp.int32) - (k - 1))[:, None, None]))
+    return h, valid
+
+
+def extract_from_planes_rm(plo, phi, pnn, k, L):
+    """R-major extract_from_planes for the count path."""
+    h = _hashes_rmajor(plo, phi, k)
+    wnn = _funnel_rm(pnn, k)
+    i = _rmajor_index(h.shape)
+    valid = (wnn == 0) & (i < L - k + 1)
+    return h, valid
+
+
 def _bitrev(x, k):
     """Reverse the low k (<=31) bits of u32 lanes (classic 5-step swap)."""
     x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
@@ -133,6 +201,22 @@ def codes_to_planes(codes):
             _pack_plane(nn, B, W))
 
 
+def extract_periodic(plo, phi, wvec, k, L, R):
+    """Canonical k-mer hashes for PERIODIC chunk layouts (k <= 31):
+    reads of a uniform length R separated by single N cells, with an
+    all-N tail pad from base wvec[g] on (the fixed-length-FASTQ layout,
+    io/pack.detect_periodic).  Validity is pure iota arithmetic — no N
+    plane travels over the wire or is consulted at all:
+    window i is valid iff it stays inside one period (i mod (R+1) <=
+    R-k) and ends before the pad (i + k <= w)."""
+    M = L - k + 1
+    h = _hashes_from_planes(plo, phi, k, M)
+    i = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    valid = ((i % (R + 1) <= R - k)
+             & (i < (wvec.astype(jnp.int32) - (k - 1))[:, None]))
+    return h, valid
+
+
 def extract_from_planes(plo, phi, pnn, k, L):
     """Canonical k-mer hashes from pre-packed bit planes (k <= 31).
 
@@ -140,10 +224,13 @@ def extract_from_planes(plo, phi, pnn, k, L):
     >= L must be marked nn=1.  Returns (hashes u64[B, L-k+1], valid).
     """
     M = L - k + 1
+    wnn = _funnel(pnn, k)[:, :M]
+    return _hashes_from_planes(plo, phi, k, M), wnn == 0
+
+
+def _hashes_from_planes(plo, phi, k, M):
     wlo = _funnel(plo, k)[:, :M]     # natural order: bit j = base i+j
     whi = _funnel(phi, k)[:, :M]
-    wnn = _funnel(pnn, k)[:, :M]
-    valid = wnn == 0
 
     m31 = jnp.uint32((1 << k) - 1)
     fwd_lo = _bitrev(wlo, k)         # fwd wants bit k-1-j
@@ -157,7 +244,7 @@ def extract_from_planes(plo, phi, pnn, k, L):
            | (_spread(rev_hi.astype(jnp.uint64)) << jnp.uint64(1)))
     canon = jnp.minimum(fwd, rev)
     mask = jnp.uint64((1 << (2 * k)) - 1)
-    return hash64(canon, mask, ns=jnp), valid
+    return hash64(canon, mask, ns=jnp)
 
 
 def _extract_bitparallel(codes, k):

@@ -126,17 +126,35 @@ class KmerTable:
         # group is not inflated to the full flush width
         g_full = self._group_g or len(group)
         g = min(g_full, 1 << max(len(group) - 1, 0).bit_length())
+        n_real = len(group)
         if len(group) < g:
             pad = np.full(group[0].shape, 4, np.uint8)
             group = group + [pad] * (g - len(group))
         planes_L = None
         if self._packable:
             # host-side bit-plane packing: 3 bits/base over the wire
-            # instead of 8, and no device-side plane packing
-            from yak_tpu.io.pack import pack_planes
-            planes_L = group[0].shape[0]
-            pl3 = pack_planes(np.stack(group))
-            codes = (tuple(jnp.asarray(p) for p in pl3), planes_L)
+            # instead of 8 (2 for periodic fixed-read-length chunks),
+            # and no device-side plane packing
+            from yak_tpu.io.pack import (detect_periodic, pack_planes,
+                                         pack_planes2)
+            L = group[0].shape[0]
+            pw = [detect_periodic(c) for c in group[:n_real]]
+            if pw and pw[0] is not None:
+                # all-pad fill chunks are trivially periodic with w=0
+                pw += [(pw[0][0], 0)] * (len(group) - n_real)
+            stacked = np.stack(group)
+            if all(p is not None for p in pw) \
+                    and len({p[0] for p in pw}) == 1:
+                R = pw[0][0]
+                wvec = np.array([p[1] for p in pw], np.int32)
+                plo, phi = pack_planes2(stacked)
+                codes = ((jnp.asarray(plo), jnp.asarray(phi),
+                          jnp.asarray(wvec)), L)
+                planes_L = ("periodic", L, R)
+            else:
+                pl3 = pack_planes(stacked)
+                codes = (tuple(jnp.asarray(p) for p in pl3), L)
+                planes_L = L
         else:
             codes = jnp.asarray(np.stack(group))
         # capacity prior (only without an explicit cap hint): a group of
@@ -206,7 +224,9 @@ class KmerTable:
                 *prep, self.bf = step(carg, keys, cnt, size, bf)
             else:
                 prep = step(carg, keys, cnt, size)
-            B = G * (L - self.k + 1)
+            from yak_tpu.ops.kmers import rmajor_lanes
+            B = G * (rmajor_lanes(L) if isinstance(codes, tuple)
+                     else L - self.k + 1)
             out = pallas_merge.merge_reduce(
                 *prep, Na=cap, Nb=B, create=self._pend_create)
             (self.keys, self.cnt, self.size, _n, ovf) = finalize_pmerge(
