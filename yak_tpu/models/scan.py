@@ -32,8 +32,8 @@ MISSING = -1
 
 def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
     """Drive the chunk stream through `provider` (a function mapping a
-    list of PackedChunks to per-chunk (vals, has_window) numpy arrays)
-    and reassemble per-sequence value streams in order."""
+    list of PackedChunks to per-chunk value arrays with NO_KMER already
+    folded in) and reassemble per-sequence value streams in order."""
     live = {}   # sid -> [name, length, vals]
 
     def emit_complete(upto):
@@ -42,7 +42,7 @@ def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
                 name, L, vals = live.pop(sid)
                 yield name, L, vals
 
-    def handle(packed, t_np, valid_np):
+    def handle(packed, t_np):
         M = t_np.shape[0]
         sid_np = packed.seq_id[:M]
         pos_np = packed.pos[:M]
@@ -51,7 +51,7 @@ def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
                 live[sid] = [name, packed.seq_lens[sid],
                              np.full(packed.seq_lens[sid], NO_KMER,
                                      np.int32)]
-        sel = valid_np & (sid_np >= 0)
+        sel = (t_np != NO_KMER) & (sid_np >= 0)
         sids = sid_np[sel]
         ends = pos_np[sel] + (k - 1)
         vals = t_np[sel]
@@ -68,33 +68,47 @@ def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
         batch.append(packed)
         if len(batch) < group_size:
             continue
-        for p, (t_np, v_np) in zip(batch, provider(batch)):
+        for p, t_np in zip(batch, provider(batch)):
             if p.seq_names:
                 yield from emit_complete(min(p.seq_names))
-            handle(p, t_np, v_np)
+            handle(p, t_np)
         batch = []
     if batch:
-        for p, (t_np, v_np) in zip(batch, provider(batch)):
+        for p, t_np in zip(batch, provider(batch)):
             if p.seq_names:
                 yield from emit_complete(min(p.seq_names))
-            handle(p, t_np, v_np)
+            handle(p, t_np)
     yield from emit_complete(1 << 62)
 
 
 def scan_file(fn, table, chunk_size, on_progress=None):
     """Yield (name, seq_len, vals int32[seq_len]) per sequence, in order
-    (single-table, one fused dispatch per chunk)."""
+    (single-table, one fused dispatch per chunk; k <= 31 ships 3
+    bits/base host-packed planes and receives one i16 value stream)."""
+    from yak_tpu.io.pack import pack_planes
     from yak_tpu.ops.countstep import get_scan_step
 
     table.flush()
-    step = get_scan_step(table.k)
+    packable = table.k <= 31
+
+    step = None
 
     def provider(batch):
+        nonlocal step
         out = []
         for packed in batch:
-            t, v = step(jnp.asarray(packed.codes)[None, :],
-                        table.keys, table.cnt, table.size)
-            out.append((np.asarray(t[0]), np.asarray(v[0])))
+            if packable:
+                if step is None:
+                    step = get_scan_step(table.k,
+                                         planes_L=packed.codes.shape[0])
+                arg = tuple(jnp.asarray(p) for p in
+                            pack_planes(packed.codes))
+            else:
+                if step is None:
+                    step = get_scan_step(table.k)
+                arg = jnp.asarray(packed.codes)[None, :]
+            t = step(arg, table.keys, table.cnt, table.size)
+            out.append(np.asarray(t[0]).astype(np.int32))
         return out
 
     yield from _scan_impl(fn, table.k, chunk_size, provider, 1, on_progress)
@@ -124,6 +138,7 @@ def scan_file_mesh(fn, mtable, chunk_size, on_progress=None):
         if int(np.asarray(ovf).max()):
             raise RuntimeError("all_to_all route capacity overflow")
         v_np, h_np = np.asarray(vals), np.asarray(hasw)
-        return [(v_np[i], h_np[i]) for i in range(len(batch))]
+        return [np.where(h_np[i], v_np[i], NO_KMER).astype(np.int32)
+                for i in range(len(batch))]
 
     yield from _scan_impl(fn, k, chunk, provider, n_dev, on_progress)

@@ -238,19 +238,27 @@ def finalize_compacted(khi, klo, v, cap):
 
 
 @lru_cache(maxsize=None)
-def get_scan_step(k):
+def get_scan_step(k, planes_L=None):
     """Fused lookup step for the scan-side workloads (qv/trio/sexchr/
-    chkerr): codes [G, L] -> per-window (value, has_window) in one XLA
-    program.  value = table count/flags, -1 where the k-mer is absent
-    (yak_ch_get); has_window False where the window has an N."""
+    chkerr): codes -> per-window int16 value stream in one XLA program.
+
+    value = table count/flags (fits i16: counts <= 1023, flags <= 15),
+    -1 where the k-mer is absent (yak_ch_get), -2 (scan.NO_KMER) where
+    the window has an N.  Folding the has-window mask into the value
+    stream halves the d2h transfer (one i16 plane instead of i32+bool);
+    planes_L (k <= 31) additionally takes host-packed (plo, phi, pnn)
+    planes instead of u8 codes — 3 bits/base h2d.
+    """
     packable = k <= 31
+    ext = _extractor(k, planes_L)
 
     @jax.jit
     def step(codes, tkeys, tcnt, size):
-        h, valid = extract_kmer_hashes(codes, k)
+        h, valid = ext(codes)
         G, M = h.shape
         vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                               valid.reshape(-1), packable=packable)
-        return vals.reshape(G, M), valid
+        vals = jnp.where(valid.reshape(-1), vals, -2)
+        return vals.reshape(G, M).astype(jnp.int16)
 
     return step
