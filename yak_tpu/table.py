@@ -101,11 +101,26 @@ class KmerTable:
         the table in groups via ONE fused XLA program (extract + optional
         Bloom gate + sort-merge, ops/countstep.py) — one transfer + one
         dispatch per group.  All chunks of a table must share a length.
+
+        Host-side bit-plane packing happens HERE, per chunk, so it
+        overlaps the device's work on the previous fold; the fold only
+        concatenates pre-packed planes (k <= 31).
         """
         if self._pend_create != create_new:
             self.flush()
             self._pend_create = create_new
-        self._pend_codes.append(codes)
+        if self._packable:
+            from yak_tpu.io.pack import (detect_periodic, pack_planes,
+                                         pack_planes2)
+            per = detect_periodic(codes)
+            if per is not None:
+                plo, phi = pack_planes2(codes)
+                self._pend_codes.append((codes, plo, phi, None, per))
+            else:
+                plo, phi, pnn = pack_planes(codes)
+                self._pend_codes.append((codes, plo, phi, pnn, None))
+        else:
+            self._pend_codes.append(codes)
         if self._group_g is None:
             lanes = max(codes.shape[0] - self.k + 1, 1)
             target = self.flush_lanes or max(1 << 23, self.cap)
@@ -126,43 +141,56 @@ class KmerTable:
         # group is not inflated to the full flush width
         g_full = self._group_g or len(group)
         g = min(g_full, 1 << max(len(group) - 1, 0).bit_length())
-        n_real = len(group)
-        if len(group) < g:
-            pad = np.full(group[0].shape, 4, np.uint8)
-            group = group + [pad] * (g - len(group))
         planes_L = None
         if self._packable:
-            # host-side bit-plane packing: 3 bits/base over the wire
-            # instead of 8 (2 for periodic fixed-read-length chunks),
-            # and no device-side plane packing
-            from yak_tpu.io.pack import (detect_periodic, pack_planes,
-                                         pack_planes2)
-            L = group[0].shape[0]
-            pw = [detect_periodic(c) for c in group[:n_real]]
-            if pw and pw[0] is not None:
-                # all-pad fill chunks are trivially periodic with w=0
-                pw += [(pw[0][0], 0)] * (len(group) - n_real)
-            stacked = np.stack(group)
-            if all(p is not None for p in pw) \
-                    and len({p[0] for p in pw}) == 1:
+            # chunks arrive pre-packed from insert_codes as
+            # (codes, plo, phi, pnn|None, (R, w)|None); the fold only
+            # concatenates planes (2 bits/base periodic, 3 otherwise)
+            from yak_tpu.io.pack import pack_planes
+            L = group[0][0].shape[0]
+            n_pad = g - len(group)
+            pw = [e[4] for e in group]
+            periodic = (all(p is not None for p in pw)
+                        and len({p[0] for p in pw}) == 1)
+            if periodic:
                 R = pw[0][0]
-                wvec = np.array([p[1] for p in pw], np.int32)
-                plo, phi = pack_planes2(stacked)
+                # all-pad fill chunks are trivially periodic with w=0
+                wvec = np.array([p[1] for p in pw] + [0] * n_pad,
+                                np.int32)
+                zw = np.zeros((n_pad, group[0][1].shape[1]), np.uint32)
+                plo = np.concatenate([e[1] for e in group] + [zw])
+                phi = np.concatenate([e[2] for e in group] + [zw])
                 codes = ((jnp.asarray(plo), jnp.asarray(phi),
                           jnp.asarray(wvec)), L)
                 planes_L = ("periodic", L, R)
             else:
-                pl3 = pack_planes(stacked)
-                codes = (tuple(jnp.asarray(p) for p in pl3), L)
+                pl3s = []
+                for e in group:
+                    if e[3] is None:   # periodic chunk in a mixed group
+                        pl3s.append(pack_planes(e[0]))
+                    else:
+                        pl3s.append((e[1], e[2], e[3]))
+                W = pl3s[0][0].shape[1]
+                padw = np.zeros((n_pad, W), np.uint32)
+                padn = np.full((n_pad, W), 0xFFFFFFFF, np.uint32)
+                codes = (tuple(
+                    jnp.asarray(np.concatenate(
+                        [p[j] for p in pl3s]
+                        + [padn if j == 2 else padw]))
+                    for j in range(3)), L)
                 planes_L = L
         else:
+            if len(group) < g:
+                pad = np.full(group[0].shape, 4, np.uint8)
+                group = group + [pad] * (g - len(group))
             codes = jnp.asarray(np.stack(group))
         # capacity prior (only without an explicit cap hint): a group of
         # L lanes creates at most L keys and typically ~L/2 distinct;
         # grow proactively so the first folds don't walk the doubling
         # ladder (each cap is a fresh XLA shape).  With a hint, trust it:
         # overflow replay doubles from there if the user undershot.
-        lanes = g * max(group[0].shape[0] - self.k + 1, 1)
+        chunk_len = (group[0][0] if self._packable else group[0]).shape[0]
+        lanes = g * max(chunk_len - self.k + 1, 1)
         if not self._cap_hinted and self.cap * 2 < lanes:
             need = 1 << max((lanes // 2 - 1).bit_length(), 14)
             self.keys, self.cnt, self.size = st.grow(
