@@ -107,6 +107,32 @@ def get_count_step(k, create, bloom_cfg=None, compact=True, planes_L=None):
     return step_bf
 
 
+def _pmerge_prep_planes_impl(ohi, olo, ov, size, cap, h, add, valid,
+                             unit_adds=False):
+    """_pmerge_prep_impl against a PLANE-RESIDENT table: the previous
+    fold's raw merge-reduce outputs (2-D u32/i32 planes holding packed
+    hash<<1|stream keys) feed the next fold directly — the u64
+    finalize's `>> 1` and this prep's `<< 1` cancel, so the u64 key
+    array is never materialized between folds (only on reads,
+    table.KmerTable._materialize)."""
+    rows = cap // 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    live = lane < size
+    inf32 = jnp.uint32(0xFFFFFFFF)
+    # clear the surviving stream bit: packed key of a table lane is
+    # hash<<1 | 0 (ties with batch lanes must prefer the table stream)
+    thi0 = ohi[:rows].reshape(-1)
+    tlo0 = olo[:rows].reshape(-1) & jnp.uint32(0xFFFFFFFE)
+    tw0 = ov[:rows].reshape(-1)
+    thi = jnp.where(live, thi0, inf32)
+    tlo = jnp.where(live, tlo0, inf32)
+    tw = jnp.where(live, tw0 | jnp.int32(1 << 27), 0)
+    A_packed = ((thi.astype(jnp.uint64) << jnp.uint64(32))
+                | tlo.astype(jnp.uint64))
+    return _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
+                             unit_adds)
+
+
 def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid, unit_adds=False):
     """Prep the Pallas merge-reduce kernel's inputs (ops/pallas_merge):
     plane-split PAD-marked table, sorted+flipped+front-INF-padded batch,
@@ -128,7 +154,17 @@ def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid, unit_adds=False):
     thi = (A_packed >> jnp.uint64(32)).astype(jnp.uint32)
     tlo = (A_packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     tw = jnp.where(live, tcnt | jnp.int32(1 << 27), 0)
+    return _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
+                             unit_adds)
 
+
+def _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
+                      unit_adds):
+    from yak_tpu.ops.pallas_merge import T as _T, _WA
+
+    B = h.shape[0]
+    inf32 = jnp.uint32(0xFFFFFFFF)
+    maxu64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
     pk = jnp.where(valid, (h << jnp.uint64(1)) | jnp.uint64(1), maxu64)
     if unit_adds:
         # constant add weights: sort keys alone (less payload bandwidth)
@@ -213,6 +249,60 @@ def get_count_step_pmerge(k, bloom_cfg=None, planes_L=None):
         return out + (bf2,)
 
     return step_bf
+
+
+# step function -> (k, bloom_cfg, planes_L): lets table.py recover the
+# u64-table twin of a plane-table step for the rare overflow replay
+_STEP_CFG = {}
+
+
+@lru_cache(maxsize=None)
+def get_count_step_pmerge_planes(k, cap, bloom_cfg=None, planes_L=None):
+    """get_count_step_pmerge against a plane-resident table: the step
+    takes the previous fold's raw merge-reduce outputs
+    (ohi, olo, ov, size11) instead of (tkeys u64, tcnt, size) — see
+    _pmerge_prep_planes_impl.  `cap` is the table capacity in lanes
+    (static; the output planes are longer than cap)."""
+    assert k <= 31
+    ext = _extractor(k, planes_L, rmajor=True)
+
+    if bloom_cfg is None:
+
+        @jax.jit
+        def step(codes, ohi, olo, ov, size11):
+            h, valid = ext(codes)
+            h, valid = h.reshape(-1), valid.reshape(-1)
+            add = jnp.ones(h.shape, jnp.int32)
+            size = jnp.minimum(size11[0, 0], cap)
+            return _pmerge_prep_planes_impl(ohi, olo, ov, size, cap,
+                                            h, add, valid, unit_adds=True)
+
+        _STEP_CFG[step] = (k, bloom_cfg, planes_L)
+        return step
+
+    pre, bf_shift, bf_n_hash = bloom_cfg
+
+    @jax.jit
+    def step_bf(codes, ohi, olo, ov, size11, bf):
+        h, valid = ext(codes)
+        h, valid = h.reshape(-1), valid.reshape(-1)
+        hs, starts, mult = st.dedup(h, valid, packable=True)
+        bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,
+                                     n_shift=bf_shift, n_hashes=bf_n_hash)
+        add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+        size = jnp.minimum(size11[0, 0], cap)
+        out = _pmerge_prep_planes_impl(ohi, olo, ov, size, cap, hs, add,
+                                       starts & (add > 0))
+        return out + (bf2,)
+
+    _STEP_CFG[step_bf] = (k, bloom_cfg, planes_L)
+    return step_bf
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def pmerge_overflow(size11, cap):
+    """Tiny fused check: did the last merge exceed the table capacity."""
+    return size11[0, 0] > cap
 
 
 @partial(jax.jit, static_argnames=("cap",))

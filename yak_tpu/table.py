@@ -20,7 +20,9 @@ from yak_tpu import YAK_MAX_COUNT, YAK_LOAD_ALL
 from yak_tpu.ops import pallas_compact, pallas_merge
 from yak_tpu.ops import sorttable as st
 from yak_tpu.ops.countstep import (finalize_compacted, finalize_pmerge,
-                                   get_count_step_pmerge)
+                                   get_count_step_pmerge,
+                                   get_count_step_pmerge_planes,
+                                   pmerge_overflow)
 from yak_tpu.ops.bloom import make_bloom, bloom_insert
 from yak_tpu.ops.hash import hash64_inv
 from yak_tpu.io import yakfmt
@@ -61,6 +63,10 @@ class KmerTable:
         # one-step-late overflow bookkeeping for the fused code path:
         # (pre-step keys, cnt, size, bf, codes_group, overflow_flag)
         self._last_step = None
+        # plane-resident table between pmerge folds: the raw merge-reduce
+        # outputs (ohi, olo, ov, size11, nnew11); self.keys/cnt/size are
+        # STALE while set and rebuilt lazily (_materialize) on reads
+        self._plane_state = None
         self._group_g = None   # fixed chunks-per-group (stable step shape)
         self.bf = None
         self.bf_shift = bf_shift
@@ -184,6 +190,7 @@ class KmerTable:
                 pad = np.full(group[0].shape, 4, np.uint8)
                 group = group + [pad] * (g - len(group))
             codes = jnp.asarray(np.stack(group))
+        self._check_last_step()  # one step late: previous fold settled
         # capacity prior (only without an explicit cap hint): a group of
         # L lanes creates at most L keys and typically ~L/2 distinct;
         # grow proactively so the first folds don't walk the doubling
@@ -193,6 +200,7 @@ class KmerTable:
         lanes = g * max(chunk_len - self.k + 1, 1)
         if not self._cap_hinted and self.cap * 2 < lanes:
             need = 1 << max((lanes // 2 - 1).bit_length(), 14)
+            self._materialize()
             self.keys, self.cnt, self.size = st.grow(
                 self.keys, self.cnt, self.size, need)
         bloom_cfg = None
@@ -201,15 +209,21 @@ class KmerTable:
             bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
         mode = self._pallas_mode(use_bf)
         if mode == "pmerge":
-            step = get_count_step_pmerge(self.k, bloom_cfg,
-                                         planes_L=planes_L)
+            if self._plane_state is not None:
+                step = get_count_step_pmerge_planes(
+                    self.k, self.cap, bloom_cfg, planes_L=planes_L)
+            else:
+                step = get_count_step_pmerge(self.k, bloom_cfg,
+                                             planes_L=planes_L)
         else:
+            self._materialize()
             step = get_count_step(self.k, self._pend_create, bloom_cfg,
                                   compact=mode != "compact",
                                   planes_L=planes_L)
 
-        self._check_last_step()  # one step late: previous fold settled
-        prev = (self.keys, self.cnt, self.size, self.bf)
+        prev = ((self.keys, self.cnt, self.size, self.bf)
+                if self._plane_state is None
+                else ("planes", self._plane_state, self.bf))
         ovf = self._run_step(step, codes, prev, use_bf, mode)
         self._last_step = (prev, codes, ovf, step, use_bf, mode)
 
@@ -238,10 +252,17 @@ class KmerTable:
         return "pmerge"
 
     def _run_step(self, step, codes, state, use_bf, mode):
-        """Queue one fused fold against `state`; leaves the result in
-        self.*; returns the device overflow flag."""
-        keys, cnt, size, bf = state
-        cap = keys.shape[0]
+        """Queue one fused fold against `state` (a (keys, cnt, size, bf)
+        u64 snapshot or a ("planes", plane_state, bf) one); leaves the
+        result in self.*; returns the device overflow flag."""
+        if isinstance(state[0], str):   # ("planes", plane_state, bf)
+            _, (ohi, olo, ov, size11, _nn), bf = state
+            cap = self.cap
+            targs = (ohi, olo, ov, size11)
+        else:
+            keys, cnt, size, bf = state
+            cap = keys.shape[0]
+            targs = (keys, cnt, size)
         if isinstance(codes, tuple):   # host-packed plane triple
             carg, L = codes
             G = carg[0].shape[0]
@@ -249,18 +270,17 @@ class KmerTable:
             carg, (G, L) = codes, codes.shape
         if mode == "pmerge":
             if use_bf:
-                *prep, self.bf = step(carg, keys, cnt, size, bf)
+                *prep, self.bf = step(carg, *targs, bf)
             else:
-                prep = step(carg, keys, cnt, size)
+                prep = step(carg, *targs)
             from yak_tpu.ops.kmers import rmajor_lanes
             B = G * (rmajor_lanes(L) if isinstance(codes, tuple)
                      else L - self.k + 1)
             out = pallas_merge.merge_reduce(
                 *prep, Na=cap, Nb=B, create=self._pend_create)
-            (self.keys, self.cnt, self.size, _n, ovf) = finalize_pmerge(
-                *out, cap=cap)
-            return ovf
-        args = (carg, keys, cnt, size) + ((bf,) if use_bf else ())
+            self._plane_state = out
+            return pmerge_overflow(out[3], cap)
+        args = (carg,) + targs + ((bf,) if use_bf else ())
         out = step(*args)
         if use_bf:
             *out, self.bf = out
@@ -282,10 +302,27 @@ class KmerTable:
         prev, codes, ovf, step, use_bf, mode = self._last_step
         self._last_step = None
         while bool(ovf):
-            keys, cnt, size, bf = prev
+            if isinstance(prev[0], str):
+                # plane-form snapshot: rebuild u64 state, then grow and
+                # replay through the u64-table step (overflow is rare —
+                # the one-time materialize is off the hot path)
+                _, ps, bf = prev
+                keys, cnt, size, _n, _o = finalize_pmerge(
+                    *ps, cap=self.cap)
+                step = self._u64_twin_step(step, use_bf, mode)
+            else:
+                keys, cnt, size, bf = prev
             keys, cnt, size = st.grow(keys, cnt, size, 2 * keys.shape[0])
             prev = (keys, cnt, size, bf)
+            self._plane_state = None
             ovf = self._run_step(step, codes, prev, use_bf, mode)
+
+    def _u64_twin_step(self, step, use_bf, mode):
+        """The u64-table variant of a cached plane-table pmerge step."""
+        from yak_tpu.ops.countstep import _STEP_CFG
+
+        k, bloom_cfg, planes_L = _STEP_CFG[step]
+        return get_count_step_pmerge(k, bloom_cfg, planes_L=planes_L)
 
     def insert_hashes(self, h, valid, create_new=True):
         """Count a raw (duplicate-bearing) hash batch into the table
@@ -313,10 +350,20 @@ class KmerTable:
         if self._pend_lanes >= (self.flush_lanes or max(1 << 23, self.cap)):
             self.flush()
 
+    def _materialize(self):
+        """Rebuild the u64 (keys, cnt, size) table from the plane-resident
+        merge-reduce output (one fused dispatch; a no-op otherwise)."""
+        if self._plane_state is None:
+            return
+        ps, self._plane_state = self._plane_state, None
+        self.keys, self.cnt, self.size, _n, _o = finalize_pmerge(
+            *ps, cap=self.cap)
+
     def flush(self):
         """Fold all pending inserts into the table and settle overflow."""
         self._fold_codes()
         self._check_last_step()
+        self._materialize()
         if not self._pend:
             return
         h = jnp.concatenate([p[0] for p in self._pend])
@@ -366,6 +413,7 @@ class KmerTable:
         """Replace contents with unique host (hash, count) pairs."""
         self._pend, self._pend_codes = [], []
         self._pend_lanes, self._last_step = 0, None
+        self._plane_state = None
         order = np.argsort(h_np, kind="stable")
         h_np, c_np = h_np[order], c_np[order]
         n = len(h_np)
