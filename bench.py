@@ -80,14 +80,23 @@ def main():
 
 
     # best of 2 timed passes: the remote-device tunnel shows occasional
-    # multi-second contention stalls from other tenants; the faster pass
-    # is the honest single-chip throughput
+    # multi-second contention stalls (and rare transient INTERNAL
+    # faults) from other tenants; the faster clean pass is the honest
+    # single-chip throughput
     dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        table = run_count(chunks, KmerTable)
-        tot = table.tot  # syncs: flush + size fetch
+    passes, attempts = 0, 0
+    while passes < 2 and attempts < 5:
+        attempts += 1
+        try:
+            t0 = time.time()
+            table = run_count(chunks, KmerTable)
+            tot = table.tot  # syncs: flush + size fetch
+        except Exception as e:  # transient tunnel fault: retry
+            print(f"[bench] pass failed ({type(e).__name__}), retrying",
+                  file=sys.stderr)
+            continue
         dt = min(dt, time.time() - t0)
+        passes += 1
         assert tot == 6226713, f"wrong distinct count: {tot}"
     print(f"[bench] {n_kmers/1e6:.1f}M k-mer instances, {tot} distinct, "
           f"{dt:.3f}s", file=sys.stderr)

@@ -109,91 +109,77 @@ def get_count_step(k, create, bloom_cfg=None, compact=True, planes_L=None):
 
 def _pmerge_prep_planes_impl(ohi, olo, ov, size, cap, h, add, valid,
                              unit_adds=False):
-    """_pmerge_prep_impl against a PLANE-RESIDENT table: the previous
+    """_pmerge_prep_core against a PLANE-RESIDENT table: the previous
     fold's raw merge-reduce outputs (2-D u32/i32 planes holding packed
-    hash<<1|stream keys) feed the next fold directly — the u64
-    finalize's `>> 1` and this prep's `<< 1` cancel, so the u64 key
-    array is never materialized between folds (only on reads,
-    table.KmerTable._materialize)."""
-    rows = cap // 128
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    live = lane < size
-    inf32 = jnp.uint32(0xFFFFFFFF)
-    # clear the surviving stream bit: packed key of a table lane is
-    # hash<<1 | 0 (ties with batch lanes must prefer the table stream)
-    thi0 = ohi[:rows].reshape(-1)
-    tlo0 = olo[:rows].reshape(-1) & jnp.uint32(0xFFFFFFFE)
-    tw0 = ov[:rows].reshape(-1)
-    thi = jnp.where(live, thi0, inf32)
-    tlo = jnp.where(live, tlo0, inf32)
-    tw = jnp.where(live, tw0 | jnp.int32(1 << 27), 0)
-    A_packed = ((thi.astype(jnp.uint64) << jnp.uint64(32))
-                | tlo.astype(jnp.uint64))
-    return _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
-                             unit_adds)
+    hash<<1|stream keys) feed the next fold UNTOUCHED — the kernel
+    clears the stream bit, masks lanes >= size, and tags table presence
+    itself, so no table-side prep pass runs at all.  The u64 key array
+    is only materialized on reads (table.KmerTable._materialize)."""
+    return _pmerge_prep_core(ohi, olo, ov, size, cap, h, add, valid,
+                             unit_adds, lo_has_stream_bit=True)
 
 
 def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid, unit_adds=False):
-    """Prep the Pallas merge-reduce kernel's inputs (ops/pallas_merge):
-    plane-split PAD-marked table, sorted+flipped+front-INF-padded batch,
-    and the merge-path diagonal splits.  Runs inside the fused step jit
-    (u64 allowed); the kernel itself runs in a separate 32-bit dispatch.
+    """Prep the Pallas merge-reduce kernel's inputs from a u64 table:
+    one fused elementwise split of tkeys<<1 into hi/lo u32 planes (the
+    packed total order: hash<<1 | stream, table stream = 0); counts pass
+    through raw.  Runs inside the fused step jit (u64 allowed); the
+    kernel runs in a separate 32-bit dispatch."""
+    cap = tkeys.shape[0]
+    shifted = tkeys << jnp.uint64(1)
+    thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return _pmerge_prep_core(thi, tlo, tcnt, size, cap, h, add, valid,
+                             unit_adds, lo_has_stream_bit=False)
+
+
+def _pmerge_prep_core(thi, tlo, tw, size, cap, h, add, valid, unit_adds,
+                      lo_has_stream_bit):
+    """Shared prep: complement-sort the batch (descending keys with no
+    flip pass), split to u32 planes, and run the merge-path diagonal
+    search over (table planes, sorted batch).  Table planes pass through
+    raw — all masking happens in-kernel (ops/pallas_merge V2 contract).
     """
     from yak_tpu.ops.pallas_merge import T as _T, _WA
 
-    cap = tkeys.shape[0]
     B = h.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    live = lane < size
-    inf32 = jnp.uint32(0xFFFFFFFF)
     maxu64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-    # total order: packed = hash<<1 | stream (table=0, batch=1) — ties
+    # packed total order: hash<<1 | stream (table=0, batch=1) — ties
     # impossible, so the kernel's value-order tile selection is exactly
-    # the positional merge-path slice even with heavy key duplication
-    A_packed = jnp.where(live, tkeys << jnp.uint64(1), maxu64)
-    thi = (A_packed >> jnp.uint64(32)).astype(jnp.uint32)
-    tlo = (A_packed & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    tw = jnp.where(live, tcnt | jnp.int32(1 << 27), 0)
-    return _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
-                             unit_adds)
-
-
-def _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
-                      unit_adds):
-    from yak_tpu.ops.pallas_merge import T as _T, _WA
-
-    B = h.shape[0]
-    inf32 = jnp.uint32(0xFFFFFFFF)
-    maxu64 = jnp.uint64(0xFFFFFFFFFFFFFFFF)
-    pk = jnp.where(valid, (h << jnp.uint64(1)) | jnp.uint64(1), maxu64)
+    # the positional merge-path slice even with heavy key duplication.
+    # Complement trick: sorting ~pk ascending IS pk descending — the
+    # split pass below re-complements, so no flip pass ever runs.
+    xs = jnp.where(valid, ~((h << jnp.uint64(1)) | jnp.uint64(1)),
+                   jnp.uint64(0))
+    Bpad = max(-(-max(B, _WA) // 1024) * 1024, _WA)
+    if Bpad != B:
+        xs = jnp.concatenate([xs, jnp.zeros(Bpad - B, jnp.uint64)])
     if unit_adds:
-        # constant add weights: sort keys alone (less payload bandwidth)
-        (pk,) = jax.lax.sort((pk,), num_keys=1, is_stable=False)
-        adds = jnp.ones(B, jnp.int32)
+        (xs,) = jax.lax.sort((xs,), num_keys=1, is_stable=False)
+        bw = None
     else:
-        pk, adds = jax.lax.sort((pk, add.astype(jnp.int32)), num_keys=1,
-                                is_stable=False)
-    bhi = (pk >> jnp.uint64(32)).astype(jnp.uint32)
-    blo = (pk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        a_in = add.astype(jnp.int32)
+        if Bpad != B:
+            a_in = jnp.concatenate([a_in, jnp.zeros(Bpad - B, jnp.int32)])
+        xs, bw = jax.lax.sort((xs, a_in), num_keys=1, is_stable=False)
+    E = ~xs                       # descending packed keys, INF front pad
+    bhi = (E >> jnp.uint64(32)).astype(jnp.uint32)
+    blo = (E & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
 
-    def dpad(x, front, tail_fill, tail_n):
-        return jnp.concatenate(
-            [jnp.full(_T, front, x.dtype), jnp.flip(x),
-             jnp.full(tail_n, tail_fill, x.dtype)])
+    # merge-path diagonal splits over the packed u64 keys; table values
+    # gathered from the raw planes (masked beyond `size`, stream bit
+    # cleared), batch values from the descending sorted stream
+    lo_clear = jnp.uint64(0xFFFFFFFFFFFFFFFE) if lo_has_stream_bit \
+        else maxu64
+    thi_f = thi.reshape(-1)
+    tlo_f = tlo.reshape(-1)
 
-    b_raw = _T + B
-    b_len = (-(-b_raw // 1024) * 1024) + _WA
-    tail = b_len - b_raw
-    bhi_d = dpad(bhi, inf32, inf32, tail)
-    blo_d = dpad(blo, inf32, inf32, tail)
-    bw_d = dpad(adds, 0, 0, tail)
+    def getA(m):
+        mc = jnp.clip(m, 0, cap - 1)
+        v = ((thi_f[mc].astype(jnp.uint64) << jnp.uint64(32))
+             | tlo_f[mc].astype(jnp.uint64)) & lo_clear
+        return jnp.where(m >= size, maxu64, v)
 
-    atail = _WA
-    thi = jnp.concatenate([thi, jnp.full(atail, inf32, jnp.uint32)])
-    tlo = jnp.concatenate([tlo, jnp.full(atail, inf32, jnp.uint32)])
-    tw = jnp.concatenate([tw, jnp.zeros(atail, jnp.int32)])
-
-    # merge-path diagonal splits over the packed u64 keys
     grid = (cap + B) // _T + 1
     D = jnp.minimum(jnp.arange(grid, dtype=jnp.int64) * _T, cap + B)
     lo_b = jnp.maximum(jnp.int64(0), D - B)
@@ -201,9 +187,10 @@ def _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
     iters = max(cap, 1).bit_length() + 1
     for _ in range(iters):
         m = (lo_b + hi_b) // 2
-        Am = A_packed[jnp.clip(m, 0, cap - 1)]
+        Am = getA(m)
         Bj = D - m - 1
-        Bv = pk[jnp.clip(Bj, 0, max(B - 1, 0))]
+        # ascending batch index j lives at descending slot Bpad-1-j
+        Bv = E[jnp.clip(jnp.int64(Bpad) - 1 - Bj, 0, Bpad - 1)]
         Bv = jnp.where(Bj < 0, jnp.uint64(0), Bv)
         Bv = jnp.where(Bj >= B, maxu64, Bv)
         pred = Am < Bv
@@ -211,7 +198,8 @@ def _pmerge_prep_core(A_packed, thi, tlo, tw, cap, h, add, valid,
         lo_b = jnp.where(active & pred, m + 1, lo_b)
         hi_b = jnp.where(active & ~pred, m, hi_b)
     a_starts = lo_b.astype(jnp.int32)
-    return a_starts, thi, tlo, tw, bhi_d, blo_d, bw_d
+    size_s = jnp.minimum(size, cap).reshape(1).astype(jnp.int32)
+    return a_starts, size_s, thi, tlo, tw, bhi, blo, bw
 
 
 @lru_cache(maxsize=None)

@@ -81,21 +81,31 @@ def _wait_window(src_refs, scratch_refs, sems, base_lane, slot, sem_off):
             sems.at[sem_off + j]).wait()
 
 
-def _take_window(scratch_refs, slot, off, n_left):
+def _take_window(scratch_refs, slot, off, n_left, head_n=None):
     """Rotate double-buffer `slot` of the (2, WR, 128) scratch so the
     true window starts at flat 0, take the first (R,128) rows, and
-    INF-mask lanes beyond n_left."""
+    INF-mask lanes beyond n_left (and, if head_n is given, lanes below
+    head_n — the window start preceded the buffer and wrapped).  The
+    rotation is modular, so `off` may exceed A (clamped DMA bases) or
+    be negative (head-masked windows).
+
+    Key planes (the first two refs) mask to INF; any further planes
+    (weights) mask to 0."""
     out = []
     fi = None
+    amt = jax.lax.rem(jnp.int32(_WA) - off, jnp.int32(_WA))
+    amt = jnp.where(amt < 0, amt + _WA, amt)
     for ref in scratch_refs:
-        x = _rot_right_dyn(ref[slot], jnp.int32(_WA) - off)[0:_R]
+        x = _rot_right_dyn(ref[slot], amt)[0:_R]
         if fi is None:
             fi = _flat_iota(x.shape)
         out.append(x)
     oob = fi >= n_left
-    out[0] = jnp.where(oob, _INF, out[0])
-    out[1] = jnp.where(oob, _INF, out[1])
-    out[2] = jnp.where(oob, 0, out[2])
+    if head_n is not None:
+        oob = oob | (fi < head_n)
+    for j in range(len(out)):
+        fill = _INF if j < 2 else out[j].dtype.type(0)
+        out[j] = jnp.where(oob, fill, out[j])
     return out
 
 
@@ -142,24 +152,50 @@ def _butterfly_compact(keep, planes):
     return planes
 
 
-def _make_kernel(Na, Nb, create, grid):
-    """Kernel closure over static (Na = table cap lanes, Nb = batch
-    lanes, create flag, grid length).  Input windows are double-buffered:
-    step t prefetches step t+1's A/B windows into the alternate slot
-    before waiting on its own, so DMA latency hides behind compute."""
+def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid):
+    """Kernel closure over static (Na = table cap lanes, Nb = REAL batch
+    lanes, physical plane lengths na_len/nb_len, create flag, unit =
+    batch weights are implicitly 1 (no Bw plane), grid length).
 
-    def kernel(asr, Ahi, Alo, Aw, Bhi, Blo, Bw,
-               Ohi, Olo, Ov, Osz, Onw,
-               st, ck, wah, wal, waw, wbh, wbl, wbw,
-               ph_, pl2, pv, sh, sl, sv, sems):
+    V2 contract (no prep-side padding or flipping):
+      - A planes are RAW: packed (hash<<1 | stream) hi/lo + value; the
+        live length arrives as a prefetched scalar (`szr`); the kernel
+        clears the stream bit and masks lanes >= size to INF itself.
+      - B planes hold E = the batch's packed keys sorted DESCENDING
+        (the prep sorts the complement ascending and re-complements in
+        the same fused pass); window starts below 0 (batch nearly
+        exhausted) are handled by modular rotation + head masking, and
+        DMA bases clamp so reads stay inside the buffer.
+    Input windows are double-buffered: step t prefetches step t+1's
+    windows into the alternate slot before waiting on its own."""
+
+    def kernel(asr, szr, *refs):
+        if unit:
+            (Ahi, Alo, Aw, Bhi, Blo,
+             Ohi, Olo, Ov, Osz, Onw,
+             st, ck, wah, wal, waw, wbh, wbl,
+             ph_, pl2, pv, sh, sl, sv, sems) = refs
+            a_refs = ((Ahi, Alo, Aw), (wah, wal, waw))
+            b_refs = ((Bhi, Blo), (wbh, wbl))
+        else:
+            (Ahi, Alo, Aw, Bhi, Blo, Bw,
+             Ohi, Olo, Ov, Osz, Onw,
+             st, ck, wah, wal, waw, wbh, wbl, wbw,
+             ph_, pl2, pv, sh, sl, sv, sems) = refs
+            a_refs = ((Ahi, Alo, Aw), (wah, wal, waw))
+            b_refs = ((Bhi, Blo, Bw), (wbh, wbl, wbw))
+        nb_ref = len(b_refs[0])
         t = pl.program_id(0)
         slot = jax.lax.rem(t, 2)
+        size = jnp.minimum(szr[0], jnp.int32(Na))
 
         def bases(tt):
             a_tt = asr[tt]
-            b_tt = tt * T - a_tt
-            # b index into the front-INF-padded DESCENDING batch
-            return a_tt, (a_tt // A) * A, Nb - b_tt
+            # E-window start: win[i] = E[Nb - b_t - T + i]; may be < 0
+            q0 = jnp.int32(Nb) - (tt * T - a_tt) - jnp.int32(T)
+            a_base = jnp.minimum((a_tt // A) * A, jnp.int32(na_len - _WA))
+            b_base = jnp.clip((q0 // A) * A, 0, jnp.int32(nb_len - _WA))
+            return a_tt, a_base, q0, b_base
 
         @pl.when(t == 0)
         def _():
@@ -169,31 +205,34 @@ def _make_kernel(Na, Nb, create, grid):
             st[3] = jnp.int32(0)   # carry sum
             ck[0] = jnp.uint32(0)
             ck[1] = jnp.uint32(0)
-            a_0, a0_base, b0_idx = bases(0)
-            _load_window((Ahi, Alo, Aw), (wah, wal, waw), sems,
-                         a0_base, 0, 0)
-            _load_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems,
-                         (b0_idx // A) * A, 0, 3)
+            _, a0_base, _, b0_base = bases(0)
+            _load_window(*a_refs, sems, a0_base, 0, 0)
+            _load_window(*b_refs, sems, b0_base, 0, 3)
 
         @pl.when(t + 1 < grid)
         def _():
-            a_n, an_base, bn_idx = bases(t + 1)
+            _, an_base, _, bn_base = bases(t + 1)
             nslot = 1 - slot
-            _load_window((Ahi, Alo, Aw), (wah, wal, waw), sems,
-                         an_base, nslot, nslot * 6)
-            _load_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems,
-                         (bn_idx // A) * A, nslot, nslot * 6 + 3)
+            _load_window(*a_refs, sems, an_base, nslot, nslot * 6)
+            _load_window(*b_refs, sems, bn_base, nslot, nslot * 6 + 3)
 
-        a_t, a_base, b_idx = bases(t)
-        b_base = (b_idx // A) * A
-        _wait_window((Ahi, Alo, Aw), (wah, wal, waw), sems, a_base,
-                     slot, slot * 6)
-        _wait_window((Bhi, Blo, Bw), (wbh, wbl, wbw), sems, b_base,
-                     slot, slot * 6 + 3)
-        ah, al, aw = _take_window((wah, wal, waw), slot, a_t - a_base,
-                                  Na - a_t)
-        bh, bl, bw = _take_window((wbh, wbl, wbw), slot, b_idx - b_base,
-                                  jnp.int32(T))
+        a_t, a_base, q0, b_base = bases(t)
+        _wait_window(*a_refs, sems, a_base, slot, slot * 6)
+        _wait_window(*b_refs, sems, b_base, slot, slot * 6 + 3)
+        ah, al, aw = _take_window(a_refs[1], slot, a_t - a_base,
+                                  size - a_t)
+        bwin = _take_window(b_refs[1], slot, q0 - b_base,
+                            jnp.int32(T), head_n=-q0)
+        if unit:
+            bh, bl = bwin
+            bw = jnp.where(bh < jnp.uint32(1 << 31), 1, 0)
+        else:
+            bh, bl, bw = bwin
+        # A lanes carry raw (hash<<1|stream, value): clear the stream
+        # bit (ties must prefer the table stream) and tag table presence
+        al = al & jnp.uint32(0xFFFFFFFE)
+        a_real = ah < jnp.uint32(1 << 31)
+        aw = jnp.where(a_real, aw | jnp.int32(1 << _TBIT), 0)
 
         # cross-stream min-exchange: bwin[i] = B_asc[b_t + T-1-i]
         selb = _less(bh, bl, ah, al)
@@ -302,28 +341,35 @@ def _make_kernel(Na, Nb, create, grid):
 
 
 @lru_cache(maxsize=None)
-def _merge_call(Na, Nb, a_rows, b_rows, create, interpret):
-    """Build the pallas_call for static (table lanes, batch lanes,
-    padded input rows, create)."""
-    grid = (Na + Nb) // T + 1
+def _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create, unit,
+                interpret):
+    """Build the pallas_call for static (table cap lanes, real batch
+    lanes, padded batch lanes, physical input rows, create, unit)."""
+    grid = (Na + Nb_real) // T + 1
     out_rows = (grid * T + S) // 128
-    kernel = _make_kernel(Na, Nb, create, grid)
+    kernel = _make_kernel(Na, Nb_pad, a_rows * 128, b_rows * 128,
+                          create, unit, grid)
+
+    win = [
+        pltpu.VMEM((2, _WR, 128), jnp.uint32),
+        pltpu.VMEM((2, _WR, 128), jnp.uint32),
+        pltpu.VMEM((2, _WR, 128), jnp.int32),
+        pltpu.VMEM((2, _WR, 128), jnp.uint32),
+        pltpu.VMEM((2, _WR, 128), jnp.uint32),
+    ]
+    if not unit:
+        win.append(pltpu.VMEM((2, _WR, 128), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (5 if unit else 6),
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
         + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         scratch_shapes=[
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SMEM((2,), jnp.uint32),
-            pltpu.VMEM((2, _WR, 128), jnp.uint32),
-            pltpu.VMEM((2, _WR, 128), jnp.uint32),
-            pltpu.VMEM((2, _WR, 128), jnp.int32),
-            pltpu.VMEM((2, _WR, 128), jnp.uint32),
-            pltpu.VMEM((2, _WR, 128), jnp.uint32),
-            pltpu.VMEM((2, _WR, 128), jnp.int32),
+            *win,
             pltpu.VMEM((_AR, 128), jnp.uint32),
             pltpu.VMEM((_AR, 128), jnp.uint32),
             pltpu.VMEM((_AR, 128), jnp.int32),
@@ -334,7 +380,10 @@ def _merge_call(Na, Nb, a_rows, b_rows, create, interpret):
         ],
     )
 
-    def fn(a_starts, thi, tlo, tw, bhi, blo, bw):
+    def fn(a_starts, size_s, thi, tlo, tw, bhi, blo, bw=None):
+        b_planes = (bhi.reshape(b_rows, 128), blo.reshape(b_rows, 128))
+        if not unit:
+            b_planes += (bw.reshape(b_rows, 128),)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -346,30 +395,39 @@ def _merge_call(Na, Nb, a_rows, b_rows, create, interpret):
                 jax.ShapeDtypeStruct((1, 1), jnp.int32)],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(a_starts,
+        )(a_starts, size_s,
           thi.reshape(a_rows, 128), tlo.reshape(a_rows, 128),
-          tw.reshape(a_rows, 128),
-          bhi.reshape(b_rows, 128), blo.reshape(b_rows, 128),
-          bw.reshape(b_rows, 128))
+          tw.reshape(a_rows, 128), *b_planes)
 
     return jax.jit(fn)
 
 
-def merge_reduce(a_starts, thi, tlo, tw, bhi, blo, bw, Na, Nb,
-                 create=True, interpret=False):
-    """Run the merge-reduce kernel on prepped planes (pmerge_prep).
+def merge_reduce(a_starts, size_s, thi, tlo, tw, bhi, blo, bw, Na,
+                 Nb, create=True, interpret=False):
+    """Run the merge-reduce kernel on prepped planes
+    (countstep._pmerge_prep_core).
+
+    thi/tlo/tw: RAW table planes in packed (hash<<1|stream) form, any
+    physical length >= Na with >= _WA tail slack reachable; size_s: i32
+    (1,)-array, live table length.  bhi/blo: the batch's packed keys
+    sorted DESCENDING (complement-sorted); bw=None means unit weights.
+    Nb = REAL batch lane count (bhi may be longer = padded).
 
     Returns (ohi 2-D, olo 2-D, ov 2-D, size (1,1) i32, n_new (1,1) i32);
     slice/recombine with countstep.finalize_pmerge.  Must be called
     OUTSIDE jit (flips the x64 flag)."""
-    a_rows = thi.shape[0] * thi.shape[1] // 128 if thi.ndim == 2 \
-        else thi.shape[0] // 128
-    b_rows = bhi.shape[0] * bhi.shape[1] // 128 if bhi.ndim == 2 \
-        else bhi.shape[0] // 128
+    def rows(x):
+        n = x.shape[0] * x.shape[1] if x.ndim == 2 else x.shape[0]
+        return n // 128
+    a_rows, b_rows = rows(thi), rows(bhi)
+    unit = bw is None
     x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
-        return _merge_call(Na, Nb, a_rows, b_rows, create, interpret)(
-            a_starts, thi, tlo, tw, bhi, blo, bw)
+        call = _merge_call(Na, Nb, b_rows * 128, a_rows, b_rows,
+                           create, unit, interpret)
+        if unit:
+            return call(a_starts, size_s, thi, tlo, tw, bhi, blo)
+        return call(a_starts, size_s, thi, tlo, tw, bhi, blo, bw)
     finally:
         jax.config.update("jax_enable_x64", x64)
