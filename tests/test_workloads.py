@@ -62,6 +62,14 @@ def qvdata(tmp_path_factory):
     errpos = rng.choice(len(g), 40, replace=False)
     asm[errpos] = (asm[errpos] + 1) % 4
     to_fasta(d / "asm.fa", [asm], names=["ctg1"])
+    # mix: long spanning contigs interleaved with short seqs (some of
+    # them junk that fails the min_frac gate, some shorter than k)
+    junk = make_genome(rng, 400)
+    mix = [asm[:50000], junk[:300], asm[50000:],
+           np.asarray(g[:15], np.int8), junk[300:],
+           asm[20000:90000]]
+    to_fasta(d / "mix.fa", mix,
+             names=["c1", "junkA", "c2", "tiny", "junkB", "c3"])
     run_oracle(["count", "-k21", "-K5000000", "-o", d / "sr.yak", d / "sr.fa"])
     return d
 
@@ -74,6 +82,24 @@ def test_qv_assembly(qvdata):
 def test_qv_reads_print_each(qvdata):
     ref = run_oracle(["qv", "-p", "-t1", qvdata / "sr.yak", qvdata / "sr.fa"])
     assert ours(["qv", "-p", qvdata / "sr.yak", qvdata / "sr.fa"]) == ref
+
+
+def test_qv_chunk_spanning_carry(qvdata):
+    """Tiny -K forces the 100kb contig across many chunks: exercises the
+    fused path's head/tail region carry (a spanning seq must be gated on
+    its COMPLETED totals, not per chunk)."""
+    ref = run_oracle(["qv", qvdata / "sr.yak", qvdata / "asm.fa"])
+    assert ours(["qv", "-K20000", qvdata / "sr.yak",
+                 qvdata / "asm.fa"]) == ref
+
+
+def test_qv_chunk_spanning_carry_print_each(qvdata):
+    """Spanning + -p: SQ totals accumulate across chunk pieces, and mixed
+    short seqs around the spans keep their per-chunk gating."""
+    ref = run_oracle(["qv", "-p", "-t1", qvdata / "sr.yak",
+                      qvdata / "mix.fa"])
+    assert ours(["qv", "-p", "-K20000", qvdata / "sr.yak",
+                 qvdata / "mix.fa"]) == ref
 
 
 def test_qv_err_kmers_min_len(qvdata):

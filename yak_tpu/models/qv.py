@@ -96,8 +96,150 @@ def run_qv(opt, fn, table, out=None, scan=None):
     """Stream `fn` against `table`; returns the global occurrence-count
     vector cnt[1024] (yak_qv, qv.c:116-135).  SQ/EK lines go to `out`.
 
-    `scan` selects the scanner (default models.scan.scan_file; pass
-    scan_file_mesh for a mesh-sharded table)."""
+    Default path: the fused device reduction (ops/countstep.get_qv_step)
+    — per-position values never leave the chip.  The per-position scan
+    path remains for -E (err-kmer positions) and for mesh-sharded tables
+    (pass scan=scan_file_mesh)."""
+    if scan is None and not opt.print_err_kmer and table.k < 32:
+        return _run_qv_fused(opt, fn, table, out or sys.stdout)
+    return _run_qv_scan(opt, fn, table, out, scan)
+
+
+def _sq_line(out, name, L, tot, non0, k):
+    qv = -1.0
+    if tot > 0:
+        if non0 > 0:
+            if tot > non0:
+                qv = math.log(tot / non0) / k
+                qv = -_Q * math.log(qv)
+            else:
+                qv = 99.0
+        else:
+            qv = 0.0
+    out.write(f"SQ\t{name}\t{L}\t{tot}\t{non0}\t{qv:.2f}\n")
+
+
+def _run_qv_fused(opt, fn, table, out):
+    """Device-resident qv fold: the whole accumulation — per-seg
+    reductions, min_frac gating, the spanning-sequence carry, and the
+    global histogram — lives on device (ops/countstep.get_qv_step), so
+    the default path has ZERO per-chunk transfers back and the chunk
+    steps pipeline like the count path.  -p additionally fetches the
+    per-seg scalars per chunk for the SQ lines."""
+    import jax.numpy as jnp
+
+    from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.ops.countstep import get_qv_step
+
+    k = table.k
+    table.flush()
+    chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
+    chunk = -(-chunk // 1024) * 1024
+    cnt_d = jnp.zeros(YAK_N_COUNTS, jnp.int64)
+    c_tot = jnp.int32(-1)
+    c_non0 = jnp.int32(0)
+    c_hist = jnp.zeros(YAK_N_COUNTS, jnp.int64)
+    carry_gi = None            # host mirror: which seq the carry is
+    h_carry = [0, 0]           # host mirror of (tot, non0) for -p
+    sq = []                    # (name, L, tot, non0) in output order
+
+    for packed in ChunkSource(fn, chunk, k, with_meta=True):
+        M = chunk - k + 1
+        sid = packed.seq_id[:M]
+        gis = sorted(packed.seq_names)
+        if not gis:
+            continue
+        g0, last_gi = gis[0], gis[-1]
+        nseq = len(gis)
+        # segment bounds: first window lane of each local segment
+        starts = np.full(nseq, M, np.int64)
+        change = np.flatnonzero(np.diff(sid) != 0) + 1
+        firsts = np.concatenate([[0], change])
+        fsid = sid[firsts]
+        sel = fsid >= 0
+        starts[fsid[sel] - g0] = firsts[sel]
+        # windowless seqs keep start=M; make starts monotone so every
+        # seg is a (possibly zero-width) contiguous range
+        starts = np.minimum.accumulate(starts[::-1])[::-1]
+        # does the last seq continue into the next chunk?  (scan the
+        # code buffer tail for the last non-separator cell)
+        tail_sid = packed.seq_id[-1]
+        if tail_sid < 0:
+            nz = np.flatnonzero(packed.seq_id >= 0)
+            cov_end = int(packed.pos[nz[-1]]) + 1 if nz.size else 0
+        else:
+            cov_end = int(packed.pos[-1]) + 1
+        continues = cov_end < packed.seq_lens[last_gi]
+        has_head = carry_gi is not None
+        if has_head:
+            assert carry_gi == g0, "carry must resume the first seg"
+        if has_head and continues and nseq == 1:
+            head_end, inc_start, j_inc = 0, 0, 0   # middle piece
+        else:
+            head_end = (int(starts[1]) if nseq > 1 else M) if has_head \
+                else 0
+            inc_start = int(starts[-1]) if continues else M
+            j_inc = nseq - 1 if continues else 0
+        head_elig = (packed.seq_lens[carry_gi] >= opt.min_len) \
+            if has_head else True
+        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
+        bounds = np.full(ns + 1, M, np.int32)
+        bounds[:nseq] = starts
+        elig = np.zeros(ns, bool)
+        lens = np.fromiter((packed.seq_lens[gi] for gi in gis),
+                           np.int64, nseq)
+        elig[:nseq] = lens >= opt.min_len
+        step = get_qv_step(k, ns, planes_L=packed.codes.shape[0])
+        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
+        cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = step(
+            pl3, jnp.asarray(bounds), jnp.asarray(elig),
+            jnp.int32(head_end), jnp.int32(inc_start), jnp.int32(j_inc),
+            jnp.bool_(head_elig), jnp.float64(opt.min_frac),
+            cnt_d, c_tot, c_non0, c_hist,
+            table.keys, table.cnt, table.size)
+
+        if opt.print_each:
+            # host mirror of the totals for the SQ lines (sync per
+            # chunk — only in -p mode)
+            tot_np = np.asarray(tot_d)[:nseq]
+            non0_np = np.asarray(non0_d)[:nseq]
+            if has_head and head_end == 0:      # middle piece
+                h_carry[0] += int(tot_np[0])
+                h_carry[1] += int(non0_np[0])
+            else:
+                if has_head:
+                    if packed.seq_lens[g0] >= opt.min_len:
+                        sq.append((packed.seq_names[g0],
+                                   packed.seq_lens[g0],
+                                   h_carry[0] + int(tot_np[0]),
+                                   h_carry[1] + int(non0_np[0])))
+                    h_carry = [0, 0]
+                for j in range(1 if has_head else 0,
+                               nseq - 1 if continues else nseq):
+                    gi = gis[j]
+                    if packed.seq_lens[gi] < opt.min_len:
+                        continue
+                    sq.append((packed.seq_names[gi], packed.seq_lens[gi],
+                               int(tot_np[j]), int(non0_np[j])))
+                if continues:
+                    h_carry = [int(tot_np[j_inc]), int(non0_np[j_inc])]
+
+        # host mirror of the carry identity (no device sync)
+        if has_head and continues and nseq == 1:
+            pass                                  # carry unchanged
+        elif continues:
+            carry_gi = last_gi
+        else:
+            carry_gi = None
+
+    for name, L, tot, non0 in sq:
+        _sq_line(out, name, L, tot, non0, k)
+    return np.asarray(cnt_d)
+
+
+def _run_qv_scan(opt, fn, table, out=None, scan=None):
+    """Per-position scan path (SURVEY qv.c host loop)."""
     out = out or sys.stdout
     scan = scan or scan_file
     k = table.k

@@ -316,6 +316,99 @@ def finalize_compacted(khi, klo, v, cap):
 
 
 @lru_cache(maxsize=None)
+def get_qv_step(k, ns, planes_L=None):
+    """Fused qv chunk step: lookup + the ENTIRE per-chunk reduction of
+    yak_qv's worker (qv.c:34-88) on device, so only histograms and
+    per-sequence scalars cross the wire (the per-position value stream
+    never leaves the chip).
+
+    Per chunk (one flat code buffer -> M windows):
+      - per-segment tot (valid windows) and non0 (present k-mers) via
+        cumsum differences at the ns segment bounds;
+      - the min_frac gate per segment (f64, matching the reference's
+        double compare, qv.c:83), ANDed with host-computed eligibility
+        (min_len), expanded to lanes with one small scatter + cumsum;
+      - the global occurrence histogram over lanes of gated COMPLETE
+        segments, plus a separate histogram of the (single) chunk-tail
+        segment that continues into the next chunk (region-coded sort +
+        searchsorted, scatter-free) — the host carries that partial and
+        gates it when the sequence completes.
+
+    Returns (hist_gated i64[1024], hist_inc i64[1024], tot i32[ns],
+    non0 i32[ns], tot_inc, non0_inc).
+    """
+    packable = k <= 31
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def step(codes, bounds, elig, head_end, inc_start, j_inc, head_elig,
+             min_frac, cnt, c_tot, c_non0, c_hist,
+             tkeys, tcnt, size):
+        h, valid = ext(codes)
+        M = h.shape[0] * h.shape[1]
+        vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                              valid.reshape(-1), packable=packable)
+        has = valid.reshape(-1)
+        non0m = has & (vals > 0)
+        z = jnp.zeros(1, jnp.int32)
+        ch = jnp.concatenate([z, jnp.cumsum(has.astype(jnp.int32))])
+        cn = jnp.concatenate([z, jnp.cumsum(non0m.astype(jnp.int32))])
+        bc = jnp.clip(bounds, 0, M)           # i32[ns + 1]
+        tot = ch[bc[1:]] - ch[bc[:-1]]
+        non0 = cn[bc[1:]] - cn[bc[:-1]]
+        gate = (non0.astype(jnp.float64)
+                >= tot.astype(jnp.float64) * min_frac) & elig
+        # expand the per-seg gate to lanes: one ns-sized scatter of the
+        # gate deltas at segment starts, then a running sum
+        gi = gate.astype(jnp.int32)
+        gd = gi - jnp.concatenate([z, gi[:-1]])
+        d = jnp.zeros(M + 1, jnp.int32).at[bc[:-1]].add(gd)
+        gl = jnp.cumsum(d[:M]) > 0
+        # region-coded histogram sort: [0,1024) gated-complete lanes,
+        # [2048,3072) the tail segment continuing into the next chunk,
+        # [3072,4096) the head segment continuing a carried sequence,
+        # the rest dead (ungated / no-window lanes)
+        t = jnp.clip(vals, 0, 1023)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        key = jnp.where(~has, 8000,
+                        jnp.where(lane < head_end, 3072 + t,
+                                  jnp.where(lane >= inc_start, 2048 + t,
+                                            jnp.where(gl, t, 1500))))
+        sk = jnp.sort(key)
+        probes = jnp.concatenate([
+            jnp.arange(1025, dtype=jnp.int32),
+            jnp.arange(2048, 4097, dtype=jnp.int32)])
+        edges = jnp.searchsorted(sk, probes)
+        hg = jnp.diff(edges[:1025]).astype(jnp.int64)
+        hi_ = jnp.diff(edges[1025:2050]).astype(jnp.int64)
+        hh = jnp.diff(edges[2049:]).astype(jnp.int64)
+
+        # fold entirely on device: settle the carried sequence against
+        # its completed totals (head region), accumulate the gated
+        # histogram, open the next carry from the tail region.  The
+        # middle-piece case (head_end == 0 while a carry is live) is
+        # encoded by the host as head_end = 0, inc_start = 0: hg/hh are
+        # then empty and everything lands in the tail carry below.
+        mid = (head_end == 0) & (inc_start == 0) & (c_tot >= 0)
+        settle = (~mid) & (c_tot >= 0)
+        tot_c = c_tot + jnp.where(mid, tot[j_inc], tot[0])
+        non0_c = c_non0 + jnp.where(mid, non0[j_inc], non0[0])
+        g_c = ~(non0_c.astype(jnp.float64)
+                < tot_c.astype(jnp.float64) * min_frac) & head_elig
+        cnt = cnt + hg + jnp.where(settle & g_c, c_hist + hh, 0)
+        new_active = (inc_start < M) | mid
+        n_tot = jnp.where(mid, tot_c, tot[j_inc])
+        n_non0 = jnp.where(mid, non0_c, non0[j_inc])
+        n_hist = jnp.where(mid, c_hist + hi_, hi_)
+        c_tot = jnp.where(new_active, n_tot, -1)
+        c_non0 = jnp.where(new_active, n_non0, 0)
+        c_hist = jnp.where(new_active, n_hist, 0)
+        return cnt, c_tot, c_non0, c_hist, tot, non0
+
+    return step
+
+
+@lru_cache(maxsize=None)
 def get_scan_step(k, planes_L=None):
     """Fused lookup step for the scan-side workloads (qv/trio/sexchr/
     chkerr): codes -> per-window int16 value stream in one XLA program.
