@@ -346,8 +346,12 @@ def get_qv_step(k, ns, planes_L=None):
              tkeys, tcnt, size):
         h, valid = ext(codes)
         M = h.shape[0] * h.shape[1]
-        vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
-                              valid.reshape(-1), packable=packable)
+        if packable:
+            vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
+                                     valid.reshape(-1))
+        else:
+            vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                                  valid.reshape(-1), packable=False)
         has = valid.reshape(-1)
         non0m = has & (vals > 0)
         z = jnp.zeros(1, jnp.int32)
@@ -427,8 +431,12 @@ def get_scan_step(k, planes_L=None):
     def step(codes, tkeys, tcnt, size):
         h, valid = ext(codes)
         G, M = h.shape
-        vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
-                              valid.reshape(-1), packable=packable)
+        if packable:
+            vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
+                                     valid.reshape(-1))
+        else:
+            vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                                  valid.reshape(-1), packable=False)
         vals = jnp.where(valid.reshape(-1), vals, -2)
         return vals.reshape(G, M).astype(jnp.int16)
 

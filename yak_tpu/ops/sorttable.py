@@ -177,6 +177,45 @@ merge_batch = partial(jax.jit,
                       donate_argnums=(0, 1))(merge_batch_impl)
 
 
+def lookup_qpacked(tkeys, tcnt, size, h, valid):
+    """lookup_impl, packable-only, with HALF the sort payload traffic:
+    the join sort carries ONE i32 payload that is the count for table
+    lanes and the original lane index for query lanes, and the restore
+    is a SINGLE-KEY u64 sort of (idx << 11 | result+1) — counts/flags
+    always fit 11 bits (<= YAK_MAX_COUNT).  2-op + 1-op sorts instead
+    of lookup_impl's 3-op + 2-op."""
+    cap = tkeys.shape[0]
+    B = h.shape[0]
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    pt = jnp.where(lane_t < size, tkeys << _ONE, _PAD)
+    pq = (h << _ONE) | _TAG | jnp.where(valid, jnp.uint64(0), _PAD)
+    P = jnp.concatenate([
+        tcnt, jax.lax.broadcasted_iota(jnp.int32, (B,), 0)])
+    K, P = jax.lax.sort((jnp.concatenate([pt, pq]), P), num_keys=1,
+                        is_stable=False)
+    real = K < _PAD
+    key = (K & ~_PAD) >> _ONE
+    is_table = real & ((K & _TAG) == 0)
+    start, _end, _ = _run_marks(key, real)
+    run_id = jnp.cumsum(start.astype(jnp.int32)).astype(jnp.int64)
+    G = jnp.where(is_table, (run_id << 11) | (P.astype(jnp.int64) + 1),
+                  jnp.int64(0))
+    Gm = jax.lax.cummax(G)
+    # query-ness by the tag bit alone: INVALID query lanes (PAD set)
+    # must still restore to their original index with res = -1
+    is_q = (K & _TAG) != 0
+    hit = real & is_q & ((Gm >> 11) == run_id)
+    res = jnp.where(hit, (Gm & 0x7FF).astype(jnp.int32) - 1, -1)
+    # single-key restore: query lanes ascend by original index with the
+    # result riding in the low 11 bits; table lanes sort to the tail
+    rk = jnp.where(is_q,
+                   (P.astype(jnp.uint64) << jnp.uint64(11))
+                   | (res + 1).astype(jnp.uint64),
+                   jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    (rk,) = jax.lax.sort((rk,), num_keys=1, is_stable=False)
+    return (rk[:B] & jnp.uint64(0x7FF)).astype(jnp.int32) - 1
+
+
 def lookup_impl(tkeys, tcnt, size, h, valid, *, packable=True):
     """int32 count per query lane; -1 when absent/invalid (yak_ch_get).
     (Pure body — call inside an enclosing jit, e.g. ops/countstep.py.)"""
