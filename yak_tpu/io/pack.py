@@ -93,47 +93,81 @@ def detect_periodic(codes):
 
 
 class PackedChunk:
-    """A fixed-size flat code buffer plus per-position provenance."""
+    """A fixed-size flat code buffer plus provenance.
 
-    __slots__ = ("codes", "seq_id", "pos", "n_bases", "seq_names", "seq_lens")
+    Meta levels (with_meta): False = codes only; "records" = per-record
+    piece arrays rec_* (gid, full length, first cell, source offset of
+    that cell, base count in this chunk) + names/lens, no per-position
+    arrays; True = additionally per-position seq_id/pos."""
 
-    def __init__(self, chunk_size):
+    __slots__ = ("codes", "seq_id", "pos", "n_bases", "seq_names",
+                 "seq_lens", "rec_gid", "rec_len", "rec_start",
+                 "rec_off0", "rec_take", "_recs")
+
+    def __init__(self, chunk_size, full_meta=True):
         self.codes = np.full(chunk_size, 4, np.uint8)
         # per chunk position: global sequence index (-1 = separator/pad) and
         # base offset within that sequence
-        self.seq_id = np.full(chunk_size, -1, np.int32)
-        self.pos = np.zeros(chunk_size, np.int32)
+        if full_meta:
+            self.seq_id = np.full(chunk_size, -1, np.int32)
+            self.pos = np.zeros(chunk_size, np.int32)
+        else:
+            self.seq_id = None
+            self.pos = None
         self.n_bases = 0
         self.seq_names = {}   # global seq index -> name (only ids in chunk)
         self.seq_lens = {}    # global seq index -> full length
+        self.rec_gid = self.rec_len = self.rec_start = None
+        self.rec_off0 = self.rec_take = None
+        self._recs = []       # (gid, len, start, off0, take) while packing
+
+    def _finish_recs(self):
+        m = len(self._recs)
+        a = np.array(self._recs, np.int64).reshape(m, 5)
+        (self.rec_gid, self.rec_len, self.rec_start, self.rec_off0,
+         self.rec_take) = (a[:, j].copy() for j in range(5))
 
 
 def pack_records(records, chunk_size, k, start_index=0, with_meta=True):
-    """Pack an iterable of FastxRecords into PackedChunks (generator)."""
+    """Pack an iterable of FastxRecords into PackedChunks (generator).
+
+    with_meta: False / "records" / True (see PackedChunk)."""
     if chunk_size <= k:
         raise ValueError("chunk_size must exceed k")
-    cur = PackedChunk(chunk_size)
+    full = with_meta is True
+    any_meta = bool(with_meta)
+    cur = PackedChunk(chunk_size, full_meta=full)
     w = 0
+
+    def register(c, gi, rec, L, w, off):
+        if not any_meta:
+            return
+        c.seq_names[gi] = rec.name
+        c.seq_lens[gi] = L
+        c._recs.append([gi, L, w, off, 0])
+
+    def flush(c):
+        if any_meta:
+            c._finish_recs()
+        return c
 
     for idx, rec in enumerate(records):
         gi = start_index + idx
         codes = rec.codes
         L = len(codes)
-        if with_meta:
-            cur.seq_names[gi] = rec.name
-            cur.seq_lens[gi] = L
         off = 0
+        register(cur, gi, rec, L, w, off)
         while off < L:
             if chunk_size - w < k:  # no room for a single window
-                yield cur
-                cur = PackedChunk(chunk_size)
+                yield flush(cur)
+                cur = PackedChunk(chunk_size, full_meta=full)
                 w = 0
-                if with_meta:
-                    cur.seq_names[gi] = rec.name
-                    cur.seq_lens[gi] = L
+                register(cur, gi, rec, L, w, off)
             take = min(L - off, chunk_size - w)
             cur.codes[w:w + take] = codes[off:off + take]
-            if with_meta:
+            if any_meta:
+                cur._recs[-1][2:] = [w, off, take]
+            if full:
                 cur.seq_id[w:w + take] = gi
                 cur.pos[w:w + take] = np.arange(off, off + take, dtype=np.int32)
             cur.n_bases += take
@@ -141,13 +175,11 @@ def pack_records(records, chunk_size, k, start_index=0, with_meta=True):
             off += take
             if off < L:
                 off -= (k - 1)  # halo: continuation re-reads k-1 bases
-                yield cur
-                cur = PackedChunk(chunk_size)
+                yield flush(cur)
+                cur = PackedChunk(chunk_size, full_meta=full)
                 w = 0
-                if with_meta:
-                    cur.seq_names[gi] = rec.name
-                    cur.seq_lens[gi] = L
+                register(cur, gi, rec, L, w, off)
         w += 1  # one separator cell (already code 4) between sequences
 
     if cur.n_bases > 0:
-        yield cur
+        yield flush(cur)

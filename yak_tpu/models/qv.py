@@ -132,6 +132,11 @@ def _run_qv_fused(opt, fn, table, out):
     from yak_tpu.io.pack import pack_planes
     from yak_tpu.ops.countstep import get_qv_step
 
+    import os
+    import time as _time
+    dbg = os.environ.get("YAK_TPU_QV_DEBUG")
+    T = {"ingest": 0.0, "host": 0.0, "pack": 0.0, "dispatch": 0.0}
+
     k = table.k
     table.flush()
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
@@ -144,33 +149,26 @@ def _run_qv_fused(opt, fn, table, out):
     h_carry = [0, 0]           # host mirror of (tot, non0) for -p
     sq = []                    # (name, L, tot, non0) in output order
 
-    for packed in ChunkSource(fn, chunk, k, with_meta=True):
+    _src_iter = iter(ChunkSource(fn, chunk, k, with_meta="records"))
+    while True:
+        _t0 = _time.time()
+        try:
+            packed = next(_src_iter)
+        except StopIteration:
+            break
+        T["ingest"] += _time.time() - _t0
+        _t0 = _time.time()
         M = chunk - k + 1
-        sid = packed.seq_id[:M]
-        gis = sorted(packed.seq_names)
-        if not gis:
+        nseq = len(packed.rec_gid)
+        if not nseq:
             continue
-        g0, last_gi = gis[0], gis[-1]
-        nseq = len(gis)
+        gis = packed.rec_gid
+        g0, last_gi = int(gis[0]), int(gis[-1])
         # segment bounds: first window lane of each local segment
-        starts = np.full(nseq, M, np.int64)
-        change = np.flatnonzero(np.diff(sid) != 0) + 1
-        firsts = np.concatenate([[0], change])
-        fsid = sid[firsts]
-        sel = fsid >= 0
-        starts[fsid[sel] - g0] = firsts[sel]
-        # windowless seqs keep start=M; make starts monotone so every
-        # seg is a (possibly zero-width) contiguous range
-        starts = np.minimum.accumulate(starts[::-1])[::-1]
-        # does the last seq continue into the next chunk?  (scan the
-        # code buffer tail for the last non-separator cell)
-        tail_sid = packed.seq_id[-1]
-        if tail_sid < 0:
-            nz = np.flatnonzero(packed.seq_id >= 0)
-            cov_end = int(packed.pos[nz[-1]]) + 1 if nz.size else 0
-        else:
-            cov_end = int(packed.pos[-1]) + 1
-        continues = cov_end < packed.seq_lens[last_gi]
+        starts = np.minimum(packed.rec_start, M)
+        # does the last seq continue into the next chunk?
+        continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
+                     < int(packed.rec_len[-1]))
         has_head = carry_gi is not None
         if has_head:
             assert carry_gi == g0, "carry must resume the first seg"
@@ -187,11 +185,13 @@ def _run_qv_fused(opt, fn, table, out):
         bounds = np.full(ns + 1, M, np.int32)
         bounds[:nseq] = starts
         elig = np.zeros(ns, bool)
-        lens = np.fromiter((packed.seq_lens[gi] for gi in gis),
-                           np.int64, nseq)
-        elig[:nseq] = lens >= opt.min_len
+        elig[:nseq] = packed.rec_len >= opt.min_len
+        T["host"] += _time.time() - _t0
+        _t0 = _time.time()
         step = get_qv_step(k, ns, planes_L=packed.codes.shape[0])
         pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
+        T["pack"] += _time.time() - _t0
+        _t0 = _time.time()
         cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = step(
             pl3, jnp.asarray(bounds), jnp.asarray(elig),
             jnp.int32(head_end), jnp.int32(inc_start), jnp.int32(j_inc),
@@ -217,7 +217,7 @@ def _run_qv_fused(opt, fn, table, out):
                     h_carry = [0, 0]
                 for j in range(1 if has_head else 0,
                                nseq - 1 if continues else nseq):
-                    gi = gis[j]
+                    gi = int(gis[j])
                     if packed.seq_lens[gi] < opt.min_len:
                         continue
                     sq.append((packed.seq_names[gi], packed.seq_lens[gi],
@@ -233,9 +233,16 @@ def _run_qv_fused(opt, fn, table, out):
         else:
             carry_gi = None
 
+        T["dispatch"] += _time.time() - _t0
     for name, L, tot, non0 in sq:
         _sq_line(out, name, L, tot, non0, k)
-    return np.asarray(cnt_d)
+    _t0 = _time.time()
+    r = np.asarray(cnt_d)
+    if dbg:
+        T["final_sync"] = _time.time() - _t0
+        print("[qv-debug]", {a: round(b, 2) for a, b in T.items()},
+              file=sys.stderr)
+    return r
 
 
 def _run_qv_scan(opt, fn, table, out=None, scan=None):

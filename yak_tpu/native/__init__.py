@@ -70,9 +70,8 @@ def _load():
     lib.yx_meta_names_len.restype = ctypes.c_long
     lib.yx_meta_names_len.argtypes = [ctypes.c_void_p]
     lib.yx_meta_fill.restype = None
-    lib.yx_meta_fill.argtypes = [ctypes.c_void_p,
-                                 ctypes.POINTER(ctypes.c_int64),
-                                 ctypes.POINTER(ctypes.c_int64)]
+    lib.yx_meta_fill.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_int64)] * 5
     lib.yx_n_seq.restype = ctypes.c_int64
     lib.yx_n_seq.argtypes = [ctypes.c_void_p]
     lib.yx_close.restype = None
@@ -89,7 +88,9 @@ class _NativeChunk:
     """Mirror of io.pack.PackedChunk backed by native buffers (copied out,
     since the native chunk is recycled on the next yx_next)."""
 
-    __slots__ = ("codes", "seq_id", "pos", "n_bases", "seq_names", "seq_lens")
+    __slots__ = ("codes", "seq_id", "pos", "n_bases", "seq_names",
+                 "seq_lens", "rec_gid", "rec_len", "rec_start", "rec_off0",
+                 "rec_take")
 
 
 class NativePackReader:
@@ -107,9 +108,13 @@ class NativePackReader:
         self._lib = lib
         self._chunk_size = int(chunk_size)
         self._with_meta = with_meta
+        # meta levels: 0 none, 1 records only (no per-position arrays),
+        # 2 full (seq_id/pos) — "records" is the cheap qv-style mode
+        level = 0 if not with_meta else (1 if with_meta == "records" else 2)
+        self._level = level
         p = "-" if path in (None, "-") else str(path)
         self._h = lib.yx_open(p.encode(), self._chunk_size, int(k),
-                              int(min_len), int(bool(with_meta)), int(n_buf))
+                              int(min_len), level, int(n_buf))
         if not self._h:
             raise FileNotFoundError(p)
 
@@ -128,32 +133,32 @@ class NativePackReader:
         cs = self._chunk_size
         c.codes = np.ctypeslib.as_array(
             self._lib.yx_codes(self._h), (cs,)).copy()
-        if self._with_meta:
+        c.seq_id = c.pos = None
+        c.seq_names = {}
+        c.seq_lens = {}
+        c.rec_gid = c.rec_len = c.rec_start = c.rec_off0 = c.rec_take = None
+        if self._level >= 2:
             c.seq_id = np.ctypeslib.as_array(
                 self._lib.yx_seq_id(self._h), (cs,)).copy()
             c.pos = np.ctypeslib.as_array(
                 self._lib.yx_pos(self._h), (cs,)).copy()
+        if self._level >= 1:
             m = int(self._lib.yx_meta_n(self._h))
-            gids = np.empty(m, np.int64)
-            lens = np.empty(m, np.int64)
+            arrs = [np.empty(m, np.int64) for _ in range(5)]
+            names = []
             if m:
-                self._lib.yx_meta_fill(
-                    self._h,
-                    gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+                self._lib.yx_meta_fill(self._h, *[
+                    a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+                    for a in arrs])
                 nlen = int(self._lib.yx_meta_names_len(self._h))
                 blob = ctypes.string_at(
                     self._lib.yx_meta_names(self._h), nlen)
                 names = blob.decode().split("\n")[:m]
-            else:
-                names = []
+            gids, lens, starts, off0s, takes = arrs
+            c.rec_gid, c.rec_len = gids, lens
+            c.rec_start, c.rec_off0, c.rec_take = starts, off0s, takes
             c.seq_names = {int(g): nm for g, nm in zip(gids, names)}
             c.seq_lens = {int(g): int(l) for g, l in zip(gids, lens)}
-        else:
-            c.seq_id = None
-            c.pos = None
-            c.seq_names = {}
-            c.seq_lens = {}
         return c
 
     @property

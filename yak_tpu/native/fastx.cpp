@@ -56,15 +56,21 @@ struct Chunk {
     std::vector<int32_t> pos;      // [chunk_size]
     long n_bases = 0;
     // sequences appearing in this chunk (incl. halo continuations),
-    // ascending gid; names '\n'-joined in the same order
+    // ascending gid; names '\n'-joined in the same order.  Per entry,
+    // the record's single contiguous PIECE in this chunk: first cell,
+    // source base offset of that cell, and base count (0 if the record
+    // was registered at the chunk edge with no room for a window).
     std::vector<int64_t> meta_gid;
     std::vector<int64_t> meta_len;
+    std::vector<int64_t> meta_start;
+    std::vector<int64_t> meta_off0;
+    std::vector<int64_t> meta_take;
     std::string meta_names;
 
-    explicit Chunk(long cs, bool with_meta)
+    explicit Chunk(long cs, int meta_level)
         : codes(cs, 4),
-          seq_id(with_meta ? cs : 0, -1),
-          pos(with_meta ? cs : 0, 0) {}
+          seq_id(meta_level >= 2 ? cs : 0, -1),
+          pos(meta_level >= 2 ? cs : 0, 0) {}
 };
 
 // Buffered line reader over a gzFile (gz* reads plain files too).
@@ -173,9 +179,9 @@ class FastxParser {
 class Stream {
   public:
     Stream(const char *path, long chunk_size, int k, long min_len,
-           bool with_meta, int n_buf)
+           int meta_level, int n_buf)
         : chunk_size_(chunk_size), k_(k), min_len_(min_len),
-          with_meta_(with_meta), max_queue_(n_buf < 1 ? 1 : n_buf) {
+          meta_level_(meta_level), max_queue_(n_buf < 1 ? 1 : n_buf) {
         if (!path || !strcmp(path, "-"))
             f_ = gzdopen(dup(0), "r");
         else
@@ -222,17 +228,21 @@ class Stream {
         cv_data_.notify_one();
     }
 
-    void add_meta(Chunk &c, int64_t gid, const Record &rec) {
-        if (!with_meta_) return;
+    void add_meta(Chunk &c, int64_t gid, const Record &rec, long w,
+                  long off) {
+        if (meta_level_ < 1) return;
         c.meta_gid.push_back(gid);
         c.meta_len.push_back((int64_t)rec.seq.size());
+        c.meta_start.push_back(w);
+        c.meta_off0.push_back(off);
+        c.meta_take.push_back(0);   // set at take time
         c.meta_names.append(rec.name);
         c.meta_names.push_back('\n');
     }
 
     void produce() {
         FastxParser parser(f_);
-        auto cur = std::make_unique<Chunk>(chunk_size_, with_meta_);
+        auto cur = std::make_unique<Chunk>(chunk_size_, meta_level_);
         long w = 0;
         Record rec;
         int64_t gid = 0;
@@ -241,22 +251,29 @@ class Stream {
             int64_t g = gid++;
             n_seq_.fetch_add(1);
             const long L = (long)rec.seq.size();
-            add_meta(*cur, g, rec);
             long off = 0;
+            add_meta(*cur, g, rec, w, off);
             while (off < L) {
                 if (chunk_size_ - w < k_) {  // no room for a single window
                     emit(std::move(cur));
                     if (stop_) return;
-                    cur = std::make_unique<Chunk>(chunk_size_, with_meta_);
+                    cur = std::make_unique<Chunk>(chunk_size_, meta_level_);
                     w = 0;
-                    add_meta(*cur, g, rec);
+                    add_meta(*cur, g, rec, w, off);
                 }
                 long take = std::min(L - off, chunk_size_ - w);
                 const char *src = rec.seq.data() + off;
                 uint8_t *dst = cur->codes.data() + w;
                 for (long i = 0; i < take; i++)
                     dst[i] = NT4.t[(unsigned char)src[i]];
-                if (with_meta_) {
+                if (meta_level_ >= 1 && !cur->meta_take.empty()) {
+                    // the piece actually begins here (a no-room emit may
+                    // have moved w since registration)
+                    cur->meta_start.back() = w;
+                    cur->meta_off0.back() = off;
+                    cur->meta_take.back() = take;
+                }
+                if (meta_level_ >= 2) {
                     int32_t *sid = cur->seq_id.data() + w;
                     int32_t *pos = cur->pos.data() + w;
                     for (long i = 0; i < take; i++) {
@@ -271,9 +288,9 @@ class Stream {
                     off -= k_ - 1;
                     emit(std::move(cur));
                     if (stop_) return;
-                    cur = std::make_unique<Chunk>(chunk_size_, with_meta_);
+                    cur = std::make_unique<Chunk>(chunk_size_, meta_level_);
                     w = 0;
-                    add_meta(*cur, g, rec);
+                    add_meta(*cur, g, rec, w, off);
                 }
             }
             w += 1;  // one separator cell (already code 4)
@@ -289,7 +306,7 @@ class Stream {
     const long chunk_size_;
     const int k_;
     const long min_len_;
-    const bool with_meta_;
+    const int meta_level_;
     const size_t max_queue_;
 
     gzFile f_ = nullptr;
@@ -312,10 +329,10 @@ struct Handle {
 extern "C" {
 
 void *yx_open(const char *path, long chunk_size, int k, long min_len,
-              int with_meta, int n_buf) {
+              int meta_level, int n_buf) {
     auto h = std::make_unique<Handle>();
     h->stream = std::make_unique<Stream>(path, chunk_size, k, min_len,
-                                         with_meta != 0, n_buf);
+                                         meta_level, n_buf);
     if (!h->stream->ok()) return nullptr;
     return h.release();
 }
@@ -334,10 +351,15 @@ const int32_t *yx_pos(void *hp) { return ((Handle *)hp)->current->pos.data(); }
 
 long yx_meta_n(void *hp) { return (long)((Handle *)hp)->current->meta_gid.size(); }
 
-void yx_meta_fill(void *hp, int64_t *gids, int64_t *lens) {
+void yx_meta_fill(void *hp, int64_t *gids, int64_t *lens, int64_t *starts,
+                  int64_t *off0s, int64_t *takes) {
     auto &c = *((Handle *)hp)->current;
-    memcpy(gids, c.meta_gid.data(), c.meta_gid.size() * sizeof(int64_t));
-    memcpy(lens, c.meta_len.data(), c.meta_len.size() * sizeof(int64_t));
+    size_t m = c.meta_gid.size();
+    memcpy(gids, c.meta_gid.data(), m * sizeof(int64_t));
+    memcpy(lens, c.meta_len.data(), m * sizeof(int64_t));
+    memcpy(starts, c.meta_start.data(), m * sizeof(int64_t));
+    memcpy(off0s, c.meta_off0.data(), m * sizeof(int64_t));
+    memcpy(takes, c.meta_take.data(), m * sizeof(int64_t));
 }
 
 long yx_meta_names_len(void *hp) {
