@@ -144,6 +144,9 @@ def test_trioeval(trio):
 def test_chkerr(trio):
     ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
     assert ours(["chkerr", trio / "pat.yak", trio / "child.fa"]) == ref
+    # tiny -K: contigs span chunks; low-count runs merge across the halo
+    assert ours(["chkerr", "-K16000", trio / "pat.yak",
+                 trio / "child.fa"]) == ref
 
 
 def test_sexchr_and_groupxy(tmp_path):
@@ -166,6 +169,8 @@ def test_sexchr_and_groupxy(tmp_path):
     ref = run_oracle(args)
     u = ours(args)
     assert u == ref
+    # tiny -K forces contigs across chunks: the per-seg sum carry
+    assert ours(["sexchr", "-K16000"] + args[2:]) == ref
     (tmp_path / "cnt.txt").write_text(u)
     perl = shutil.which("perl")
     if perl:

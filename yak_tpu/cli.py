@@ -252,10 +252,11 @@ def main_trioeval(argv):
 def main_chkerr(argv):
     from yak_tpu.models.chkerr import ChkerrOpts, main_chkerr as ce
     from yak_tpu.table import KmerTable
-    o, pos = _getopt(argv, {"t": 1, "c": 1, "s": 1})
+    o, pos = _getopt(argv, {"t": 1, "c": 1, "s": 1, "K": 1})
     opt = ChkerrOpts()
     if "c" in o: opt.min_cnt = int(o["c"])
     if "s" in o: opt.min_streak = int(o["s"])
+    if "K" in o: opt.chunk_size = _parse_num(o["K"])
     if len(pos) < 2:
         return _usage(["Usage: yak_tpu chkerr [options] <count.yak> <seq.fa>"])
     ch = KmerTable.restore(pos[0])

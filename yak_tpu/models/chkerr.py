@@ -27,24 +27,75 @@ class ChkerrOpts:
 
 
 def main_chkerr(opt, table, seq_fn, out=None):
+    """Device fold: run markers come back as sparse (lane, len) pairs
+    (ops/countstep.get_chkerr_step); the host maps lanes to sequence
+    positions via the record-piece meta and merges runs that span a
+    chunk boundary (the halo makes piece windows seamless)."""
+    import jax.numpy as jnp
+
+    from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.ops.countstep import CHKERR_MAX_RUNS, get_chkerr_step
+
     out = out or sys.stdout
     k = table.k
+    table.flush()
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
-    for name, L, vals in scan_file(fn=seq_fn, table=table, chunk_size=chunk):
-        # low positions: k-mer exists and count below threshold
-        is_k = vals != NO_KMER
-        low = is_k & (vals < opt.min_cnt)
-        pos = np.nonzero(low)[0]
-        if len(pos) == 0:
+    M = chunk - k + 1
+    carry = None       # (gi, streak, end_pos) open run at a piece end
+
+    def emit(name, streak, endpos):
+        if streak > opt.min_streak:
+            out.write(f"{name}\t{endpos + 1 - k - (streak - 1)}\t"
+                      f"{endpos + 1}\t{streak}\n")
+
+    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+        nseq = len(packed.rec_gid)
+        if not nseq:
             continue
-        # runs of consecutive positions (i == last + 1)
-        breaks = np.nonzero(np.diff(pos) != 1)[0]
-        run_starts = np.concatenate([[0], breaks + 1])
-        run_ends = np.concatenate([breaks, [len(pos) - 1]])
-        for s, e in zip(run_starts, run_ends):
-            streak = int(e - s + 1)
-            if streak > opt.min_streak:
-                last = int(pos[e])
-                out.write(f"{name}\t{last + 1 - k - (streak - 1)}\t"
-                          f"{last + 1}\t{streak}\n")
+        step = get_chkerr_step(k, planes_L=packed.codes.shape[0])
+        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
+        key_d, n_d = step(pl3, jnp.int32(opt.min_cnt),
+                          table.keys, table.cnt, table.size)
+        n = int(n_d)
+        if n > CHKERR_MAX_RUNS:
+            raise RuntimeError(
+                f"chkerr: {n} low-count runs in one chunk exceeds the "
+                f"device marker budget; lower -K or raise min_cnt")
+        keys = np.asarray(key_d)[:n]
+        lanes = (keys >> np.uint64(24)).astype(np.int64)
+        lens = (keys & np.uint64((1 << 24) - 1)).astype(np.int64)
+
+        starts = np.minimum(packed.rec_start, M)
+        seg_of = np.searchsorted(starts, lanes, side="right") - 1
+        continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
+                     < int(packed.rec_len[-1]))
+        ws0 = int(starts[0])
+        # last window lane of the final piece (piece windows are
+        # [start, start + take - k] inclusive)
+        we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+
+        if carry is not None:
+            name_c, gi_c, streak_c, end_c = carry
+            carry = None
+            if (n > 0 and int(seg_of[0]) == 0
+                    and int(lanes[0] - lens[0] + 1) == ws0
+                    and int(packed.rec_gid[0]) == gi_c):
+                lens[0] += streak_c     # merged across the chunk boundary
+            else:
+                emit(name_c, streak_c, end_c)
+
+        for i in range(n):
+            j = int(seg_of[i])
+            gi = int(packed.rec_gid[j])
+            endpos = (int(lanes[i]) - int(starts[j])
+                      + int(packed.rec_off0[j]) + k - 1)
+            streak = int(lens[i])
+            if continues and j == nseq - 1 and int(lanes[i]) == we:
+                carry = (packed.seq_names[gi], gi, streak, endpos)
+            else:
+                emit(packed.seq_names[gi], streak, endpos)
+    if carry is not None:
+        name_c, _gi, streak_c, end_c = carry
+        emit(name_c, streak_c, end_c)

@@ -81,6 +81,53 @@ def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
     yield from emit_complete(1 << 62)
 
 
+def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
+                  extra_args=()):
+    """Shared driver for device-side per-segment reductions (sexchr and
+    friends): stream record-meta chunks, run `step_builder(k, ns,
+    planes_L)`'s step per chunk, accumulate the n_out per-seg sum
+    vectors across chunk-spanning pieces, and yield
+    (name, seq_len, sums tuple of ints) per sequence in input order."""
+    import jax.numpy as jnp
+
+    from yak_tpu.io.pack import pack_planes
+
+    k = table.k
+    table.flush()
+    chunk = -(-max(1 << 14, int(chunk_size)) // 1024) * 1024
+    M = chunk - k + 1
+    carry = None    # [gi, sums list] for the chunk-spanning seq
+
+    for packed in ChunkSource(fn, chunk, k, with_meta="records"):
+        nseq = len(packed.rec_gid)
+        if not nseq:
+            continue
+        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
+        bounds = np.full(ns + 1, M, np.int32)
+        bounds[:nseq] = np.minimum(packed.rec_start, M)
+        step = step_builder(k, ns, planes_L=packed.codes.shape[0])
+        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
+        outs = step(pl3, jnp.asarray(bounds), *extra_args,
+                    table.keys, table.cnt, table.size)
+        outs = [np.asarray(o)[:nseq] for o in outs[:n_out]]
+        continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
+                     < int(packed.rec_len[-1]))
+        for j in range(nseq):
+            gi = int(packed.rec_gid[j])
+            sums = [int(o[j]) for o in outs]
+            if j == 0 and carry is not None:
+                assert carry[0] == gi
+                sums = [a + b for a, b in zip(carry[1], sums)]
+                carry = None
+            if j == nseq - 1 and continues:
+                carry = [gi, sums]
+            else:
+                yield (packed.seq_names[gi], int(packed.rec_len[j]),
+                       tuple(sums))
+    if carry is not None:
+        yield (packed.seq_names[carry[0]], None, tuple(carry[1]))
+
+
 def scan_file(fn, table, chunk_size, on_progress=None):
     """Yield (name, seq_len, vals int32[seq_len]) per sequence, in order
     (single-table, one fused dispatch per chunk; k <= 31 ships 3

@@ -37,18 +37,16 @@ SEXCHR_HEADER = (
 
 
 def main_sexchr(opt, ch, hap_fns, out=None):
+    from yak_tpu.models.scan import scan_seg_sums
+    from yak_tpu.ops.countstep import get_sexchr_step
+
     out = out or sys.stdout
     out.write(SEXCHR_HEADER)
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     for hap, fn in enumerate(hap_fns, start=1):
-        for name, L, vals in scan_file(fn, ch, chunk):
-            is_k = vals != NO_KMER
-            flag = np.where(is_k, np.maximum(vals, 0), 0)
-            n_k = int(np.count_nonzero(is_k))
-            n_sexchr = int(np.count_nonzero(flag > 0))
-            n_sex1 = int(np.count_nonzero(flag == 1))
-            n_sex2 = int(np.count_nonzero(flag == 2))
+        for name, _L, (n_k, n_sexchr, n_sex1, n_sex2) in scan_seg_sums(
+                fn, ch, chunk, get_sexchr_step, 4):
             out.write(f"S\t{name}\t{hap}\t0\t{n_k}\t{n_sexchr}\t{n_sex1}\t"
                       f"{n_sex2}\n")
 

@@ -413,6 +413,83 @@ def get_qv_step(k, ns, planes_L=None):
 
 
 @lru_cache(maxsize=None)
+def get_sexchr_step(k, ns, planes_L=None):
+    """Fused sexchr chunk step (sc_worker, sexchr.c:61-71): lookup +
+    per-segment sums of (#k-mers, #flag>0, #flag==1, #flag==2) — four
+    cumsum differences at the segment bounds; only ns-sized vectors
+    cross the wire."""
+    packable = k <= 31
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def step(codes, bounds, tkeys, tcnt, size):
+        h, valid = ext(codes)
+        M = h.shape[0] * h.shape[1]
+        if packable:
+            vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
+                                     valid.reshape(-1))
+        else:
+            vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                                  valid.reshape(-1), packable=False)
+        has = valid.reshape(-1)
+        flag = jnp.where(has, jnp.maximum(vals, 0), 0)
+        bc = jnp.clip(bounds, 0, M)
+
+        def seg_sum(mask):
+            cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(mask.astype(jnp.int32))])
+            return cs[bc[1:]] - cs[bc[:-1]]
+
+        return (seg_sum(has), seg_sum(flag > 0),
+                seg_sum(flag == 1), seg_sum(flag == 2))
+
+    return step
+
+
+CHKERR_MAX_RUNS = 1 << 17
+
+
+@lru_cache(maxsize=None)
+def get_chkerr_step(k, planes_L=None):
+    """Fused chkerr chunk step (chkerr.c:55-68): lookup + low-count run
+    detection on device.  A lane is `low` when its window is valid and
+    the count is below min_cnt (absent = -1 counts as low); runs of
+    consecutive low lanes end where the next lane is not low.  Run ends
+    are extracted sparsely: packed (lane << 24 | len) markers sort to
+    the front and only the first CHKERR_MAX_RUNS cross the wire, plus
+    the true marker count (host falls back if it overflows).
+    """
+    packable = k <= 31
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def step(codes, min_cnt, tkeys, tcnt, size):
+        h, valid = ext(codes)
+        M = h.shape[0] * h.shape[1]
+        if packable:
+            vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
+                                     valid.reshape(-1))
+        else:
+            vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                                  valid.reshape(-1), packable=False)
+        low = valid.reshape(-1) & (vals < min_cnt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        last_high = jax.lax.cummax(jnp.where(low, -1, lane))
+        runlen = lane - last_high
+        nxt = jnp.concatenate([low[1:], jnp.zeros(1, bool)])
+        is_end = low & ~nxt
+        key = jnp.where(is_end,
+                        (lane.astype(jnp.uint64) << jnp.uint64(24))
+                        | runlen.astype(jnp.uint64),
+                        jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        n = jnp.sum(is_end.astype(jnp.int32))
+        return key[:CHKERR_MAX_RUNS], n
+
+    return step
+
+
+@lru_cache(maxsize=None)
 def get_scan_step(k, planes_L=None):
     """Fused lookup step for the scan-side workloads (qv/trio/sexchr/
     chkerr): codes -> per-window int16 value stream in one XLA program.
