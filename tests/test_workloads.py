@@ -134,6 +134,16 @@ def test_triobin(trio):
                  trio / "child.fa"]) == ref
 
 
+def test_triobin_fused_and_spanning(trio):
+    """Without -p the device fold runs; tiny -K forces the contigs
+    across chunks so boundary streaks must merge across the halo."""
+    ref = run_oracle(["triobin", "-t1", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    args = ["triobin", trio / "pat.yak", trio / "mat.yak", trio / "child.fa"]
+    assert ours(args) == ref
+    assert ours(args[:1] + ["-K16000"] + args[1:]) == ref
+
+
 def test_trioeval(trio):
     ref = run_oracle(["trioeval", "-t1", "-e", trio / "pat.yak",
                       trio / "mat.yak", trio / "child.fa"])

@@ -215,7 +215,7 @@ def main_inspect(argv):
 
 def main_triobin(argv):
     from yak_tpu.models.trio import TrioOpts, load_trio_tables, main_triobin as tb
-    o, pos = _getopt(argv, {"c": 1, "d": 1, "t": 1, "p": 0, "r": 1})
+    o, pos = _getopt(argv, {"c": 1, "d": 1, "t": 1, "p": 0, "r": 1, "K": 1})
     opt = TrioOpts()
     if "c" in o: opt.min_cnt = int(o["c"])
     if "d" in o: opt.mid_cnt = int(o["d"])
@@ -225,7 +225,9 @@ def main_triobin(argv):
         return _usage(["Usage: yak_tpu triobin [options] <pat.yak> <mat.yak> "
                        "<seq.fa>"])
     ch = load_trio_tables(pos[0], pos[1], opt)
-    tb(opt, ch, pos[2])
+    kw = {}
+    if "K" in o: kw["chunk_cap"] = _parse_num(o["K"])
+    tb(opt, ch, pos[2], **kw)
     return 0
 
 

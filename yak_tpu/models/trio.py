@@ -115,6 +115,112 @@ class _BatchedOut:
 def main_triobin(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
                  batch_bases=200_000_000):
     out = out or sys.stdout
+    if opt.print_diff:       # -p per-position rows: per-position path
+        return _main_triobin_scan(opt, ch, seq_fn, out, chunk_cap,
+                                  batch_bases)
+    return _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap,
+                               batch_bases)
+
+
+def _emit_triobin_row(bo, opt, k, name, L, s):
+    """s = [nk, c0, c1, c2, c4, c8, sc1, sc2] accumulated for one seq."""
+    c = np.zeros(16, np.int64)
+    c[[0, 1, 2, 4, 8]] = s[1:6]
+    sc = [int(s[6]), int(s[7])]
+    t = tb_classify(sc, c, k, opt.ratio_thres)
+    bo.add("", (f"{name}\t{t}\t{sc[0]}\t{sc[1]}\t{c[2]}\t{c[8]}\t"
+                f"{c[1]}\t{c[4]}\t{int(s[0])}\t{c[0]}\n"), L)
+
+
+def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
+    """Device fold (ops/countstep.get_triobin_step): all per-contig sums
+    on device; boundary streaks merged across chunk-spanning pieces."""
+    import jax.numpy as jnp
+
+    from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.ops.countstep import get_triobin_step
+
+    k = ch.k
+    ch.flush()
+    chunk = max(1 << 14, min(batch_bases, chunk_cap))
+    chunk = -(-chunk // 1024) * 1024
+    M = chunk - k + 1
+    bo = _BatchedOut(out, batch_bases)
+    carry = None   # [gi, sums(8), open_typ, open_len] of the spanning seq
+
+    def close(sums, typ, length):
+        if typ > 0 and length >= k - 4:
+            sums[5 + typ] += length
+
+    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+        nseq = len(packed.rec_gid)
+        if not nseq:
+            continue
+        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
+        bounds = np.full(ns + 1, M, np.int32)
+        bounds[:nseq] = np.minimum(packed.rec_start, M)
+        we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        step = get_triobin_step(k, ns, planes_L=packed.codes.shape[0])
+        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
+        outs = step(pl3, jnp.asarray(bounds), jnp.int32(we),
+                    ch.keys, ch.cnt, ch.size)
+        S = np.stack([np.asarray(o)[:nseq] for o in outs[:8]],
+                     axis=1).astype(np.int64)      # [nseq, 8]
+        h_typ, h_len = (int(x) for x in np.asarray(outs[8]))
+        t_typ, t_len = (int(x) for x in np.asarray(outs[9]))
+        continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
+                     < int(packed.rec_len[-1]))
+        single = h_len == we + 1
+
+        for j in range(nseq):
+            gi = int(packed.rec_gid[j])
+            sums = S[j]
+            o_typ, o_len = 0, 0
+            if j == 0 and carry is not None:
+                assert carry[0] == gi
+                sums = carry[1] + sums
+                o_typ, o_len = carry[2], carry[3]
+                carry = None
+            open_out = None
+            if j == 0 and single and nseq == 1:
+                # head and tail are the same run spanning the piece
+                if o_typ > 0 and o_typ == h_typ:
+                    run = (h_typ, o_len + h_len)
+                else:
+                    close(sums, o_typ, o_len)
+                    run = (h_typ, h_len)
+                if continues:
+                    open_out = run
+                else:
+                    close(sums, *run)
+            else:
+                if j == 0:
+                    if o_typ > 0 and o_typ == h_typ:
+                        close(sums, h_typ, o_len + h_len)
+                    else:
+                        close(sums, o_typ, o_len)
+                        close(sums, h_typ, h_len)
+                if j == nseq - 1:
+                    if continues:
+                        open_out = (t_typ, t_len)
+                    else:
+                        close(sums, t_typ, t_len)
+            if j == nseq - 1 and continues:
+                carry = [gi, sums, open_out[0] if open_out else 0,
+                         open_out[1] if open_out else 0]
+            else:
+                _emit_triobin_row(bo, opt, k, packed.seq_names[gi],
+                                  int(packed.rec_len[j]), sums)
+    if carry is not None:
+        gi = carry[0]
+        close(carry[1], carry[2], carry[3])
+        _emit_triobin_row(bo, opt, k, str(gi), 0, carry[1])
+    bo.flush()
+
+
+def _main_triobin_scan(opt, ch, seq_fn, out, chunk_cap=1 << 23,
+                       batch_bases=200_000_000):
     k = ch.k
     chunk = max(1 << 14, min(batch_bases, chunk_cap))
     chunk = -(-chunk // 1024) * 1024

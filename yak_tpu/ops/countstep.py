@@ -446,6 +446,77 @@ def get_sexchr_step(k, ns, planes_L=None):
     return step
 
 
+@lru_cache(maxsize=None)
+def get_triobin_step(k, ns, planes_L=None):
+    """Fused triobin chunk step (tb_worker, triobin.c:41-101): lookup +
+    hap-mer typing + ALL per-contig reductions on device:
+
+      per segment: #k-mers, the flag-combo counts the classifier and
+      report need (c[0], c[1], c[2], c[4], c[8]), and sc[2] = summed
+      lengths of type-1/2 streaks >= k-4 — eight cumsum differences.
+
+    Streaks touching the chunk's first window (lane 0) or the last
+    window of the final piece (`we`) are EXCLUDED from the device sc
+    sums and returned as (head_typ, head_len, tail_typ, tail_len)
+    scalars instead: the host merges them across chunk-spanning pieces
+    (the halo makes piece windows seamless) and applies the >= k-4
+    threshold to the merged lengths.
+    """
+    packable = k <= 31
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def step(codes, bounds, we, tkeys, tcnt, size):
+        h, valid = ext(codes)
+        M = h.shape[0] * h.shape[1]
+        if packable:
+            vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
+                                     valid.reshape(-1))
+        else:
+            vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                                  valid.reshape(-1), packable=False)
+        is_k = valid.reshape(-1)
+        flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
+        c1 = flag & 3
+        c2 = (flag >> 2) & 3
+        typ = jnp.where(is_k & (c1 == 2) & (c2 == 0), 1,
+                        jnp.where(is_k & (c2 == 2) & (c1 == 0), 2, 0))
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        prev = jnp.concatenate([jnp.full(1, -1, typ.dtype), typ[:-1]])
+        startm = typ != prev
+        run_start = jax.lax.cummax(jnp.where(startm, lane, -1))
+        runlen = lane - run_start + 1
+        nxt = jnp.concatenate([typ[1:], jnp.full(1, -1, typ.dtype)])
+        is_end = typ != nxt
+        interior = (run_start > 0) & (lane < we)
+        strk = is_end & (typ > 0) & (runlen >= k - 4) & interior
+
+        bc = jnp.clip(bounds, 0, M)
+
+        def seg_sum(x):
+            cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(x.astype(jnp.int32))])
+            return cs[bc[1:]] - cs[bc[:-1]]
+
+        outs = [seg_sum(is_k)]
+        for v in (0, 1, 2, 4, 8):
+            outs.append(seg_sum(is_k & (flag == v)))
+        for t in (1, 2):
+            outs.append(seg_sum(jnp.where(strk & (typ == t), runlen, 0)))
+
+        # boundary runs (always excluded above; the host re-adds them,
+        # merged across pieces where a sequence spans chunks)
+        e0 = jnp.argmax(is_end)             # end lane of the lane-0 run
+        head = jnp.stack([typ[0], e0.astype(jnp.int32) + 1])
+        wec = jnp.clip(we, 0, M - 1)
+        tail = jnp.stack([jnp.where(we >= 0, typ[wec], 0),
+                          jnp.where(we >= 0, runlen[wec], 0)])
+        return tuple(outs) + (head, tail)
+
+    return step
+
+
 CHKERR_MAX_RUNS = 1 << 17
 
 
