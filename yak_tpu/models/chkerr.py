@@ -54,10 +54,10 @@ def main_chkerr(opt, table, seq_fn, out=None):
         nseq = len(packed.rec_gid)
         if not nseq:
             continue
-        step = get_chkerr_step(k, planes_L=packed.codes.shape[0])
-        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
-        key_d, n_d = step(pl3, jnp.int32(opt.min_cnt),
-                          table.keys, table.cnt, table.size)
+        step = get_chkerr_step(k, int(opt.min_cnt),
+                               planes_L=packed.codes.shape[0])
+        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
+        key_d, n_d = step(pl3, table.keys, table.cnt, table.size)
         n = int(n_d)
         if n > CHKERR_MAX_RUNS:
             raise RuntimeError(

@@ -182,20 +182,20 @@ def _run_qv_fused(opt, fn, table, out):
         head_elig = (packed.seq_lens[carry_gi] >= opt.min_len) \
             if has_head else True
         ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
-        bounds = np.full(ns + 1, M, np.int32)
-        bounds[:nseq] = starts
-        elig = np.zeros(ns, bool)
-        elig[:nseq] = packed.rec_len >= opt.min_len
+        meta = np.full(2 * ns + 5, M, np.int32)
+        meta[:nseq] = starts
+        meta[ns + 1:2 * ns + 1] = 0
+        meta[ns + 1:ns + 1 + nseq] = packed.rec_len >= opt.min_len
+        meta[2 * ns + 1:] = (head_end, inc_start, j_inc, int(head_elig))
         T["host"] += _time.time() - _t0
         _t0 = _time.time()
-        step = get_qv_step(k, ns, planes_L=packed.codes.shape[0])
-        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
+        step = get_qv_step(k, ns, planes_L=packed.codes.shape[0],
+                           min_frac=float(opt.min_frac))
+        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
         T["pack"] += _time.time() - _t0
         _t0 = _time.time()
         cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = step(
-            pl3, jnp.asarray(bounds), jnp.asarray(elig),
-            jnp.int32(head_end), jnp.int32(inc_start), jnp.int32(j_inc),
-            jnp.bool_(head_elig), jnp.float64(opt.min_frac),
+            pl3, jnp.asarray(meta),
             cnt_d, c_tot, c_non0, c_hist,
             table.keys, table.cnt, table.size)
 

@@ -106,7 +106,7 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
         bounds = np.full(ns + 1, M, np.int32)
         bounds[:nseq] = np.minimum(packed.rec_start, M)
         step = step_builder(k, ns, planes_L=packed.codes.shape[0])
-        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
+        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
         outs = step(pl3, jnp.asarray(bounds), *extra_args,
                     table.keys, table.cnt, table.size)
         outs = [np.asarray(o)[:nseq] for o in outs[:n_out]]

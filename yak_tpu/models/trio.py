@@ -66,6 +66,26 @@ def _runs(arr):
     return starts, lens, arr[starts]
 
 
+def tb_classify_vec(sc0, sc1, P, M, k, ratio_thres):
+    """Vectorized tb_classify over per-contig arrays (same branch order
+    and float arithmetic as the scalar port below)."""
+    sc0 = sc0.astype(np.int64)
+    sc1 = sc1.astype(np.int64)
+    P = P.astype(np.int64)
+    M = M.astype(np.int64)
+    no_sc = (sc0 == 0) & (sc1 == 0)
+    p1 = no_sc & (P != M) & (P >= k - 4 + M) & ((M <= 1) | (P * 0.05 > M))
+    m1 = no_sc & (P != M) & (M >= k - 4 + P) & ((P <= 1) | (M * 0.05 > P))
+    a2 = ~no_sc & (sc0 > k) & (sc1 > k)
+    p2 = (~no_sc & (sc0 >= k - 4 + sc1) & (sc0 * 0.05 >= sc1)
+          & (P * ratio_thres > M))
+    m2 = (~no_sc & (sc1 >= k - 4 + sc0) & (sc1 * 0.05 >= sc0)
+          & (M * ratio_thres > P))
+    return np.select(
+        [p1, m1, no_sc, a2, p2, m2],
+        ["p", "m", "0", "a", "p", "m"], default="a")
+
+
 def tb_classify(sc, c, k, ratio_thres):
     """Contig classification (tb_classify, triobin.c:103-121)."""
     P, M = c[0 << 2 | 2], c[2 << 2 | 0]
@@ -141,6 +161,12 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     from yak_tpu.io.pack import pack_planes
     from yak_tpu.ops.countstep import get_triobin_step
 
+    import os
+    import time as _time
+    dbg = os.environ.get("YAK_TPU_TRIO_DEBUG")
+    T = {"ingest": 0.0, "host": 0.0, "pack": 0.0, "dispatch": 0.0,
+         "fetch": 0.0, "emit": 0.0}
+
     k = ch.k
     ch.flush()
     chunk = max(1 << 14, min(batch_bases, chunk_cap))
@@ -153,65 +179,99 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         if typ > 0 and length >= k - 4:
             sums[5 + typ] += length
 
-    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+    _it = iter(ChunkSource(seq_fn, chunk, k, with_meta="records"))
+    while True:
+        _t0 = _time.time()
+        try:
+            packed = next(_it)
+        except StopIteration:
+            break
+        T["ingest"] += _time.time() - _t0
+        _t0 = _time.time()
         nseq = len(packed.rec_gid)
         if not nseq:
             continue
         ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
-        bounds = np.full(ns + 1, M, np.int32)
-        bounds[:nseq] = np.minimum(packed.rec_start, M)
-        we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        meta = np.full(ns + 2, M, np.int32)
+        meta[:nseq] = np.minimum(packed.rec_start, M)
+        meta[-1] = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        we = int(meta[-1])
+        T["host"] += _time.time() - _t0
+        _t0 = _time.time()
         step = get_triobin_step(k, ns, planes_L=packed.codes.shape[0])
-        pl3 = tuple(jnp.asarray(p) for p in pack_planes(packed.codes))
-        outs = step(pl3, jnp.asarray(bounds), jnp.int32(we),
-                    ch.keys, ch.cnt, ch.size)
-        S = np.stack([np.asarray(o)[:nseq] for o in outs[:8]],
-                     axis=1).astype(np.int64)      # [nseq, 8]
-        h_typ, h_len = (int(x) for x in np.asarray(outs[8]))
-        t_typ, t_len = (int(x) for x in np.asarray(outs[9]))
+        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
+        T["pack"] += _time.time() - _t0
+        _t0 = _time.time()
+        outs = step(pl3, jnp.asarray(meta), ch.keys, ch.cnt, ch.size)
+        T["dispatch"] += _time.time() - _t0
+        _t0 = _time.time()
+        o_np = np.asarray(outs)                    # ONE d2h roundtrip
+        S = o_np[:8 * ns].reshape(8, ns)[:, :nseq].T.astype(np.int64)
+        h_typ, h_len, t_typ, t_len = (int(x) for x in o_np[8 * ns:])
+        T["fetch"] += _time.time() - _t0
+        _t0 = _time.time()
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
                      < int(packed.rec_len[-1]))
         single = h_len == we + 1
 
-        for j in range(nseq):
-            gi = int(packed.rec_gid[j])
-            sums = S[j]
-            o_typ, o_len = 0, 0
-            if j == 0 and carry is not None:
-                assert carry[0] == gi
-                sums = carry[1] + sums
-                o_typ, o_len = carry[2], carry[3]
-                carry = None
-            open_out = None
-            if j == 0 and single and nseq == 1:
-                # head and tail are the same run spanning the piece
-                if o_typ > 0 and o_typ == h_typ:
-                    run = (h_typ, o_len + h_len)
-                else:
-                    close(sums, o_typ, o_len)
-                    run = (h_typ, h_len)
-                if continues:
-                    open_out = run
-                else:
-                    close(sums, *run)
+        # boundary-run fixup for the first and last segments (scalar);
+        # everything else is already complete in S
+        g0 = int(packed.rec_gid[0])
+        o_typ, o_len = 0, 0
+        if carry is not None:
+            assert carry[0] == g0
+            S[0] += carry[1]
+            o_typ, o_len = carry[2], carry[3]
+            carry = None
+        open_out = None
+        if single and nseq == 1:
+            # head and tail are the same run spanning the piece
+            if o_typ > 0 and o_typ == h_typ:
+                run = (h_typ, o_len + h_len)
             else:
-                if j == 0:
-                    if o_typ > 0 and o_typ == h_typ:
-                        close(sums, h_typ, o_len + h_len)
-                    else:
-                        close(sums, o_typ, o_len)
-                        close(sums, h_typ, h_len)
-                if j == nseq - 1:
-                    if continues:
-                        open_out = (t_typ, t_len)
-                    else:
-                        close(sums, t_typ, t_len)
-            if j == nseq - 1 and continues:
-                carry = [gi, sums, open_out[0] if open_out else 0,
-                         open_out[1] if open_out else 0]
+                close(S[0], o_typ, o_len)
+                run = (h_typ, h_len)
+            if continues:
+                open_out = run
             else:
-                _emit_triobin_row(bo, opt, k, packed.seq_names[gi],
-                                  int(packed.rec_len[j]), sums)
+                close(S[0], *run)
+        else:
+            if o_typ > 0 and o_typ == h_typ:
+                close(S[0], h_typ, o_len + h_len)
+            else:
+                close(S[0], o_typ, o_len)
+                close(S[0], h_typ, h_len)
+            if continues:
+                open_out = (t_typ, t_len)
+            else:
+                close(S[-1], t_typ, t_len)
+        if continues:
+            carry = [int(packed.rec_gid[-1]), S[-1],
+                     open_out[0] if open_out else 0,
+                     open_out[1] if open_out else 0]
+
+        # vectorized classify + row formatting for all completed segs
+        j_hi = nseq - 1 if continues else nseq
+        if j_hi > 0:
+            sub = S[:j_hi]
+            t_arr = tb_classify_vec(sub[:, 6], sub[:, 7], sub[:, 3],
+                                    sub[:, 5], k, opt.ratio_thres)
+            names = [packed.seq_names[int(g)]
+                     for g in packed.rec_gid[:j_hi]]
+            cols = [c.tolist() for c in
+                    (sub[:, 6], sub[:, 7], sub[:, 3], sub[:, 5],
+                     sub[:, 2], sub[:, 4], sub[:, 0], sub[:, 1],
+                     packed.rec_len[:j_hi])]
+            rows = [f"{nm}\t{tv}\t{a}\t{b}\t{cP}\t{cM}\t{c1_}\t{c4_}\t"
+                    f"{nk}\t{c0_}\n"
+                    for nm, tv, a, b, cP, cM, c1_, c4_, nk, c0_, _L in zip(
+                        names, t_arr, *cols)]
+            bo.add("", "".join(rows), int(np.sum(packed.rec_len[:j_hi])))
+        T["emit"] += _time.time() - _t0
+    if dbg:
+        import sys as _sys
+        print("[trio-debug]", {a: round(b, 2) for a, b in T.items()},
+              file=_sys.stderr)
     if carry is not None:
         gi = carry[0]
         close(carry[1], carry[2], carry[3])

@@ -316,7 +316,7 @@ def finalize_compacted(khi, klo, v, cap):
 
 
 @lru_cache(maxsize=None)
-def get_qv_step(k, ns, planes_L=None):
+def get_qv_step(k, ns, planes_L=None, min_frac=0.5):
     """Fused qv chunk step: lookup + the ENTIRE per-chunk reduction of
     yak_qv's worker (qv.c:34-88) on device, so only histograms and
     per-sequence scalars cross the wire (the per-position value stream
@@ -341,10 +341,18 @@ def get_qv_step(k, ns, planes_L=None):
     ext = _extractor(k, planes_L)
 
     @jax.jit
-    def step(codes, bounds, elig, head_end, inc_start, j_inc, head_elig,
-             min_frac, cnt, c_tot, c_non0, c_hist,
+    def step(codes, meta, cnt, c_tot, c_non0, c_hist,
              tkeys, tcnt, size):
-        h, valid = ext(codes)
+        # meta i32[2*ns+5]: bounds[ns+1], elig[ns], head_end, inc_start,
+        # j_inc, head_elig — ONE h2d transfer (small-array transfers
+        # each cost a full tunnel roundtrip)
+        bounds = meta[:ns + 1]
+        elig = meta[ns + 1:2 * ns + 1] != 0
+        head_end = meta[2 * ns + 1]
+        inc_start = meta[2 * ns + 2]
+        j_inc = meta[2 * ns + 3]
+        head_elig = meta[2 * ns + 4] != 0
+        h, valid = ext((codes[0], codes[1], codes[2]))
         M = h.shape[0] * h.shape[1]
         if packable:
             vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
@@ -423,7 +431,7 @@ def get_sexchr_step(k, ns, planes_L=None):
 
     @jax.jit
     def step(codes, bounds, tkeys, tcnt, size):
-        h, valid = ext(codes)
+        h, valid = ext((codes[0], codes[1], codes[2]))
         M = h.shape[0] * h.shape[1]
         if packable:
             vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
@@ -466,8 +474,13 @@ def get_triobin_step(k, ns, planes_L=None):
     ext = _extractor(k, planes_L)
 
     @jax.jit
-    def step(codes, bounds, we, tkeys, tcnt, size):
-        h, valid = ext(codes)
+    def step(codes, meta, tkeys, tcnt, size):
+        # meta i32[ns+2]: bounds[ns+1] then we — ONE h2d transfer; the
+        # result is ONE i32[8*ns+4] buffer — one d2h roundtrip (each
+        # small-array transfer costs a full tunnel roundtrip)
+        bounds = meta[:-1]
+        we = meta[-1]
+        h, valid = ext((codes[0], codes[1], codes[2]))
         M = h.shape[0] * h.shape[1]
         if packable:
             vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
@@ -508,11 +521,11 @@ def get_triobin_step(k, ns, planes_L=None):
         # boundary runs (always excluded above; the host re-adds them,
         # merged across pieces where a sequence spans chunks)
         e0 = jnp.argmax(is_end)             # end lane of the lane-0 run
-        head = jnp.stack([typ[0], e0.astype(jnp.int32) + 1])
         wec = jnp.clip(we, 0, M - 1)
-        tail = jnp.stack([jnp.where(we >= 0, typ[wec], 0),
-                          jnp.where(we >= 0, runlen[wec], 0)])
-        return tuple(outs) + (head, tail)
+        scalars = jnp.stack([typ[0], e0.astype(jnp.int32) + 1,
+                             jnp.where(we >= 0, typ[wec], 0),
+                             jnp.where(we >= 0, runlen[wec], 0)])
+        return jnp.concatenate(outs + [scalars])
 
     return step
 
@@ -521,7 +534,7 @@ CHKERR_MAX_RUNS = 1 << 17
 
 
 @lru_cache(maxsize=None)
-def get_chkerr_step(k, planes_L=None):
+def get_chkerr_step(k, min_cnt, planes_L=None):
     """Fused chkerr chunk step (chkerr.c:55-68): lookup + low-count run
     detection on device.  A lane is `low` when its window is valid and
     the count is below min_cnt (absent = -1 counts as low); runs of
@@ -534,8 +547,8 @@ def get_chkerr_step(k, planes_L=None):
     ext = _extractor(k, planes_L)
 
     @jax.jit
-    def step(codes, min_cnt, tkeys, tcnt, size):
-        h, valid = ext(codes)
+    def step(codes, tkeys, tcnt, size):
+        h, valid = ext((codes[0], codes[1], codes[2]))
         M = h.shape[0] * h.shape[1]
         if packable:
             vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
