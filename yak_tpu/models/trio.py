@@ -202,12 +202,12 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
         T["pack"] += _time.time() - _t0
         _t0 = _time.time()
-        outs = step(pl3, jnp.asarray(meta), ch.keys, ch.cnt, ch.size)
+        seg_d, sc_d = step(pl3, jnp.asarray(meta), ch.keys, ch.cnt,
+                           ch.size)
         T["dispatch"] += _time.time() - _t0
         _t0 = _time.time()
-        o_np = np.asarray(outs)                    # ONE d2h roundtrip
-        S = o_np[:8 * ns].reshape(8, ns)[:, :nseq].T.astype(np.int64)
-        h_typ, h_len, t_typ, t_len = (int(x) for x in o_np[8 * ns:])
+        S = np.asarray(seg_d)[:, :nseq].T.astype(np.int64)
+        h_typ, h_len, t_typ, t_len = (int(x) for x in np.asarray(sc_d))
         T["fetch"] += _time.time() - _t0
         _t0 = _time.time()
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])

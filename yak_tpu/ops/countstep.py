@@ -519,13 +519,14 @@ def get_triobin_step(k, ns, planes_L=None):
             outs.append(seg_sum(jnp.where(strk & (typ == t), runlen, 0)))
 
         # boundary runs (always excluded above; the host re-adds them,
-        # merged across pieces where a sequence spans chunks)
-        e0 = jnp.argmax(is_end)             # end lane of the lane-0 run
-        wec = jnp.clip(we, 0, M - 1)
-        scalars = jnp.stack([typ[0], e0.astype(jnp.int32) + 1,
-                             jnp.where(we >= 0, typ[wec], 0),
-                             jnp.where(we >= 0, runlen[wec], 0)])
-        return jnp.concatenate(outs + [scalars])
+        # merged across pieces where a sequence spans chunks).  Pure
+        # reductions — no argmax / dynamic single-element gathers.
+        head_len = jnp.sum((run_start == 0).astype(jnp.int32))
+        at_we = (lane == we)
+        tail_typ = jnp.sum(jnp.where(at_we, typ, 0))
+        tail_len = jnp.sum(jnp.where(at_we, runlen, 0))
+        scalars = jnp.stack([typ[0], head_len, tail_typ, tail_len])
+        return jnp.stack(outs), scalars
 
     return step
 

@@ -508,14 +508,27 @@ class KmerTable:
         t = into
         assert t.k == k and t.pre == pre
         t.flush()
+        # preallocate the final capacity ONCE: growing by doubling per
+        # chunk would compile a fresh merge program at every ladder step
+        # (minutes each through the remote-compile tunnel)
+        t._ensure_capacity(t.tot + len(hashes))
         chunk = 1 << 22
         for off in range(0, max(len(hashes), 1), chunk):
-            h = jnp.asarray(hashes[off:off + chunk], jnp.uint64)
-            a = jnp.asarray(vals[off:off + chunk], jnp.int32)
-            if h.shape[0] == 0:
+            h_np = hashes[off:off + chunk]
+            a_np = vals[off:off + chunk]
+            if len(h_np) == 0:
                 break
-            valid = jnp.ones(h.shape, bool)
-            t._ensure_capacity(t.tot + h.shape[0])
+            n = len(h_np)
+            if n < chunk and off > 0:
+                # pad the tail chunk to the full width (valid=False):
+                # a second merge shape would be another slow compile
+                h_np = np.concatenate(
+                    [h_np, np.zeros(chunk - n, np.uint64)])
+                a_np = np.concatenate(
+                    [a_np, np.zeros(chunk - n, a_np.dtype)])
+            valid = jnp.asarray(np.arange(len(h_np)) < n)
+            h = jnp.asarray(h_np, jnp.uint64)
+            a = jnp.asarray(a_np, jnp.int32)
             t.keys, t.cnt, t.size, n_new, _ = st.merge_batch(
                 t.keys, t.cnt, t.size, h, a, valid, mode=st.OR,
                 create=True, packable=t._packable)
