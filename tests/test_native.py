@@ -43,10 +43,16 @@ def assert_stream_equal(path, chunk_size, k, min_len=0, with_meta=True):
         assert p.n_bases == n.n_bases
         np.testing.assert_array_equal(p.codes, n.codes)
         if with_meta:
-            np.testing.assert_array_equal(p.seq_id, n.seq_id)
-            np.testing.assert_array_equal(p.pos, n.pos)
+            if with_meta is True:
+                np.testing.assert_array_equal(p.seq_id, n.seq_id)
+                np.testing.assert_array_equal(p.pos, n.pos)
             assert p.seq_names == n.seq_names
             assert p.seq_lens == n.seq_lens
+            # record-piece meta (gid, len, start cell, src offset, take)
+            for f in ("rec_gid", "rec_len", "rec_start", "rec_off0",
+                      "rec_take"):
+                np.testing.assert_array_equal(
+                    getattr(p, f), getattr(n, f), err_msg=f)
 
 
 @pytest.fixture(scope="module")
@@ -87,6 +93,17 @@ def test_ragged_no_filter(data):
 
 def test_halo_splits(data):
     assert_stream_equal(data / "long.fa", 1031, 31)
+
+
+def test_records_meta_level(data):
+    """with_meta="records": piece arrays match the Python packer on
+    ragged + halo-splitting inputs, with no per-position arrays."""
+    assert_stream_equal(data / "ragged.fa", 2000, 17,
+                        with_meta="records")
+    assert_stream_equal(data / "long.fa", 4096, 31, with_meta="records")
+    n = next(iter(native.NativePackReader(data / "reads.fa", 4096, 17,
+                                          with_meta="records")))
+    assert n.seq_id is None and n.pos is None
 
 
 def test_no_meta(data):
