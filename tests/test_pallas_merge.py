@@ -147,3 +147,50 @@ def test_bloom_gated_pmerge_matches_xla_step():
     want = st.merge_batch(tk, tc, sz, hs, add, vv, mode=st.ADD,
                           create=True, packable=True)
     check(got, want)
+
+
+def run_lookup(tpairs, batch, valid, cap):
+    from yak_tpu.ops.countstep import lookup_pallas
+
+    tk = np.zeros(cap, np.uint64)
+    tc = np.full(cap, -1, np.int32)
+    hs, cs = tpairs
+    order = np.argsort(hs)
+    tk[:len(hs)] = hs[order]
+    tc[:len(hs)] = cs[order]
+    args = (jnp.asarray(tk), jnp.asarray(tc), jnp.int32(len(hs)),
+            jnp.asarray(batch), jnp.asarray(valid))
+    got = lookup_pallas(*args, interpret=True)
+    want = st.lookup(*args, packable=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_lookup_join_basic():
+    rng = np.random.default_rng(10)
+    space = rng.integers(0, 1 << 62, 60000, dtype=np.uint64)
+    hs = rng.choice(space, size=9000, replace=False).astype(np.uint64)
+    cs = rng.integers(0, 1024, 9000).astype(np.int32)
+    batch = rng.choice(space, size=20000, replace=True).astype(np.uint64)
+    valid = rng.random(20000) < 0.95
+    run_lookup((hs, cs), batch, valid, 1 << 14)
+
+
+def test_lookup_join_dups_and_misses():
+    """Heavy duplicate queries spanning tiles, plus all-absent and
+    all-invalid stretches."""
+    rng = np.random.default_rng(11)
+    hot = np.uint64(777777)
+    batch = np.full(20000, hot, np.uint64)
+    batch[15000:18000] = rng.integers(0, 1 << 62, 3000, dtype=np.uint64)
+    valid = np.ones(20000, bool)
+    valid[18000:] = False
+    hs = np.array([hot, 42], np.uint64)
+    cs = np.array([1023, 7], np.int32)
+    run_lookup((hs, cs), batch, valid, 1 << 14)
+
+
+def test_lookup_join_empty_table():
+    rng = np.random.default_rng(12)
+    batch = rng.integers(0, 1 << 62, 12000, dtype=np.uint64)
+    run_lookup((np.zeros(0, np.uint64), np.zeros(0, np.int32)),
+               batch, np.ones(12000, bool), 1 << 14)

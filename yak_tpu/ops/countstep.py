@@ -134,11 +134,17 @@ def _pmerge_prep_impl(tkeys, tcnt, size, h, add, valid, unit_adds=False):
 
 
 def _pmerge_prep_core(thi, tlo, tw, size, cap, h, add, valid, unit_adds,
-                      lo_has_stream_bit):
+                      lo_has_stream_bit, payload=None, lookup=False):
     """Shared prep: complement-sort the batch (descending keys with no
     flip pass), split to u32 planes, and run the merge-path diagonal
     search over (table planes, sorted batch).  Table planes pass through
     raw — all masking happens in-kernel (ops/pallas_merge V2 contract).
+
+    lookup=True: INVALID query lanes get the distinct sub-INF key
+    ...FFFD (they must still emit -1 at their original index; exact INF
+    marks window pads the kernel drops); `payload` (the original lane
+    index) sorts alongside and is returned as a 9th element for the
+    order-restoring sort after the kernel.
     """
     from yak_tpu.ops.pallas_merge import T as _T, _WA
 
@@ -149,12 +155,21 @@ def _pmerge_prep_core(thi, tlo, tw, size, cap, h, add, valid, unit_adds,
     # the positional merge-path slice even with heavy key duplication.
     # Complement trick: sorting ~pk ascending IS pk descending — the
     # split pass below re-complements, so no flip pass ever runs.
+    inval_xs = jnp.uint64(2) if lookup else jnp.uint64(0)
     xs = jnp.where(valid, ~((h << jnp.uint64(1)) | jnp.uint64(1)),
-                   jnp.uint64(0))
+                   inval_xs)
     Bpad = max(-(-max(B, _WA) // 1024) * 1024, _WA)
     if Bpad != B:
         xs = jnp.concatenate([xs, jnp.zeros(Bpad - B, jnp.uint64)])
-    if unit_adds:
+    pay = None
+    if payload is not None:
+        p_in = payload.astype(jnp.int32)
+        if Bpad != B:
+            p_in = jnp.concatenate(
+                [p_in, jnp.full(Bpad - B, -1, jnp.int32)])
+        xs, pay = jax.lax.sort((xs, p_in), num_keys=1, is_stable=False)
+        bw = None
+    elif unit_adds:
         (xs,) = jax.lax.sort((xs,), num_keys=1, is_stable=False)
         bw = None
     else:
@@ -199,6 +214,8 @@ def _pmerge_prep_core(thi, tlo, tw, size, cap, h, add, valid, unit_adds,
         hi_b = jnp.where(active & ~pred, m, hi_b)
     a_starts = lo_b.astype(jnp.int32)
     size_s = jnp.minimum(size, cap).reshape(1).astype(jnp.int32)
+    if payload is not None:
+        return a_starts, size_s, thi, tlo, tw, bhi, blo, bw, pay
     return a_starts, size_s, thi, tlo, tw, bhi, blo, bw
 
 
@@ -313,6 +330,52 @@ def finalize_compacted(khi, klo, v, cap):
     keys = ((khi.reshape(-1)[:cap].astype(jnp.uint64) << jnp.uint64(32))
             | klo.reshape(-1)[:cap].astype(jnp.uint64))
     return keys, v.reshape(-1)[:cap]
+
+
+@jax.jit
+def plookup_prep(tkeys, tcnt, size, h, valid):
+    """Prep for the merge-JOIN kernel (pallas_merge lookup mode): split
+    the sorted u64 table to raw planes, complement-sort the queries with
+    their original index riding as payload."""
+    cap = tkeys.shape[0]
+    shifted = tkeys << jnp.uint64(1)
+    thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h.shape[0],), 0)
+    return _pmerge_prep_core(thi, tlo, tcnt, size, cap, h, None, valid,
+                             unit_adds=True, lo_has_stream_bit=False,
+                             payload=idx, lookup=True)
+
+
+@partial(jax.jit, static_argnames=("B",))
+def plookup_post(ov, pay, B):
+    """Join-kernel epilogue: the kernel emits one value per query lane
+    in ascending-key order; `pay` holds the original indices in the
+    DESCENDING sort order with the pad block at the front, so the
+    ascending index stream is flip(pay[-B:]).  One single-key u64 sort
+    of idx<<11|val+1 restores original order."""
+    vals_asc = ov.reshape(-1)[:B]
+    idx_asc = jnp.flip(pay[pay.shape[0] - B:])
+    rk = ((idx_asc.astype(jnp.uint64) << jnp.uint64(11))
+          | (vals_asc + 1).astype(jnp.uint64))
+    (rk,) = jax.lax.sort((rk,), num_keys=1, is_stable=False)
+    return (rk & jnp.uint64(0x7FF)).astype(jnp.int32) - 1
+
+
+def lookup_pallas(tkeys, tcnt, size, h, valid, interpret=False):
+    """Per-lane table lookup via the Pallas merge-path JOIN: the sorted
+    table is streamed ONCE against the sorted queries (no concat
+    re-sort of table+batch).  Must be called OUTSIDE jit (the kernel
+    dispatch flips the x64 flag).  Returns i32 counts, -1 absent, in
+    original query order (yak_ch_get semantics, htab.c:80-100)."""
+    from yak_tpu.ops import pallas_merge
+
+    B = h.shape[0]
+    cap = tkeys.shape[0]
+    *args8, pay = plookup_prep(tkeys, tcnt, size, h, valid)
+    out = pallas_merge.merge_reduce(*args8, Na=cap, Nb=B,
+                                    interpret=interpret, lookup=True)
+    return plookup_post(out[2], pay, B)
 
 
 @lru_cache(maxsize=None)

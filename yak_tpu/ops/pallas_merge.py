@@ -152,7 +152,8 @@ def _butterfly_compact(keep, planes):
     return planes
 
 
-def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid):
+def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid,
+                 lookup=False):
     """Kernel closure over static (Na = table cap lanes, Nb = REAL batch
     lanes, physical plane lengths na_len/nb_len, create flag, unit =
     batch weights are implicitly 1 (no Bw plane), grid length).
@@ -225,14 +226,23 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid):
                             jnp.int32(T), head_n=-q0)
         if unit:
             bh, bl = bwin
-            bw = jnp.where(bh < jnp.uint32(1 << 31), 1, 0)
+            # count: each batch lane adds 1; lookup: queries weigh 0
+            # (only the table's cnt+1 flows through the run sum)
+            bw = jnp.zeros_like(aw) if lookup else \
+                jnp.where(bh < jnp.uint32(1 << 31), 1, 0)
         else:
             bh, bl, bw = bwin
         # A lanes carry raw (hash<<1|stream, value): clear the stream
         # bit (ties must prefer the table stream) and tag table presence
         al = al & jnp.uint32(0xFFFFFFFE)
         a_real = ah < jnp.uint32(1 << 31)
-        aw = jnp.where(a_real, aw | jnp.int32(1 << _TBIT), 0)
+        if lookup:
+            # LOOKUP mode: table value rides as cnt+1; the run's
+            # inclusive segmented sum propagates it to every query lane
+            # of the run (queries carry weight 0)
+            aw = jnp.where(a_real, aw + 1, 0)
+        else:
+            aw = jnp.where(a_real, aw | jnp.int32(1 << _TBIT), 0)
 
         # cross-stream min-exchange: bwin[i] = B_asc[b_t + T-1-i]
         selb = _less(bh, bl, ah, al)
@@ -269,16 +279,26 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid):
         cont = (fi < first_start) & real & (carry_open == 1)
         v = v + jnp.where(cont, st[3], 0)
 
-        ns = _shl(start.astype(jnp.int32), 1, jnp.int32(0))
-        end = real & (ns != 0)
-        has_tab = (v >> _TBIT) > 0
-        val = jnp.minimum(v & _VMASK, 1023)
-        if create:
-            keep = end
+        if lookup:
+            # every query lane emits its own value (v-1: absent -> -1,
+            # cnt otherwise); window pads (exact INF) never emit, but
+            # INVALID queries (key ...FFFD, still batch-tagged) do
+            is_pad = (hi == _INF) & (lo == _INF)
+            keep = ((lo & jnp.uint32(1)) != 0) & ~is_pad
+            val = v - 1
+            kept = jnp.sum(keep.astype(jnp.int32))
+            created = jnp.int32(0)
         else:
-            keep = end & has_tab
-        kept = jnp.sum(keep.astype(jnp.int32))
-        created = jnp.sum((keep & ~has_tab).astype(jnp.int32))
+            ns = _shl(start.astype(jnp.int32), 1, jnp.int32(0))
+            end = real & (ns != 0)
+            has_tab = (v >> _TBIT) > 0
+            val = jnp.minimum(v & _VMASK, 1023)
+            if create:
+                keep = end
+            else:
+                keep = end & has_tab
+            kept = jnp.sum(keep.astype(jnp.int32))
+            created = jnp.sum((keep & ~has_tab).astype(jnp.int32))
 
         # carried-run bookkeeping (lane T-1 never emits locally);
         # Mosaic only extracts 32-bit scalars, so cast the bool
@@ -288,7 +308,7 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid):
         last_sum = v[_R - 1, 127]
         c0s = (carry_open == 1) & (hi[0, 0] == ck[0]) & (lo_id[0, 0] == ck[1])
         c_tab = (st[3] >> _TBIT) > 0
-        c_keep = True if create else c_tab
+        c_keep = False if lookup else (True if create else c_tab)
         inject = ((carry_open == 1) & ~c0s & c_keep).astype(jnp.int32)
         inj_hi = ck[0]
         inj_lo = ck[1]
@@ -342,13 +362,13 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid):
 
 @lru_cache(maxsize=None)
 def _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create, unit,
-                interpret):
+                interpret, lookup=False):
     """Build the pallas_call for static (table cap lanes, real batch
     lanes, padded batch lanes, physical input rows, create, unit)."""
     grid = (Na + Nb_real) // T + 1
     out_rows = (grid * T + S) // 128
     kernel = _make_kernel(Na, Nb_pad, a_rows * 128, b_rows * 128,
-                          create, unit, grid)
+                          create, unit, grid, lookup=lookup)
 
     win = [
         pltpu.VMEM((2, _WR, 128), jnp.uint32),
@@ -403,7 +423,7 @@ def _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create, unit,
 
 
 def merge_reduce(a_starts, size_s, thi, tlo, tw, bhi, blo, bw, Na,
-                 Nb, create=True, interpret=False):
+                 Nb, create=True, interpret=False, lookup=False):
     """Run the merge-reduce kernel on prepped planes
     (countstep._pmerge_prep_core).
 
@@ -425,7 +445,7 @@ def merge_reduce(a_starts, size_s, thi, tlo, tw, bhi, blo, bw, Na,
     jax.config.update("jax_enable_x64", False)
     try:
         call = _merge_call(Na, Nb, b_rows * 128, a_rows, b_rows,
-                           create, unit, interpret)
+                           create, unit, interpret, lookup=lookup)
         if unit:
             return call(a_starts, size_s, thi, tlo, tw, bhi, blo)
         return call(a_starts, size_s, thi, tlo, tw, bhi, blo, bw)
