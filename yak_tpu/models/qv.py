@@ -126,11 +126,14 @@ def _run_qv_fused(opt, fn, table, out):
     the default path has ZERO per-chunk transfers back and the chunk
     steps pipeline like the count path.  -p additionally fetches the
     per-seg scalars per chunk for the SQ lines."""
+    import jax
     import jax.numpy as jnp
 
     from yak_tpu.io.chunks import ChunkSource
     from yak_tpu.io.pack import pack_planes
-    from yak_tpu.ops.countstep import get_qv_step
+    from yak_tpu.ops import pallas_compact, pallas_merge
+    from yak_tpu.ops.countstep import (get_qv_join_post, get_qv_join_pre,
+                                       get_qv_step)
 
     import os
     import time as _time
@@ -139,6 +142,16 @@ def _run_qv_fused(opt, fn, table, out):
 
     k = table.k
     table.flush()
+    # Pallas merge-path JOIN (YAK_TPU_JOIN=1): the sorted table streams
+    # through the kernel once instead of re-sorting with the batch.
+    # The kernel alone beats the XLA sorted join 80ms vs 138ms/chunk,
+    # but the 3-dispatch split costs ~400ms/chunk in per-dispatch
+    # latency through THIS dev tunnel, so it loses end-to-end here;
+    # on directly-attached TPUs (us dispatch) it should win — default
+    # off until measured there.
+    use_join = (k <= 31 and pallas_compact.enabled()
+                and jax.default_backend() == "tpu"
+                and os.environ.get("YAK_TPU_JOIN", "0") == "1")
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     cnt_d = jnp.zeros(YAK_N_COUNTS, jnp.int64)
@@ -189,15 +202,28 @@ def _run_qv_fused(opt, fn, table, out):
         meta[2 * ns + 1:] = (head_end, inc_start, j_inc, int(head_elig))
         T["host"] += _time.time() - _t0
         _t0 = _time.time()
-        step = get_qv_step(k, ns, planes_L=packed.codes.shape[0],
-                           min_frac=float(opt.min_frac))
         pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
         T["pack"] += _time.time() - _t0
         _t0 = _time.time()
-        cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = step(
-            pl3, jnp.asarray(meta),
-            cnt_d, c_tot, c_non0, c_hist,
-            table.keys, table.cnt, table.size)
+        if use_join:
+            Mw = chunk - k + 1
+            pre = get_qv_join_pre(k, packed.codes.shape[0])
+            *args8, pay, vflat = pre(pl3, table.keys, table.cnt,
+                                     table.size)
+            out = pallas_merge.merge_reduce(
+                *args8, Na=table.cap, Nb=Mw, lookup=True)
+            post = get_qv_join_post(k, ns, Mw,
+                                    min_frac=float(opt.min_frac))
+            cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = post(
+                out[2], pay, vflat, jnp.asarray(meta),
+                cnt_d, c_tot, c_non0, c_hist)
+        else:
+            step = get_qv_step(k, ns, planes_L=packed.codes.shape[0],
+                               min_frac=float(opt.min_frac))
+            cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = step(
+                pl3, jnp.asarray(meta),
+                cnt_d, c_tot, c_non0, c_hist,
+                table.keys, table.cnt, table.size)
 
         if opt.print_each:
             # host mirror of the totals for the SQ lines (sync per

@@ -423,7 +423,23 @@ def get_qv_step(k, ns, planes_L=None, min_frac=0.5):
         else:
             vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                                   valid.reshape(-1), packable=False)
-        has = valid.reshape(-1)
+        return _qv_reduce(vals, valid.reshape(-1), meta, cnt, c_tot,
+                          c_non0, c_hist, ns, M, min_frac)
+
+    return step
+
+
+def _qv_reduce(vals, has, meta, cnt, c_tot, c_non0, c_hist, ns, M,
+               min_frac):
+    """The qv per-chunk reduction + device-resident fold (shared by the
+    fused step and the Pallas-join post step); see get_qv_step."""
+    bounds = meta[:ns + 1]
+    elig = meta[ns + 1:2 * ns + 1] != 0
+    head_end = meta[2 * ns + 1]
+    inc_start = meta[2 * ns + 2]
+    j_inc = meta[2 * ns + 3]
+    head_elig = meta[2 * ns + 4] != 0
+    if True:
         non0m = has & (vals > 0)
         z = jnp.zeros(1, jnp.int32)
         ch = jnp.concatenate([z, jnp.cumsum(has.astype(jnp.int32))])
@@ -480,7 +496,44 @@ def get_qv_step(k, ns, planes_L=None, min_frac=0.5):
         c_hist = jnp.where(new_active, n_hist, 0)
         return cnt, c_tot, c_non0, c_hist, tot, non0
 
-    return step
+
+@lru_cache(maxsize=None)
+def get_qv_join_pre(k, planes_L):
+    """Pallas-join qv, phase 1 (one jit): extract + the join prep
+    (plookup_prep) in a single program; also returns the flat window
+    validity for the post phase."""
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def pre(codes, tkeys, tcnt, size):
+        h, valid = ext((codes[0], codes[1], codes[2]))
+        hflat, vflat = h.reshape(-1), valid.reshape(-1)
+        cap = tkeys.shape[0]
+        shifted = tkeys << jnp.uint64(1)
+        thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (hflat.shape[0],), 0)
+        prep = _pmerge_prep_core(thi, tlo, tcnt, size, cap, hflat, None,
+                                 vflat, unit_adds=True,
+                                 lo_has_stream_bit=False, payload=idx,
+                                 lookup=True)
+        return prep + (vflat,)
+
+    return pre
+
+
+@lru_cache(maxsize=None)
+def get_qv_join_post(k, ns, M, min_frac=0.5):
+    """Pallas-join qv, phase 3 (one jit): restore query order from the
+    kernel's dense value stream, then the shared reduction/fold."""
+
+    @jax.jit
+    def post(ov, pay, valid, meta, cnt, c_tot, c_non0, c_hist):
+        vals = plookup_post(ov, pay, B=M)
+        return _qv_reduce(vals, valid, meta, cnt, c_tot, c_non0,
+                          c_hist, ns, M, min_frac)
+
+    return post
 
 
 @lru_cache(maxsize=None)
