@@ -56,8 +56,9 @@ def pack_chunks(reads):
 
 def run_count(chunks, KmerTable):
     # cap 2^23 preallocated (no growth -> one stable fused-step shape);
-    # groups of 3 chunks (~12.6M lanes) -> 5 identical fused dispatches
-    table = KmerTable(K, cap_log2=23, flush_lanes=1 << 23)
+    # groups of 4 chunks (~16.8M lanes) -> 4 fused dispatches (best of
+    # the measured G sweep: fewer table rescans vs sort superlinearity)
+    table = KmerTable(K, cap_log2=23, flush_lanes=4 * 4194281)
     for c in chunks:
         table.insert_codes(c)
     table.flush()
