@@ -92,3 +92,30 @@ def test_invalid_lanes_ignored():
     t.insert_hashes(h, v)
     got_h, _ = t.items()
     assert sorted(int(x) for x in got_h) == [5, 7]
+
+
+def test_pmerge_overflow_replay_keeps_cap(monkeypatch):
+    """Overflow replay under the pmerge engine must leave self.cap in
+    sync with the grown table (round-1 regression: _check_last_step grew
+    a local state but self.cap stayed stale, so the next materialize
+    truncated the merged table and silently dropped keys).  Runs the
+    Pallas merge-reduce kernel in interpret mode on CPU."""
+    rng = np.random.default_rng(31)
+    k = 21
+    chunks = [rng.integers(0, 4, size=8192).astype(np.uint8)
+              for _ in range(3)]
+
+    t_ref = KmerTable(k, cap_log2=14, cap_hinted=True, flush_lanes=8192)
+    for c in chunks:
+        t_ref.insert_codes(c)
+    href, cref = t_ref.items()
+
+    monkeypatch.setenv("YAK_TPU_PMERGE_INTERPRET", "1")
+    t = KmerTable(k, cap_log2=14, cap_hinted=True, flush_lanes=8192)
+    for c in chunks:
+        t.insert_codes(c)
+    h, cnt = t.items()
+    assert t.cap > (1 << 14)        # the replay really grew
+    assert len(h) == len(href) > (1 << 14)
+    np.testing.assert_array_equal(h, href)
+    np.testing.assert_array_equal(cnt, cref)

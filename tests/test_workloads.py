@@ -109,6 +109,60 @@ def test_qv_err_kmers_min_len(qvdata):
                  qvdata / "asm.fa"]) == ref
 
 
+@pytest.fixture(scope="session")
+def ztake(tmp_path_factory):
+    """A record header landing in a chunk's last k-1 cells: at -K16384
+    with k=21, seqA fills cells [0,16370) plus its separator, leaving 13
+    (< k) free cells — seqB's first piece in that chunk takes ZERO bases
+    and opens a zero-window carry (round-1 regression: the fused qv fold
+    deactivated the carry and dropped seqB's whole histogram)."""
+    d = tmp_path_factory.mktemp("ztake")
+    rng = np.random.default_rng(77)
+    g = make_genome(rng, 40000)
+    to_fasta(d / "reads.fa", mutate_reads(rng, g, 8000, 100, err=0.005))
+    to_fasta(d / "z.fa", [g[:16370], g[16370:30000]], names=["sA", "sB"])
+    run_oracle(["count", "-k21", "-K2000000", "-o", d / "t.yak",
+                d / "reads.fa"])
+    return d
+
+
+def test_qv_zero_take_record(ztake):
+    ref = run_oracle(["qv", ztake / "t.yak", ztake / "z.fa"])
+    assert ours(["qv", "-K16384", ztake / "t.yak", ztake / "z.fa"]) == ref
+
+
+def test_qv_zero_take_record_print_each(ztake):
+    ref = run_oracle(["qv", "-p", "-t1", ztake / "t.yak", ztake / "z.fa"])
+    assert ours(["qv", "-p", "-K16384", ztake / "t.yak",
+                 ztake / "z.fa"]) == ref
+
+
+def test_qv_join_print_each_interpret(trio, monkeypatch):
+    """The Pallas merge-JOIN qv path combined with -p (round-1
+    regression: the kernel result shadowed the output stream and -p
+    crashed).  Runs the kernel in interpret mode on CPU."""
+    monkeypatch.setenv("YAK_TPU_JOIN_INTERPRET", "1")
+    ref = run_oracle(["qv", "-p", "-t1", trio / "pat.yak",
+                      trio / "child.fa"])
+    assert ours(["qv", "-p", "-K16384", trio / "pat.yak",
+                 trio / "child.fa"]) == ref
+
+
+def test_chkerr_marker_overflow_fallback(trio, monkeypatch):
+    """When a chunk's low-count run markers exceed the device budget the
+    driver must fall back to the per-position scan for that chunk, not
+    die (chkerr.c degrades the same way: it always sees every run)."""
+    from yak_tpu.ops import countstep
+    ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
+    countstep.get_chkerr_step.cache_clear()
+    monkeypatch.setattr(countstep, "CHKERR_MAX_RUNS", 1)
+    try:
+        assert ours(["chkerr", "-K16384", trio / "pat.yak",
+                     trio / "child.fa"]) == ref
+    finally:
+        countstep.get_chkerr_step.cache_clear()
+
+
 def test_inspect_single(trio):
     ref = run_oracle(["inspect", trio / "pat.yak"])
     assert ours(["inspect", trio / "pat.yak"]) == ref

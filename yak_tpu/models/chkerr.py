@@ -60,12 +60,26 @@ def main_chkerr(opt, table, seq_fn, out=None):
         key_d, n_d = step(pl3, table.keys, table.cnt, table.size)
         n = int(n_d)
         if n > CHKERR_MAX_RUNS:
-            raise RuntimeError(
-                f"chkerr: {n} low-count runs in one chunk exceeds the "
-                f"device marker budget; lower -K or raise min_cnt")
-        keys = np.asarray(key_d)[:n]
-        lanes = (keys >> np.uint64(24)).astype(np.int64)
-        lens = (keys & np.uint64((1 << 24) - 1)).astype(np.int64)
+            # marker overflow (low-coverage table vs a large input):
+            # re-run this chunk through the per-position scan step and
+            # find the run ends on host — same (lane, len) pairs, just
+            # a full value-stream transfer instead of sparse markers
+            from yak_tpu.ops.countstep import get_scan_step
+            sstep = get_scan_step(k, planes_L=packed.codes.shape[0])
+            vals = np.asarray(sstep(pl3, table.keys, table.cnt,
+                                    table.size)).reshape(-1)
+            low = (vals > -2) & (vals < opt.min_cnt)
+            lane = np.arange(len(low), dtype=np.int64)
+            last_high = np.maximum.accumulate(np.where(low, -1, lane))
+            is_end = low & ~np.append(low[1:], False)
+            lanes = lane[is_end]
+            lens = lanes - last_high[is_end]
+            n = len(lanes)
+        else:
+            keys = np.asarray(key_d)[:n]
+            lanes = (keys >> np.uint64(24)).astype(np.int64)
+            lens = (keys & np.uint64((1 << 24) - 1)).astype(np.int64)
+            n = len(keys)
 
         starts = np.minimum(packed.rec_start, M)
         seg_of = np.searchsorted(starts, lanes, side="right") - 1

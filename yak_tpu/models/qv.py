@@ -149,9 +149,10 @@ def _run_qv_fused(opt, fn, table, out):
     # latency through THIS dev tunnel, so it loses end-to-end here;
     # on directly-attached TPUs (us dispatch) it should win — default
     # off until measured there.
-    use_join = (k <= 31 and pallas_compact.enabled()
-                and jax.default_backend() == "tpu"
-                and os.environ.get("YAK_TPU_JOIN", "0") == "1")
+    join_interp = os.environ.get("YAK_TPU_JOIN_INTERPRET", "0") == "1"
+    use_join = k <= 31 and (join_interp or (
+        pallas_compact.enabled() and jax.default_backend() == "tpu"
+        and os.environ.get("YAK_TPU_JOIN", "0") == "1"))
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     cnt_d = jnp.zeros(YAK_N_COUNTS, jnp.int64)
@@ -195,11 +196,12 @@ def _run_qv_fused(opt, fn, table, out):
         head_elig = (packed.seq_lens[carry_gi] >= opt.min_len) \
             if has_head else True
         ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
-        meta = np.full(2 * ns + 5, M, np.int32)
+        meta = np.full(2 * ns + 6, M, np.int32)
         meta[:nseq] = starts
         meta[ns + 1:2 * ns + 1] = 0
         meta[ns + 1:ns + 1 + nseq] = packed.rec_len >= opt.min_len
-        meta[2 * ns + 1:] = (head_end, inc_start, j_inc, int(head_elig))
+        meta[2 * ns + 1:] = (head_end, inc_start, j_inc, int(head_elig),
+                             int(continues))
         T["host"] += _time.time() - _t0
         _t0 = _time.time()
         pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
@@ -210,12 +212,13 @@ def _run_qv_fused(opt, fn, table, out):
             pre = get_qv_join_pre(k, packed.codes.shape[0])
             *args8, pay, vflat = pre(pl3, table.keys, table.cnt,
                                      table.size)
-            out = pallas_merge.merge_reduce(
-                *args8, Na=table.cap, Nb=Mw, lookup=True)
+            kout = pallas_merge.merge_reduce(
+                *args8, Na=table.cap, Nb=Mw, lookup=True,
+                interpret=join_interp)
             post = get_qv_join_post(k, ns, Mw,
                                     min_frac=float(opt.min_frac))
             cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = post(
-                out[2], pay, vflat, jnp.asarray(meta),
+                kout[2], pay, vflat, jnp.asarray(meta),
                 cnt_d, c_tot, c_non0, c_hist)
         else:
             step = get_qv_step(k, ns, planes_L=packed.codes.shape[0],

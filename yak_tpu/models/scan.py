@@ -120,12 +120,13 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
                 sums = [a + b for a, b in zip(carry[1], sums)]
                 carry = None
             if j == nseq - 1 and continues:
-                carry = [gi, sums]
+                carry = [gi, sums, packed.seq_names[gi],
+                         int(packed.rec_len[j])]
             else:
                 yield (packed.seq_names[gi], int(packed.rec_len[j]),
                        tuple(sums))
     if carry is not None:
-        yield (packed.seq_names[carry[0]], None, tuple(carry[1]))
+        yield (carry[2], carry[3], tuple(carry[1]))
 
 
 def scan_file(fn, table, chunk_size, on_progress=None):

@@ -246,9 +246,11 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
             else:
                 close(S[-1], t_typ, t_len)
         if continues:
-            carry = [int(packed.rec_gid[-1]), S[-1],
+            gi_c = int(packed.rec_gid[-1])
+            carry = [gi_c, S[-1],
                      open_out[0] if open_out else 0,
-                     open_out[1] if open_out else 0]
+                     open_out[1] if open_out else 0,
+                     packed.seq_names[gi_c], int(packed.rec_len[-1])]
 
         # vectorized classify + row formatting for all completed segs
         j_hi = nseq - 1 if continues else nseq
@@ -273,9 +275,11 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         print("[trio-debug]", {a: round(b, 2) for a, b in T.items()},
               file=_sys.stderr)
     if carry is not None:
-        gi = carry[0]
+        # unreachable with the current packer (a continuing record
+        # always yields a following chunk), but emit the REAL name and
+        # length if a future packer ever ends the stream mid-carry
         close(carry[1], carry[2], carry[3])
-        _emit_triobin_row(bo, opt, k, str(gi), 0, carry[1])
+        _emit_triobin_row(bo, opt, k, carry[4], carry[5], carry[1])
     bo.flush()
 
 

@@ -406,15 +406,9 @@ def get_qv_step(k, ns, planes_L=None, min_frac=0.5):
     @jax.jit
     def step(codes, meta, cnt, c_tot, c_non0, c_hist,
              tkeys, tcnt, size):
-        # meta i32[2*ns+5]: bounds[ns+1], elig[ns], head_end, inc_start,
-        # j_inc, head_elig — ONE h2d transfer (small-array transfers
-        # each cost a full tunnel roundtrip)
-        bounds = meta[:ns + 1]
-        elig = meta[ns + 1:2 * ns + 1] != 0
-        head_end = meta[2 * ns + 1]
-        inc_start = meta[2 * ns + 2]
-        j_inc = meta[2 * ns + 3]
-        head_elig = meta[2 * ns + 4] != 0
+        # meta i32[2*ns+6]: bounds[ns+1], elig[ns], head_end, inc_start,
+        # j_inc, head_elig, cont — ONE h2d transfer (small-array
+        # transfers each cost a full tunnel roundtrip)
         h, valid = ext((codes[0], codes[1], codes[2]))
         M = h.shape[0] * h.shape[1]
         if packable:
@@ -439,6 +433,7 @@ def _qv_reduce(vals, has, meta, cnt, c_tot, c_non0, c_hist, ns, M,
     inc_start = meta[2 * ns + 2]
     j_inc = meta[2 * ns + 3]
     head_elig = meta[2 * ns + 4] != 0
+    cont = meta[2 * ns + 5] != 0
     if True:
         non0m = has & (vals > 0)
         z = jnp.zeros(1, jnp.int32)
@@ -487,7 +482,11 @@ def _qv_reduce(vals, has, meta, cnt, c_tot, c_non0, c_hist, ns, M,
         g_c = ~(non0_c.astype(jnp.float64)
                 < tot_c.astype(jnp.float64) * min_frac) & head_elig
         cnt = cnt + hg + jnp.where(settle & g_c, c_hist + hh, 0)
-        new_active = (inc_start < M) | mid
+        # the explicit host flag, NOT (inc_start < M): a record header
+        # landing in the chunk's last k-1 cells yields a zero-window
+        # tail piece with inc_start == M whose carry must still open
+        # (with zero totals) so the next chunk's head settles against it
+        new_active = cont | mid
         n_tot = jnp.where(mid, tot_c, tot[j_inc])
         n_non0 = jnp.where(mid, non0_c, non0[j_inc])
         n_hist = jnp.where(mid, c_hist + hi_, hi_)

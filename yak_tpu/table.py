@@ -239,6 +239,13 @@ class KmerTable:
         """
         import os
 
+        if (os.environ.get("YAK_TPU_PMERGE_INTERPRET", "0") == "1"
+                and self._packable):
+            # test hook: run the full pmerge path with the Pallas kernel
+            # in interpret mode (CPU engine-parity and replay tests)
+            self._interp = True
+            return "pmerge"
+        self._interp = False
         forced = os.environ.get("YAK_TPU_ENGINE", "auto")
         if forced == "xla" or not self._packable \
                 or not pallas_compact.enabled():
@@ -277,7 +284,8 @@ class KmerTable:
             B = G * (rmajor_lanes(L) if isinstance(codes, tuple)
                      else L - self.k + 1)
             out = pallas_merge.merge_reduce(
-                *prep, Na=cap, Nb=B, create=self._pend_create)
+                *prep, Na=cap, Nb=B, create=self._pend_create,
+                interpret=getattr(self, "_interp", False))
             self._plane_state = out
             return pmerge_overflow(out[3], cap)
         args = (carg,) + targs + ((bf,) if use_bf else ())
@@ -314,6 +322,11 @@ class KmerTable:
                 keys, cnt, size, bf = prev
             keys, cnt, size = st.grow(keys, cnt, size, 2 * keys.shape[0])
             prev = (keys, cnt, size, bf)
+            # the pmerge branch of _run_step leaves the result in
+            # _plane_state and never touches self.keys — assign the
+            # grown state HERE so self.cap reflects the new capacity
+            # (finalize_pmerge/get_count_step_pmerge_planes read it)
+            self.keys, self.cnt, self.size = keys, cnt, size
             self._plane_state = None
             ovf = self._run_step(step, codes, prev, use_bf, mode)
 
