@@ -4,8 +4,13 @@ The key invariant (SURVEY §2.3.4 generalized): N-chip output must equal
 1-chip output exactly — the all_to_all hash routing gives each chip a
 disjoint hash subspace, so the union of per-chip tables is the same
 (hash, count) set regardless of topology, and the positional-shard .yak
-dump is byte-identical.
+dump is byte-identical.  This holds for the Bloom-gated pass too (the
+per-chip filter slices hold bit-identical per-shard contents when batch
+windows align) and for the fused qv fold (whose carry chain is
+sequential regardless of which chip reduced each chunk).
 """
+
+import io
 
 import numpy as np
 import pytest
@@ -13,8 +18,9 @@ import pytest
 import jax
 
 import util
-from yak_tpu.models.count import CountOpts, count_file
-from yak_tpu.parallel.mesh import make_mesh, count_file_mesh
+from yak_tpu.models.count import CountOpts, count, count_file
+from yak_tpu.parallel.mesh import (make_mesh, count_file_mesh, count_mesh,
+                                   MeshTable)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +67,97 @@ def test_mesh_histogram_matches(data):
     np.testing.assert_array_equal(single.hist(), sharded.hist())
 
 
+def test_mesh_bloom_two_pass_equals_single(data):
+    """The full -b protocol on the mesh (per-chip Bloom slices, clear,
+    pass-2 increment-only, shrink) == single-chip == exact counts >= 2.
+    flush_lanes aligns the single-chip fold group to n_dev chunks so
+    even the Bloom gating batches see identical key windows."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    n_dev = 4
+    chunk = 1 << 14
+    opt = CountOpts(k=17, chunk_size=chunk, cap_log2=12, bf_shift=20)
+    files = [str(data / "reads.fa")]
+
+    from yak_tpu.table import KmerTable
+    single = KmerTable(opt.k, opt.pre, cap_log2=opt.cap_log2,
+                       bf_n_hash=opt.bf_n_hash, bf_shift=opt.bf_shift,
+                       flush_lanes=n_dev * (chunk - opt.k + 1))
+    assert single.bf is not None
+    from yak_tpu.io.chunks import ChunkSource
+    for packed in ChunkSource(files[0], chunk, opt.k, min_len=opt.k,
+                              with_meta=False):
+        single.insert_codes(packed.codes)
+    single.destroy_bf()
+    single.clear_counts()
+    for packed in ChunkSource(files[0], chunk, opt.k, min_len=opt.k,
+                              with_meta=False):
+        single.insert_codes(packed.codes, create_new=False)
+    single.shrink(2, 1023)
+
+    mesh = make_mesh(n_dev)
+    sharded = count_mesh(files, opt, mesh, cap_log2=14)
+    assert sharded.bf is None      # destroyed after pass 1
+
+    h1, c1 = single.items()
+    h2, c2 = sharded.items()
+    o1, o2 = np.argsort(h1), np.argsort(h2)
+    np.testing.assert_array_equal(h1[o1], h2[o2])
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+
+    # and equal to the exact spectrum restricted to counts >= 2
+    exact = count_file(str(data / "reads.fa"),
+                       CountOpts(k=17, chunk_size=chunk, cap_log2=12))
+    exact.shrink(2, 1023)
+    h3, c3 = exact.items()
+    o3 = np.argsort(h3)
+    np.testing.assert_array_equal(h1[o1], h3[o3])
+    np.testing.assert_array_equal(c1[o1], c3[o3])
+
+
+def test_mesh_growth_replay(data):
+    """A deliberately tiny per-chip capacity must grow via the
+    one-step-late replay, not raise, and still match single-chip."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+    sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh,
+                              cap_log2=10)
+    assert sharded.cap > (1 << 10)      # grew
+    h1, c1 = single.items()
+    h2, c2 = sharded.items()
+    o1, o2 = np.argsort(h1), np.argsort(h2)
+    np.testing.assert_array_equal(h1[o1], h2[o2])
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+
+
+def test_mesh_route_capacity_retry(data):
+    """A deliberately tiny all_to_all capacity must double-and-replay
+    (preserved pre-step state), not raise or corrupt."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from yak_tpu.parallel import mesh as meshmod
+
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+
+    orig = meshmod.default_route_cap
+    meshmod.default_route_cap = lambda M, n: 128   # way too small
+    try:
+        sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh,
+                                  cap_log2=14)
+    finally:
+        meshmod.default_route_cap = orig
+    h1, c1 = single.items()
+    h2, c2 = sharded.items()
+    o1, o2 = np.argsort(h1), np.argsort(h2)
+    np.testing.assert_array_equal(h1[o1], h2[o2])
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+
+
 def test_dryrun_entrypoints():
     import __graft_entry__ as ge
 
@@ -73,8 +170,8 @@ def test_dryrun_entrypoints():
 def test_mesh_lookup_matches_single(data):
     if len(jax.devices()) < 8:
         pytest.skip("not enough virtual devices")
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from yak_tpu.parallel.mesh import build_lookup_step
+    from yak_tpu.parallel.mesh import (_pack_group_planes,
+                                       build_lookup_step)
 
     opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
     single = count_file(str(data / "reads.fa"), opt)
@@ -88,9 +185,10 @@ def test_mesh_lookup_matches_single(data):
                      ).astype(np.uint8)
 
     step = build_lookup_step(mesh, opt.k, chunk)
-    sh = NamedSharding(mesh, P("d"))
-    dcodes = jax.device_put(jax.numpy.asarray(codes), sh)
-    vals, hasw, ovf = step(dcodes, sharded.keys, sharded.cnt, sharded.size)
+    planes = jax.device_put(
+        jax.numpy.asarray(_pack_group_planes(list(codes), chunk, 8)),
+        sharded.sh)
+    vals, hasw, ovf = step(planes, sharded.keys, sharded.cnt, sharded.size)
     assert int(np.asarray(ovf).max()) == 0
 
     from yak_tpu.ops.kmers import extract_kmer_hashes
@@ -105,7 +203,6 @@ def test_mesh_qv_matches_single(data, tmp_path):
     """Full qv report via the mesh-sharded scanner == single-table qv."""
     if len(jax.devices()) < 4:
         pytest.skip("not enough virtual devices")
-    import io
     from yak_tpu.models.qv import QvOpts, main_qv
     from yak_tpu.models.scan import scan_file_mesh
 
@@ -124,3 +221,31 @@ def test_mesh_qv_matches_single(data, tmp_path):
     main_qv(qopt, sharded, str(tmp_path / "asm.fa"), out=b,
             scan=scan_file_mesh)
     assert a.getvalue() == b.getvalue()
+
+
+def test_mesh_qv_fused_matches_single(data, tmp_path):
+    """The fused mesh qv fold (grouped shard_map reduction + device
+    carry chain) == the single-chip fused qv, including -p SQ rows and
+    chunk-spanning sequences that cross GROUP boundaries."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from yak_tpu.models.qv import QvOpts, main_qv
+
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+    sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh, cap_log2=14)
+
+    rng = np.random.default_rng(9)
+    g = util.make_genome(rng, 120_000)    # spans many 16k chunks
+    junk = util.make_genome(rng, 400)
+    util.to_fasta(tmp_path / "asm.fa",
+                  [g[:60_000], junk, g[60_000:], g[:300]],
+                  names=["c1", "junk", "c2", "tiny"])
+
+    for qopt in (QvOpts(chunk_size=1 << 14),
+                 QvOpts(print_each=True, chunk_size=1 << 14)):
+        a, b = io.StringIO(), io.StringIO()
+        main_qv(qopt, single, str(tmp_path / "asm.fa"), out=a)
+        main_qv(qopt, sharded, str(tmp_path / "asm.fa"), out=b)
+        assert a.getvalue() == b.getvalue()

@@ -96,12 +96,21 @@ def run_qv(opt, fn, table, out=None, scan=None):
     """Stream `fn` against `table`; returns the global occurrence-count
     vector cnt[1024] (yak_qv, qv.c:116-135).  SQ/EK lines go to `out`.
 
-    Default path: the fused device reduction (ops/countstep.get_qv_step)
-    — per-position values never leave the chip.  The per-position scan
-    path remains for -E (err-kmer positions) and for mesh-sharded tables
-    (pass scan=scan_file_mesh)."""
+    Default paths: the fused device reduction — per-position values
+    never leave the chip(s).  Single-chip tables use
+    ops/countstep.get_qv_step; mesh-sharded tables use the grouped
+    shard_map fold (parallel/mesh.build_qv_group_step).  The
+    per-position scan path remains for -E (err-kmer positions)."""
+    from yak_tpu.parallel.mesh import MeshTable
+
+    is_mesh = isinstance(table, MeshTable)
     if scan is None and not opt.print_err_kmer and table.k < 32:
+        if is_mesh:
+            return _run_qv_fused_mesh(opt, fn, table, out or sys.stdout)
         return _run_qv_fused(opt, fn, table, out or sys.stdout)
+    if scan is None and is_mesh:
+        from yak_tpu.models.scan import scan_file_mesh
+        scan = scan_file_mesh
     return _run_qv_scan(opt, fn, table, out, scan)
 
 
@@ -117,6 +126,168 @@ def _sq_line(out, name, L, tot, non0, k):
         else:
             qv = 0.0
     out.write(f"SQ\t{name}\t{L}\t{tot}\t{non0}\t{qv:.2f}\n")
+
+
+def _qv_chunk_meta(packed, M, ns, carry_gi, min_len):
+    """Build one chunk's device-fold meta row (ops/countstep._qv_reduce
+    contract) plus host bookkeeping.
+
+    Returns (meta i32[2*ns+6], info, new_carry_gi) where info =
+    (nseq, g0, has_head, continues, head_end, j_inc) feeds the -p
+    bookkeeping (_qv_sq_update) and new_carry_gi is the host mirror of
+    the device carry identity."""
+    nseq = len(packed.rec_gid)
+    gis = packed.rec_gid
+    g0, last_gi = int(gis[0]), int(gis[-1])
+    # segment bounds: first window lane of each local segment
+    starts = np.minimum(packed.rec_start, M)
+    # does the last seq continue into the next chunk?
+    continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
+                 < int(packed.rec_len[-1]))
+    has_head = carry_gi is not None
+    if has_head:
+        assert carry_gi == g0, "carry must resume the first seg"
+    if has_head and continues and nseq == 1:
+        head_end, inc_start, j_inc = 0, 0, 0   # middle piece
+    else:
+        head_end = (int(starts[1]) if nseq > 1 else M) if has_head \
+            else 0
+        inc_start = int(starts[-1]) if continues else M
+        j_inc = nseq - 1 if continues else 0
+    head_elig = (packed.seq_lens[carry_gi] >= min_len) \
+        if has_head else True
+    meta = np.full(2 * ns + 6, M, np.int32)
+    meta[:nseq] = starts
+    meta[ns + 1:2 * ns + 1] = 0
+    meta[ns + 1:ns + 1 + nseq] = packed.rec_len >= min_len
+    meta[2 * ns + 1:] = (head_end, inc_start, j_inc, int(head_elig),
+                         int(continues))
+    if has_head and continues and nseq == 1:
+        new_carry = carry_gi                   # carry unchanged
+    elif continues:
+        new_carry = last_gi
+    else:
+        new_carry = None
+    return meta, (nseq, g0, has_head, continues, head_end, j_inc), \
+        new_carry
+
+
+def _qv_pad_meta(M, ns):
+    """Meta row for an all-pad group-fill chunk: a mid-style passthrough
+    (head_end = 0, inc_start = 0, cont = 1) — a live carry passes
+    through untouched (zero totals everywhere); with no carry it opens
+    an empty one that the end of stream discards harmlessly."""
+    meta = np.full(2 * ns + 6, M, np.int32)
+    meta[ns + 1:2 * ns + 1] = 0
+    meta[2 * ns + 1:] = (0, 0, 0, 0, 1)
+    return meta
+
+
+def _qv_sq_update(packed, info, tot_np, non0_np, h_carry, sq, min_len):
+    """-p bookkeeping for one chunk: accumulate SQ rows (name, L, tot,
+    non0) in output order, folding chunk-spanning pieces through the
+    host carry mirror h_carry."""
+    nseq, g0, has_head, continues, head_end, j_inc = info
+    gis = packed.rec_gid
+    if has_head and head_end == 0:      # middle piece
+        h_carry[0] += int(tot_np[0])
+        h_carry[1] += int(non0_np[0])
+        return
+    if has_head:
+        if packed.seq_lens[g0] >= min_len:
+            sq.append((packed.seq_names[g0], packed.seq_lens[g0],
+                       h_carry[0] + int(tot_np[0]),
+                       h_carry[1] + int(non0_np[0])))
+        h_carry[:] = [0, 0]
+    for j in range(1 if has_head else 0,
+                   nseq - 1 if continues else nseq):
+        gi = int(gis[j])
+        if packed.seq_lens[gi] < min_len:
+            continue
+        sq.append((packed.seq_names[gi], packed.seq_lens[gi],
+                   int(tot_np[j]), int(non0_np[j])))
+    if continues:
+        h_carry[:] = [int(tot_np[j_inc]), int(non0_np[j_inc])]
+
+
+def _run_qv_fused_mesh(opt, fn, mtable, out):
+    """Mesh-sharded fused qv: groups of n_dev plane-packed chunks run
+    the routed lookup + per-chunk reduction data-parallel inside
+    shard_map, then the carry fold chains the group on device
+    (parallel/mesh.build_qv_group_step) — one dispatch per GROUP and,
+    without -p, zero per-group transfers beyond the route-overflow
+    flag."""
+    import jax.numpy as jnp
+
+    from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.parallel.mesh import (_pack_group_planes,
+                                       build_qv_group_step,
+                                       default_route_cap)
+
+    k = mtable.k
+    n_dev = mtable.n_dev
+    chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
+    chunk = -(-chunk // 1024) * 1024
+    M = chunk - k + 1
+    cnt_d = jnp.zeros(YAK_N_COUNTS, jnp.int64)
+    c_tot = jnp.int32(-1)
+    c_non0 = jnp.int32(0)
+    c_hist = jnp.zeros(YAK_N_COUNTS, jnp.int64)
+    carry_gi = None
+    h_carry = [0, 0]
+    sq = []
+    route = {"C": default_route_cap(M, n_dev)}
+    steps = {}
+
+    def flush_group(group):
+        nonlocal cnt_d, c_tot, c_non0, c_hist, carry_gi
+        if not group:
+            return
+        ns = max(1 << 12, 1 << int(
+            max(max(len(p.rec_gid) for p in group) - 1, 1)).bit_length())
+        metas, infos = [], []
+        for p in group:
+            meta, info, carry_gi = _qv_chunk_meta(p, M, ns, carry_gi,
+                                                  opt.min_len)
+            metas.append(meta)
+            infos.append(info)
+        while len(metas) < n_dev:
+            metas.append(_qv_pad_meta(M, ns))
+        planes = jnp.asarray(_pack_group_planes(
+            [p.codes for p in group], chunk, n_dev))
+        meta_d = jnp.asarray(np.stack(metas))
+        while True:
+            key = (ns, route["C"], mtable.cap)
+            if key not in steps:
+                steps[key] = build_qv_group_step(
+                    mtable.mesh, k, ns, chunk, route_cap=route["C"],
+                    min_frac=float(opt.min_frac))
+            out7 = steps[key](planes, meta_d, cnt_d, c_tot, c_non0,
+                              c_hist, mtable.keys, mtable.cnt,
+                              mtable.size)
+            if not int(np.asarray(out7[6]).max()):
+                break
+            route["C"] = min(M, route["C"] * 2)   # replay, state intact
+        cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = out7[:6]
+        if opt.print_each:
+            tot_np = np.asarray(tot_d)
+            non0_np = np.asarray(non0_d)
+            for i, (p, info) in enumerate(zip(group, infos)):
+                _qv_sq_update(p, info, tot_np[i], non0_np[i],
+                              h_carry, sq, opt.min_len)
+
+    group = []
+    for packed in ChunkSource(fn, chunk, k, with_meta="records"):
+        if not len(packed.rec_gid):
+            continue
+        group.append(packed)
+        if len(group) == n_dev:
+            flush_group(group)
+            group = []
+    flush_group(group)
+    for name, L, tot, non0 in sq:
+        _sq_line(out, name, L, tot, non0, k)
+    return np.asarray(cnt_d)
 
 
 def _run_qv_fused(opt, fn, table, out):
@@ -176,32 +347,9 @@ def _run_qv_fused(opt, fn, table, out):
         nseq = len(packed.rec_gid)
         if not nseq:
             continue
-        gis = packed.rec_gid
-        g0, last_gi = int(gis[0]), int(gis[-1])
-        # segment bounds: first window lane of each local segment
-        starts = np.minimum(packed.rec_start, M)
-        # does the last seq continue into the next chunk?
-        continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
-                     < int(packed.rec_len[-1]))
-        has_head = carry_gi is not None
-        if has_head:
-            assert carry_gi == g0, "carry must resume the first seg"
-        if has_head and continues and nseq == 1:
-            head_end, inc_start, j_inc = 0, 0, 0   # middle piece
-        else:
-            head_end = (int(starts[1]) if nseq > 1 else M) if has_head \
-                else 0
-            inc_start = int(starts[-1]) if continues else M
-            j_inc = nseq - 1 if continues else 0
-        head_elig = (packed.seq_lens[carry_gi] >= opt.min_len) \
-            if has_head else True
         ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
-        meta = np.full(2 * ns + 6, M, np.int32)
-        meta[:nseq] = starts
-        meta[ns + 1:2 * ns + 1] = 0
-        meta[ns + 1:ns + 1 + nseq] = packed.rec_len >= opt.min_len
-        meta[2 * ns + 1:] = (head_end, inc_start, j_inc, int(head_elig),
-                             int(continues))
+        meta, info, carry_gi = _qv_chunk_meta(packed, M, ns, carry_gi,
+                                              opt.min_len)
         T["host"] += _time.time() - _t0
         _t0 = _time.time()
         pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
@@ -231,36 +379,8 @@ def _run_qv_fused(opt, fn, table, out):
         if opt.print_each:
             # host mirror of the totals for the SQ lines (sync per
             # chunk — only in -p mode)
-            tot_np = np.asarray(tot_d)[:nseq]
-            non0_np = np.asarray(non0_d)[:nseq]
-            if has_head and head_end == 0:      # middle piece
-                h_carry[0] += int(tot_np[0])
-                h_carry[1] += int(non0_np[0])
-            else:
-                if has_head:
-                    if packed.seq_lens[g0] >= opt.min_len:
-                        sq.append((packed.seq_names[g0],
-                                   packed.seq_lens[g0],
-                                   h_carry[0] + int(tot_np[0]),
-                                   h_carry[1] + int(non0_np[0])))
-                    h_carry = [0, 0]
-                for j in range(1 if has_head else 0,
-                               nseq - 1 if continues else nseq):
-                    gi = int(gis[j])
-                    if packed.seq_lens[gi] < opt.min_len:
-                        continue
-                    sq.append((packed.seq_names[gi], packed.seq_lens[gi],
-                               int(tot_np[j]), int(non0_np[j])))
-                if continues:
-                    h_carry = [int(tot_np[j_inc]), int(non0_np[j_inc])]
-
-        # host mirror of the carry identity (no device sync)
-        if has_head and continues and nseq == 1:
-            pass                                  # carry unchanged
-        elif continues:
-            carry_gi = last_gi
-        else:
-            carry_gi = None
+            _qv_sq_update(packed, info, np.asarray(tot_d),
+                          np.asarray(non0_d), h_carry, sq, opt.min_len)
 
         T["dispatch"] += _time.time() - _t0
     for name, L, tot, non0 in sq:

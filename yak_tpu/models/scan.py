@@ -163,28 +163,38 @@ def scan_file(fn, table, chunk_size, on_progress=None):
 
 
 def scan_file_mesh(fn, mtable, chunk_size, on_progress=None):
-    """Mesh-sharded scan: chunks are dealt to the chips data-parallel,
-    each hash is routed to its owner chip over ICI, and the values come
-    back in original lane order (parallel/mesh.build_lookup_step)."""
+    """Mesh-sharded scan: plane-packed chunks are dealt to the chips
+    data-parallel, each hash is routed to its owner chip over ICI, and
+    the values come back in original lane order
+    (parallel/mesh.build_lookup_step).  Route-capacity overflow retries
+    the group with the capacity doubled (fresh compile, rare)."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from yak_tpu.parallel.mesh import build_lookup_step
+    from yak_tpu.parallel.mesh import (_pack_group_planes,
+                                       build_lookup_step,
+                                       default_route_cap)
 
     mesh = mtable.mesh
     n_dev = mesh.devices.size
     k = mtable.k
     chunk = -(-max(1 << 14, int(chunk_size)) // 1024) * 1024
-    step = build_lookup_step(mesh, k, chunk)
-    sh = NamedSharding(mesh, P("d"))
+    M = chunk - k + 1
+    state = {"C": default_route_cap(M, n_dev), "step": None}
 
     def provider(batch):
         group = [p.codes for p in batch]
-        while len(group) < n_dev:
-            group.append(np.full(chunk, 4, np.uint8))
-        codes = jax.device_put(jnp.asarray(np.stack(group)), sh)
-        vals, hasw, ovf = step(codes, mtable.keys, mtable.cnt, mtable.size)
-        if int(np.asarray(ovf).max()):
-            raise RuntimeError("all_to_all route capacity overflow")
+        planes = jax.device_put(
+            jnp.asarray(_pack_group_planes(group, chunk, n_dev)),
+            mtable.sh)
+        while True:
+            if state["step"] is None:
+                state["step"] = build_lookup_step(mesh, k, chunk,
+                                                  route_cap=state["C"])
+            vals, hasw, ovf = state["step"](planes, mtable.keys,
+                                            mtable.cnt, mtable.size)
+            if not int(np.asarray(ovf).max()):
+                break
+            state["C"] = min(M, state["C"] * 2)
+            state["step"] = None
         v_np, h_np = np.asarray(vals), np.asarray(hasw)
         return [np.where(h_np[i], v_np[i], NO_KMER).astype(np.int32)
                 for i in range(len(batch))]

@@ -44,18 +44,27 @@ def make_bloom(n_shift):
     return jnp.zeros(1 << (n_shift - 5), jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("pre", "n_shift", "n_hashes"))
-def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes):
+@partial(jax.jit,
+         static_argnames=("pre", "n_shift", "n_hashes", "shard_shift"))
+def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes, shard_shift=0):
     """Query-and-set a batch of unique hashes.
 
     Returns (bf', n_before) where n_before[i] is the number of probed bits
     already set (reference `yak_bf_insert` return; insert into the table
     iff n_before == n_hashes).
+
+    shard_shift (mesh sharding): when chip d of 2^shard_shift owns the
+    hashes with h & (2^shard_shift - 1) == d, its LOCAL filter holds only
+    its own shards, indexed by shard >> shard_shift; per-shard filter
+    contents stay bit-identical to the single-chip layout (the per-shard
+    filters of htab.c:23-27 mapped onto per-chip slices).  `bf` must then
+    be 2^(n_shift - shard_shift) bits.
     """
     n = h.shape[0]
     ns_ = n_shift - pre            # per-shard filter bits (log2)
     xbits = ns_ - YAK_BLK_SHIFT    # block-select bits
-    shard = (h & jnp.uint64((1 << pre) - 1)).astype(jnp.uint32)
+    shard = ((h & jnp.uint64((1 << pre) - 1))
+             >> jnp.uint64(shard_shift)).astype(jnp.uint32)
     x = h >> jnp.uint64(pre)
     y = (x & jnp.uint64((1 << xbits) - 1)).astype(jnp.uint32)
     h1 = ((x >> jnp.uint64(xbits)) & jnp.uint64(_BLK_MASK)).astype(jnp.uint32)

@@ -423,77 +423,95 @@ def get_qv_step(k, ns, planes_L=None, min_frac=0.5):
     return step
 
 
-def _qv_reduce(vals, has, meta, cnt, c_tot, c_non0, c_hist, ns, M,
-               min_frac):
-    """The qv per-chunk reduction + device-resident fold (shared by the
-    fused step and the Pallas-join post step); see get_qv_step."""
+def _qv_chunk_stats(vals, has, meta, ns, M, min_frac):
+    """The fold-state-free half of the qv reduction: per-segment sums and
+    the three region histograms of ONE chunk.  Shared by the single-chip
+    fused step (get_qv_step) and the mesh qv step, whose D chunks each
+    run this data-parallel before the sequential _qv_fold_step chain."""
     bounds = meta[:ns + 1]
     elig = meta[ns + 1:2 * ns + 1] != 0
+    head_end = meta[2 * ns + 1]
+    inc_start = meta[2 * ns + 2]
+    non0m = has & (vals > 0)
+    z = jnp.zeros(1, jnp.int32)
+    ch = jnp.concatenate([z, jnp.cumsum(has.astype(jnp.int32))])
+    cn = jnp.concatenate([z, jnp.cumsum(non0m.astype(jnp.int32))])
+    bc = jnp.clip(bounds, 0, M)           # i32[ns + 1]
+    tot = ch[bc[1:]] - ch[bc[:-1]]
+    non0 = cn[bc[1:]] - cn[bc[:-1]]
+    gate = (non0.astype(jnp.float64)
+            >= tot.astype(jnp.float64) * min_frac) & elig
+    # expand the per-seg gate to lanes: one ns-sized scatter of the
+    # gate deltas at segment starts, then a running sum
+    gi = gate.astype(jnp.int32)
+    gd = gi - jnp.concatenate([z, gi[:-1]])
+    d = jnp.zeros(M + 1, jnp.int32).at[bc[:-1]].add(gd)
+    gl = jnp.cumsum(d[:M]) > 0
+    # region-coded histogram sort: [0,1024) gated-complete lanes,
+    # [2048,3072) the tail segment continuing into the next chunk,
+    # [3072,4096) the head segment continuing a carried sequence,
+    # the rest dead (ungated / no-window lanes)
+    t = jnp.clip(vals, 0, 1023)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    key = jnp.where(~has, 8000,
+                    jnp.where(lane < head_end, 3072 + t,
+                              jnp.where(lane >= inc_start, 2048 + t,
+                                        jnp.where(gl, t, 1500))))
+    sk = jnp.sort(key)
+    probes = jnp.concatenate([
+        jnp.arange(1025, dtype=jnp.int32),
+        jnp.arange(2048, 4097, dtype=jnp.int32)])
+    edges = jnp.searchsorted(sk, probes)
+    hg = jnp.diff(edges[:1025]).astype(jnp.int64)
+    hi_ = jnp.diff(edges[1025:2050]).astype(jnp.int64)
+    hh = jnp.diff(edges[2049:]).astype(jnp.int64)
+    return hg, hi_, hh, tot, non0
+
+
+def _qv_fold_step(state, meta, hg, hi_, hh, tot, non0, ns, min_frac):
+    """One chunk's transition of the device-resident qv fold: settle the
+    carried sequence against its completed totals (head region),
+    accumulate the gated histogram, open the next carry from the tail
+    region.  The middle-piece case (head_end == 0 while a carry is live)
+    is encoded by the host as head_end = 0, inc_start = 0: hg/hh are
+    then empty and everything lands in the tail carry below."""
+    cnt, c_tot, c_non0, c_hist = state
     head_end = meta[2 * ns + 1]
     inc_start = meta[2 * ns + 2]
     j_inc = meta[2 * ns + 3]
     head_elig = meta[2 * ns + 4] != 0
     cont = meta[2 * ns + 5] != 0
-    if True:
-        non0m = has & (vals > 0)
-        z = jnp.zeros(1, jnp.int32)
-        ch = jnp.concatenate([z, jnp.cumsum(has.astype(jnp.int32))])
-        cn = jnp.concatenate([z, jnp.cumsum(non0m.astype(jnp.int32))])
-        bc = jnp.clip(bounds, 0, M)           # i32[ns + 1]
-        tot = ch[bc[1:]] - ch[bc[:-1]]
-        non0 = cn[bc[1:]] - cn[bc[:-1]]
-        gate = (non0.astype(jnp.float64)
-                >= tot.astype(jnp.float64) * min_frac) & elig
-        # expand the per-seg gate to lanes: one ns-sized scatter of the
-        # gate deltas at segment starts, then a running sum
-        gi = gate.astype(jnp.int32)
-        gd = gi - jnp.concatenate([z, gi[:-1]])
-        d = jnp.zeros(M + 1, jnp.int32).at[bc[:-1]].add(gd)
-        gl = jnp.cumsum(d[:M]) > 0
-        # region-coded histogram sort: [0,1024) gated-complete lanes,
-        # [2048,3072) the tail segment continuing into the next chunk,
-        # [3072,4096) the head segment continuing a carried sequence,
-        # the rest dead (ungated / no-window lanes)
-        t = jnp.clip(vals, 0, 1023)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        key = jnp.where(~has, 8000,
-                        jnp.where(lane < head_end, 3072 + t,
-                                  jnp.where(lane >= inc_start, 2048 + t,
-                                            jnp.where(gl, t, 1500))))
-        sk = jnp.sort(key)
-        probes = jnp.concatenate([
-            jnp.arange(1025, dtype=jnp.int32),
-            jnp.arange(2048, 4097, dtype=jnp.int32)])
-        edges = jnp.searchsorted(sk, probes)
-        hg = jnp.diff(edges[:1025]).astype(jnp.int64)
-        hi_ = jnp.diff(edges[1025:2050]).astype(jnp.int64)
-        hh = jnp.diff(edges[2049:]).astype(jnp.int64)
+    mid = (head_end == 0) & (inc_start == 0) & (c_tot >= 0)
+    settle = (~mid) & (c_tot >= 0)
+    tot_c = c_tot + jnp.where(mid, tot[j_inc], tot[0])
+    non0_c = c_non0 + jnp.where(mid, non0[j_inc], non0[0])
+    g_c = ~(non0_c.astype(jnp.float64)
+            < tot_c.astype(jnp.float64) * min_frac) & head_elig
+    cnt = cnt + hg + jnp.where(settle & g_c, c_hist + hh, 0)
+    # the explicit host flag, NOT (inc_start < M): a record header
+    # landing in the chunk's last k-1 cells yields a zero-window
+    # tail piece with inc_start == M whose carry must still open
+    # (with zero totals) so the next chunk's head settles against it
+    new_active = cont | mid
+    n_tot = jnp.where(mid, tot_c, tot[j_inc])
+    n_non0 = jnp.where(mid, non0_c, non0[j_inc])
+    n_hist = jnp.where(mid, c_hist + hi_, hi_)
+    c_tot = jnp.where(new_active, n_tot, -1)
+    c_non0 = jnp.where(new_active, n_non0, 0)
+    c_hist = jnp.where(new_active, n_hist, 0)
+    return cnt, c_tot, c_non0, c_hist
 
-        # fold entirely on device: settle the carried sequence against
-        # its completed totals (head region), accumulate the gated
-        # histogram, open the next carry from the tail region.  The
-        # middle-piece case (head_end == 0 while a carry is live) is
-        # encoded by the host as head_end = 0, inc_start = 0: hg/hh are
-        # then empty and everything lands in the tail carry below.
-        mid = (head_end == 0) & (inc_start == 0) & (c_tot >= 0)
-        settle = (~mid) & (c_tot >= 0)
-        tot_c = c_tot + jnp.where(mid, tot[j_inc], tot[0])
-        non0_c = c_non0 + jnp.where(mid, non0[j_inc], non0[0])
-        g_c = ~(non0_c.astype(jnp.float64)
-                < tot_c.astype(jnp.float64) * min_frac) & head_elig
-        cnt = cnt + hg + jnp.where(settle & g_c, c_hist + hh, 0)
-        # the explicit host flag, NOT (inc_start < M): a record header
-        # landing in the chunk's last k-1 cells yields a zero-window
-        # tail piece with inc_start == M whose carry must still open
-        # (with zero totals) so the next chunk's head settles against it
-        new_active = cont | mid
-        n_tot = jnp.where(mid, tot_c, tot[j_inc])
-        n_non0 = jnp.where(mid, non0_c, non0[j_inc])
-        n_hist = jnp.where(mid, c_hist + hi_, hi_)
-        c_tot = jnp.where(new_active, n_tot, -1)
-        c_non0 = jnp.where(new_active, n_non0, 0)
-        c_hist = jnp.where(new_active, n_hist, 0)
-        return cnt, c_tot, c_non0, c_hist, tot, non0
+
+def _qv_reduce(vals, has, meta, cnt, c_tot, c_non0, c_hist, ns, M,
+               min_frac):
+    """The qv per-chunk reduction + device-resident fold (shared by the
+    fused step and the Pallas-join post step); see get_qv_step."""
+    hg, hi_, hh, tot, non0 = _qv_chunk_stats(vals, has, meta, ns, M,
+                                             min_frac)
+    cnt, c_tot, c_non0, c_hist = _qv_fold_step(
+        (cnt, c_tot, c_non0, c_hist), meta, hg, hi_, hh, tot, non0,
+        ns, min_frac)
+    return cnt, c_tot, c_non0, c_hist, tot, non0
 
 
 @lru_cache(maxsize=None)

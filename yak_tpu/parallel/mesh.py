@@ -9,31 +9,59 @@ compatible with the `pre`-bit shard layout (pre >= log2 N), so per-shard
 dump contents are chip-count-invariant.
 
 One count step, inside shard_map:
-  1. each chip extracts canonical k-mer hashes from its local flat code
-     chunk (pure VPU bit-ops — data parallel ingest);
+  1. each chip extracts canonical k-mer hashes from its local chunk's
+     host-packed bit planes (3 bits/base on the wire, the same ingest
+     as the single-chip hot path — io/pack.pack_planes);
   2. hashes are bucketed by owner chip and exchanged with ONE
-     lax.all_to_all over ICI (fixed per-destination capacity, overflow
-     flagged for host retry);
-  3. each chip sort-merges the received hashes into its own sorted HBM
-     table slice (ops/sorttable.py) — no cross-chip races by
-     construction, exactly the "one owner per shard" discipline of the
-     reference, so N-chip output == 1-chip output bit-for-bit.
+     lax.all_to_all over ICI.  The per-(src,dst) capacity is TUNED
+     (~4x the mean load, default_route_cap) instead of the safe-but-
+     memory-hostile M; overflow is flagged and the driver replays the
+     group against the preserved pre-step state with doubled capacity;
+  3. each chip optionally gates its received hashes through its OWN
+     blocked-Bloom slice (the per-shard filters of htab.c:23-27 mapped
+     onto per-chip slices — ops/bloom.bloom_insert shard_shift), then
+     sort-merges them into its sorted HBM table slice (ops/sorttable) —
+     no cross-chip races by construction, exactly the "one owner per
+     shard" discipline of the reference, so N-chip output == 1-chip
+     output bit-for-bit (incl. Bloom, when batch windows align).
 
-The owner-bucketing itself is sort-based (sort by owner, rank within
-bucket from a running offset), keeping the whole step scatter-light.
+Table growth follows the single-chip one-step-late protocol
+(table.KmerTable._check_last_step): steps never donate, the driver
+checks the overflow flags one group late and replays the preserved
+group after pad-extending every chip's slice.
 
-Histograms and QV count vectors reduce with psum (generalizing the
-per-thread reductions at htab.c:164-167, qv.c:128-133).
+The lookup side routes each query hash to its owner, probes the local
+slice, and routes values back (build_lookup_step); the fused qv fold
+(build_qv_group_step) runs the whole per-chunk reduction of
+ops/countstep._qv_chunk_stats data-parallel inside shard_map, then
+chains the D chunk results through the sequential carry fold
+(_qv_fold_step) with one lax.scan — per-group, not per-chunk, host
+round-trips.
+
+Engine note: per-chip local merges use the packed single-key XLA
+sort-merge (ops/sorttable.merge_batch_impl).  The Pallas merge-reduce
+kernel cannot trace inside these jits on this toolchain (its grids
+mis-lower under jax_enable_x64; the single-chip path flips the flag
+around a separate kernel dispatch, see ops/pallas_compact.compact_raw)
+— on a real pod slice the same 3-dispatch split applies per-chip
+jit-sharded programs; until multi-chip hardware is attachable this
+module keeps the XLA merge, which shares the plane ingest and batch
+sort structure with the fast single-chip engine.
+
+Histograms and QV count vectors reduce with psum / post-shard_map scans
+(generalizing the per-thread reductions at htab.c:164-167, qv.c:128-133).
 """
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from yak_tpu.ops import sorttable as st
-from yak_tpu.ops.kmers import extract_kmer_hashes
+from yak_tpu.ops.bloom import bloom_insert
+from yak_tpu.ops.kmers import extract_from_planes, planes_words
 
 
 def make_mesh(n_devices=None, devices=None):
@@ -44,24 +72,167 @@ def make_mesh(n_devices=None, devices=None):
     return Mesh(np.array(devices[:n]), ("d",))
 
 
+def default_route_cap(M, n_dev):
+    """Per-(src,dst) all_to_all capacity: ~4x the mean per-destination
+    load (hash-uniform routing concentrates like M/n_dev +- sqrt), so
+    send/recv buffers are ~4M/n_dev lanes instead of the safe bound M
+    (which at the production chunk and 8 chips is ~0.5 GB per buffer).
+    Overflow is detected and replayed with doubled capacity."""
+    if n_dev == 1:
+        return M
+    return min(M, -(-(4 * M // n_dev + 1024) // 1024) * 1024)
+
+
+def _pack_group_planes(code_chunks, chunk, n_dev):
+    """Host: pack a group of flat u8 code chunks into one [D, 3, W] u32
+    plane block (3 bits/base on the wire); missing chunks pad all-N."""
+    from yak_tpu.io.pack import pack_planes
+
+    W = planes_words(chunk)
+    out = np.empty((n_dev, 3, W), np.uint32)
+    for i, codes in enumerate(code_chunks):
+        plo, phi, pnn = pack_planes(codes)
+        out[i, 0], out[i, 1], out[i, 2] = plo[0], phi[0], pnn[0]
+    for i in range(len(code_chunks), n_dev):
+        out[i, 0] = 0
+        out[i, 1] = 0
+        out[i, 2] = 0xFFFFFFFF
+    return out
+
+
+def _route(h, valid, n_dev, C, payload=None):
+    """Bucket hashes by owner chip (low log2(n_dev) bits) and exchange
+    with one tiled all_to_all.  Returns (recv_h, recv_v, overflow) and,
+    with payload, the metadata needed to route values back
+    (_route_back): the sorted original indices and slot map."""
+    M = h.shape[0]
+    owner = jnp.where(
+        valid, (h & jnp.uint64(n_dev - 1)).astype(jnp.uint32),
+        jnp.uint32(n_dev))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    if payload is not None:
+        owner_s, h_s, pay_s = jax.lax.sort((owner, h, payload),
+                                           num_keys=1, is_stable=False)
+    else:
+        owner_s, h_s = jax.lax.sort((owner, h), num_keys=1,
+                                    is_stable=False)
+        pay_s = None
+    is_first = jnp.concatenate(
+        [jnp.ones(1, bool), owner_s[1:] != owner_s[:-1]])
+    bucket_start = jax.lax.cummax(jnp.where(is_first, lane, -1))
+    rank = lane - bucket_start
+    ok = (owner_s < n_dev) & (rank < C)
+    overflow = jnp.sum((owner_s < n_dev) & (rank >= C), dtype=jnp.int32)
+    slot = jnp.where(ok, owner_s.astype(jnp.int32) * C + rank, n_dev * C)
+    send_h = jnp.zeros(n_dev * C, jnp.uint64).at[slot].set(
+        h_s, mode="drop")
+    send_v = jnp.zeros(n_dev * C, bool).at[slot].set(ok, mode="drop")
+    recv_h = jax.lax.all_to_all(send_h.reshape(n_dev, C), "d",
+                                split_axis=0, concat_axis=0,
+                                tiled=True).reshape(-1)
+    recv_v = jax.lax.all_to_all(send_v.reshape(n_dev, C), "d",
+                                split_axis=0, concat_axis=0,
+                                tiled=True).reshape(-1)
+    return recv_h, recv_v, overflow, (ok, slot, pay_s)
+
+
+def _route_back(vals, ok, slot, pay_s, n_dev, C):
+    """Return routed per-query values to original lane order."""
+    back = jax.lax.all_to_all(vals.reshape(n_dev, C), "d",
+                              split_axis=0, concat_axis=0,
+                              tiled=True).reshape(-1)
+    v_sorted = jnp.where(ok, back[jnp.minimum(slot, n_dev * C - 1)], -1)
+    _, v_orig = jax.lax.sort((pay_s, v_sorted), num_keys=1,
+                             is_stable=False)
+    return v_orig
+
+
 class MeshTable:
     """A counting table sharded over a 1-D mesh: chip d owns hashes with
-    h & (N-1) == d.  keys/cnt/size have a leading device axis on 'd'."""
+    h & (N-1) == d.  keys/cnt/size have a leading device axis on 'd';
+    bf (optional) is the per-chip blocked-Bloom slice."""
 
-    def __init__(self, mesh, k, pre=10, cap_log2=16):
+    def __init__(self, mesh, k, pre=10, cap_log2=16, bf_shift=0,
+                 bf_n_hash=4):
         self.mesh = mesh
         self.k = k
         self.pre = pre
-        self.cap_log2 = cap_log2  # per-device slots (log2)
         n = mesh.devices.size
         self.n_dev = n
-        sh = NamedSharding(mesh, P("d"))
-        self.keys = jax.device_put(
-            jnp.zeros((n, 1 << cap_log2), jnp.uint64), sh)
-        self.cnt = jax.device_put(
-            jnp.full((n, 1 << cap_log2), -1, jnp.int32), sh)
-        self.size = jax.device_put(jnp.zeros((n,), jnp.int32), sh)
+        self.nlog = n.bit_length() - 1
+        if pre < self.nlog:
+            raise ValueError("pre must be >= log2(n_devices)")
+        self.sh = NamedSharding(mesh, P("d"))
+        capd = 1 << cap_log2
+        self.keys = jax.device_put(jnp.zeros((n, capd), jnp.uint64),
+                                   self.sh)
+        self.cnt = jax.device_put(jnp.full((n, capd), -1, jnp.int32),
+                                  self.sh)
+        self.size = jax.device_put(jnp.zeros((n,), jnp.int32), self.sh)
         self.tot = 0
+        self.bf = None
+        self.bf_shift = bf_shift
+        self.bf_n_hash = bf_n_hash
+        if bf_shift > pre and 9 <= bf_shift - pre <= 64 - 9:
+            # per-chip slice: 2^(bf_shift - log2 N) bits (bbf.c:9 bounds
+            # checked against the full filter, htab.c:23-27)
+            self.bf = jax.device_put(
+                jnp.zeros((n, 1 << (bf_shift - self.nlog - 5)),
+                          jnp.uint32), self.sh)
+
+    @property
+    def cap(self):
+        """Per-device slots."""
+        return self.keys.shape[1]
+
+    def flush(self):
+        """KmerTable-API compat (mesh steps fold eagerly per group)."""
+
+    def destroy_bf(self):
+        self.bf = None
+
+    def grow(self, new_capd):
+        """Pad-extend every chip's slice (no rehash; sorted layout)."""
+        capd = self.cap
+        assert new_capd >= capd
+        if new_capd == capd:
+            return
+        n = self.n_dev
+        self.keys = jax.device_put(jnp.concatenate(
+            [self.keys, jnp.zeros((n, new_capd - capd), jnp.uint64)],
+            axis=1), self.sh)
+        self.cnt = jax.device_put(jnp.concatenate(
+            [self.cnt, jnp.full((n, new_capd - capd), -1, jnp.int32)],
+            axis=1), self.sh)
+
+    def clear_counts(self):
+        """Zero live counts on every chip (yak_ch_clear, htab.c:116-130)."""
+        def local(cnt, size):
+            return st.map_counts(cnt.reshape(-1), size.reshape(()),
+                                 0, 0)[None]
+
+        f = shard_map(local, mesh=self.mesh, in_specs=(P("d"), P("d")),
+                      out_specs=P("d"), check_vma=False)
+        self.cnt = jax.jit(f)(self.cnt, self.size)
+
+    def shrink(self, cmin, cmax):
+        """Keep entries with count in [cmin, cmax] on every chip
+        (yak_ch_shrink, htab.c:175-208)."""
+        packable = self.k <= 31
+
+        def local(keys, cnt, size):
+            c = cnt.reshape(-1)
+            k2, c2, s2 = st.compact_where(
+                keys.reshape(-1), c, size.reshape(()),
+                (c >= cmin) & (c <= cmax), packable=packable)
+            return k2[None], c2[None], s2[None]
+
+        f = shard_map(local, mesh=self.mesh,
+                      in_specs=(P("d"), P("d"), P("d")),
+                      out_specs=(P("d"),) * 3, check_vma=False)
+        self.keys, self.cnt, self.size = jax.jit(f)(
+            self.keys, self.cnt, self.size)
+        self.tot = int(np.asarray(self.size).sum())
 
     def items(self):
         """Host (hash, count) pairs over all shards."""
@@ -80,170 +251,308 @@ class MeshTable:
         np.add.at(h, c & ((1 << 10) - 1), 1)
         return h
 
+    def dump(self, path):
+        from yak_tpu.io import yakfmt
 
-def build_count_step(mesh, k, cap_log2, chunk, route_cap=None,
-                     create_new=True):
-    """Compile the sharded count step.
+        h_np, c_np = self.items()
+        yakfmt.dump_yak(path, self.k, self.pre, h_np, c_np)
 
-    Args (static): chunk = per-device flat code buffer length;
-    route_cap = per-(src,dst) exchange capacity (defaults to the safe
-    bound = windows per chunk, which cannot overflow).
 
-    Returns step(codes[D, chunk], keys[D, capd], cnt[D, capd], size[D])
-      -> (keys, cnt, size, n_new[D], route_overflow[D], table_overflow[D]).
+def build_count_step(mesh, k, capd, chunk, route_cap=None,
+                     create_new=True, bloom_cfg=None):
+    """Compile the sharded count step (plane ingest).
+
+    Args (static): capd = per-device table slots; chunk = flat code
+    buffer length per device; route_cap = per-(src,dst) exchange
+    capacity (default default_route_cap); bloom_cfg = None or
+    (pre, bf_shift, bf_n_hash) — per-chip Bloom gating on pass 1.
+
+    Returns step(planes[D, 3, W], keys[D, capd], cnt[D, capd], size[D]
+                 [, bf[D, bfw]])
+      -> (keys, cnt, size, n_new[D], route_overflow[D],
+          table_overflow[D][, bf']).
     """
     n_dev = mesh.devices.size
+    nlog = n_dev.bit_length() - 1
     M = chunk - k + 1
-    C = route_cap or M  # safe default: no overflow possible
+    C = route_cap or default_route_cap(M, n_dev)
+    packable = k <= 31
 
-    def local_step(codes, keys, cnt, size):
-        # codes: [1, chunk]; keys/cnt: [1, capd]; size: [1]
-        h, valid = extract_kmer_hashes(codes, k)
+    def local_step(planes, keys, cnt, size, *bf_opt):
+        plo = planes[0, 0][None]
+        phi = planes[0, 1][None]
+        pnn = planes[0, 2][None]
+        h, valid = extract_from_planes(plo, phi, pnn, k, chunk)
         h, valid = h.reshape(-1), valid.reshape(-1)
         if n_dev > 1:
-            owner = jnp.where(
-                valid, (h & jnp.uint64(n_dev - 1)).astype(jnp.uint32),
-                jnp.uint32(n_dev))
-            owner_s, h_s = jax.lax.sort((owner, h), num_keys=1, is_stable=False)
-            # rank within bucket = lane - first lane of the bucket
-            lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-            is_first = jnp.concatenate(
-                [jnp.ones(1, bool), owner_s[1:] != owner_s[:-1]])
-            bucket_start = jax.lax.cummax(jnp.where(is_first, lane, -1))
-            rank = lane - bucket_start
-            ok = (owner_s < n_dev) & (rank < C)
-            overflow = jnp.sum((owner_s < n_dev) & (rank >= C),
-                               dtype=jnp.int32)
-            slot = jnp.where(ok, owner_s.astype(jnp.int32) * C + rank,
-                             n_dev * C)
-            send_h = jnp.zeros(n_dev * C, jnp.uint64).at[slot].set(
-                h_s, mode="drop")
-            send_v = jnp.zeros(n_dev * C, bool).at[slot].set(
-                ok, mode="drop")
-            recv_h = jax.lax.all_to_all(send_h.reshape(n_dev, C), "d",
-                                        split_axis=0, concat_axis=0,
-                                        tiled=True).reshape(-1)
-            recv_v = jax.lax.all_to_all(send_v.reshape(n_dev, C), "d",
-                                        split_axis=0, concat_axis=0,
-                                        tiled=True).reshape(-1)
+            recv_h, recv_v, overflow, _ = _route(h, valid, n_dev, C)
         else:
-            recv_h, recv_v = h, valid
-            overflow = jnp.int32(0)
-        add = jnp.ones(recv_h.shape, jnp.int32)
-        keys2, cnt2, size2, n_new, toverflow = st.merge_batch(
+            recv_h, recv_v, overflow = h, valid, jnp.int32(0)
+        outs_bf = ()
+        if bloom_cfg is not None:
+            pre, bf_shift, bf_n_hash = bloom_cfg
+            hs, starts, mult = st.dedup(recv_h, recv_v,
+                                        packable=packable)
+            bf2, n_before = bloom_insert(
+                bf_opt[0].reshape(-1), hs, starts, pre=pre,
+                n_shift=bf_shift, n_hashes=bf_n_hash, shard_shift=nlog)
+            add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+            use_h, use_add = hs, add
+            use_v = starts & (add > 0)
+            outs_bf = (bf2[None],)
+        else:
+            use_h, use_v = recv_h, recv_v
+            use_add = jnp.ones(use_h.shape, jnp.int32)
+        keys2, cnt2, size2, n_new, toverflow = st.merge_batch_impl(
             keys.reshape(-1), cnt.reshape(-1), size.reshape(()),
-            recv_h, add, recv_v, mode=st.ADD, create=create_new,
-            packable=k <= 31)
+            use_h, use_add, use_v, mode=st.ADD, create=create_new,
+            packable=packable)
         return (keys2[None, :], cnt2[None, :], size2[None], n_new[None],
-                overflow[None], toverflow[None])
+                overflow[None], toverflow[None]) + outs_bf
 
+    n_in = 5 if bloom_cfg is not None else 4
+    n_out = 7 if bloom_cfg is not None else 6
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("d"), P("d"), P("d"), P("d")),
-        out_specs=(P("d"),) * 6,
-        check_rep=False)
-    return jax.jit(step, donate_argnums=(1, 2))
+        in_specs=(P("d"),) * n_in,
+        out_specs=(P("d"),) * n_out,
+        check_vma=False)
+    return jax.jit(step)
 
 
 def build_lookup_step(mesh, k, chunk, route_cap=None):
     """Compile the sharded scan step (the lookup-side workloads):
-    data-parallel extract -> all_to_all route each hash to its owner
-    chip -> local sorted-table lookup -> all_to_all the values back ->
-    restore original lane order.
+    data-parallel extract from host-packed planes -> all_to_all route
+    each hash to its owner chip -> local sorted-table lookup ->
+    all_to_all the values back -> restore original lane order.
 
-    Returns step(codes[D, chunk], keys[D, capd], cnt[D, capd], size[D])
+    Returns step(planes[D, 3, W], keys[D, capd], cnt[D, capd], size[D])
       -> (vals[D, M] int32 (-1 = absent), has_window[D, M] bool,
           route_overflow[D]).
     """
     n_dev = mesh.devices.size
     M = chunk - k + 1
-    C = route_cap or M
+    C = route_cap or default_route_cap(M, n_dev)
+    packable = k <= 31
 
-    def local_step(codes, keys, cnt, size):
-        h, valid = extract_kmer_hashes(codes, k)
+    def local_step(planes, keys, cnt, size):
+        plo = planes[0, 0][None]
+        phi = planes[0, 1][None]
+        pnn = planes[0, 2][None]
+        h, valid = extract_from_planes(plo, phi, pnn, k, chunk)
         h, valid = h.reshape(-1), valid.reshape(-1)
         if n_dev == 1:
             vals = st.lookup_impl(keys.reshape(-1), cnt.reshape(-1),
                                   size.reshape(()), h, valid,
-                                  packable=k <= 31)
-            return (vals[None, :], valid[None, :], jnp.zeros(1, jnp.int32))
-
-        owner = jnp.where(
-            valid, (h & jnp.uint64(n_dev - 1)).astype(jnp.uint32),
-            jnp.uint32(n_dev))
+                                  packable=packable)
+            return (vals[None, :], valid[None, :],
+                    jnp.zeros(1, jnp.int32))
         idx = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        owner_s, h_s, idx_s = jax.lax.sort((owner, h, idx), num_keys=1, is_stable=False)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        is_first = jnp.concatenate(
-            [jnp.ones(1, bool), owner_s[1:] != owner_s[:-1]])
-        bucket_start = jax.lax.cummax(jnp.where(is_first, lane, -1))
-        rank = lane - bucket_start
-        ok = (owner_s < n_dev) & (rank < C)
-        overflow = jnp.sum((owner_s < n_dev) & (rank >= C), dtype=jnp.int32)
-        slot = jnp.where(ok, owner_s.astype(jnp.int32) * C + rank, n_dev * C)
-        send_h = jnp.zeros(n_dev * C, jnp.uint64).at[slot].set(
-            h_s, mode="drop")
-        send_v = jnp.zeros(n_dev * C, bool).at[slot].set(ok, mode="drop")
-        recv_h = jax.lax.all_to_all(send_h.reshape(n_dev, C), "d",
-                                    split_axis=0, concat_axis=0,
-                                    tiled=True).reshape(-1)
-        recv_v = jax.lax.all_to_all(send_v.reshape(n_dev, C), "d",
-                                    split_axis=0, concat_axis=0,
-                                    tiled=True).reshape(-1)
+        recv_h, recv_v, overflow, (ok, slot, idx_s) = _route(
+            h, valid, n_dev, C, payload=idx)
         vals = st.lookup_impl(keys.reshape(-1), cnt.reshape(-1),
                               size.reshape(()), recv_h, recv_v,
-                              packable=k <= 31)
-        back = jax.lax.all_to_all(vals.reshape(n_dev, C), "d",
-                                  split_axis=0, concat_axis=0,
-                                  tiled=True).reshape(-1)
-        # sorted lane -> its routed value; unsort to original lane order
-        v_sorted = jnp.where(ok, back[jnp.minimum(slot, n_dev * C - 1)], -1)
-        _, v_orig = jax.lax.sort((idx_s, v_sorted), num_keys=1, is_stable=False)
+                              packable=packable)
+        v_orig = _route_back(vals, ok, slot, idx_s, n_dev, C)
         return (v_orig[None, :], valid[None, :], overflow[None])
 
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P("d")),
         out_specs=(P("d"), P("d"), P("d")),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(step)
 
 
-def count_file_mesh(fn, opt, mesh, cap_log2=None):
-    """Count one file into a fresh MeshTable (data-parallel ingest:
-    the host packer deals flat chunks round-robin to the chips)."""
+def build_qv_group_step(mesh, k, ns, chunk, route_cap=None,
+                        min_frac=0.5):
+    """Compile the fused mesh qv group step: D chunks' lookups +
+    per-chunk reductions run data-parallel inside shard_map
+    (ops/countstep._qv_chunk_stats), then the sequential carry fold
+    chains the D results with one lax.scan (_qv_fold_step) — the whole
+    group costs one dispatch and no per-chunk transfers.
+
+    Returns step(planes[D, 3, W], meta[D, 2*ns+6], cnt[1024] i64,
+                 c_tot, c_non0, c_hist[1024] i64,
+                 keys[D, capd], cntt[D, capd], size[D])
+      -> (cnt', c_tot', c_non0', c_hist', tot[D, ns], non0[D, ns],
+          route_overflow[D]).
+    """
+    from yak_tpu.ops.countstep import _qv_chunk_stats, _qv_fold_step
+
+    n_dev = mesh.devices.size
+    M = chunk - k + 1
+    C = route_cap or default_route_cap(M, n_dev)
+    packable = k <= 31
+
+    def local_step(planes, meta, keys, cnt, size):
+        plo = planes[0, 0][None]
+        phi = planes[0, 1][None]
+        pnn = planes[0, 2][None]
+        h, valid = extract_from_planes(plo, phi, pnn, k, chunk)
+        h, valid = h.reshape(-1), valid.reshape(-1)
+        if n_dev == 1:
+            vals = st.lookup_impl(keys.reshape(-1), cnt.reshape(-1),
+                                  size.reshape(()), h, valid,
+                                  packable=packable)
+            overflow = jnp.int32(0)
+        else:
+            idx = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+            recv_h, recv_v, overflow, (ok, slot, idx_s) = _route(
+                h, valid, n_dev, C, payload=idx)
+            routed = st.lookup_impl(keys.reshape(-1), cnt.reshape(-1),
+                                    size.reshape(()), recv_h, recv_v,
+                                    packable=packable)
+            vals = _route_back(routed, ok, slot, idx_s, n_dev, C)
+        hg, hi_, hh, tot, non0 = _qv_chunk_stats(
+            vals, valid, meta.reshape(-1), ns, M, min_frac)
+        return (hg[None], hi_[None], hh[None], tot[None], non0[None],
+                overflow[None])
+
+    inner = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("d"),) * 5,
+        out_specs=(P("d"),) * 6,
+        check_vma=False)
+
+    @jax.jit
+    def step(planes, meta, cnt0, c_tot, c_non0, c_hist, keys, cntt,
+             size):
+        hg, hi_, hh, tot, non0, r_ovf = inner(planes, meta, keys, cntt,
+                                              size)
+
+        def body(carry, xs):
+            meta_j, hg_j, hi_j, hh_j, tot_j, non0_j = xs
+            return _qv_fold_step(carry, meta_j, hg_j, hi_j, hh_j,
+                                 tot_j, non0_j, ns, min_frac), None
+
+        (cnt1, ct, cn, chh), _ = jax.lax.scan(
+            body, (cnt0, c_tot, c_non0, c_hist),
+            (meta, hg, hi_, hh, tot, non0))
+        return cnt1, ct, cn, chh, tot, non0, r_ovf
+
+    return step
+
+
+class _MeshCountDriver:
+    """Group-folding driver with the one-step-late overflow protocol:
+    steps never donate; the route/table overflow flags of group i are
+    checked just before dispatching group i+1, and on overflow the
+    preserved pre-step state is grown (table) or the exchange capacity
+    doubled (route) and the SAME group replayed (count.c's radix buffers
+    never overflow because they are unbounded host vectors; here the
+    fixed-capacity exchange needs the retry loop)."""
+
+    def __init__(self, table, chunk, create_new=True, use_bloom=False):
+        self.t = table
+        self.chunk = chunk
+        self.create_new = create_new
+        self.M = chunk - table.k + 1
+        self.C = default_route_cap(self.M, table.n_dev)
+        self.bloom_cfg = None
+        if use_bloom and table.bf is not None:
+            self.bloom_cfg = (table.pre, table.bf_shift, table.bf_n_hash)
+        self._steps = {}
+        self._last = None
+
+    def _step(self):
+        key = (self.t.cap, self.C)
+        if key not in self._steps:
+            self._steps[key] = build_count_step(
+                self.t.mesh, self.t.k, self.t.cap, self.chunk,
+                route_cap=self.C, create_new=self.create_new,
+                bloom_cfg=self.bloom_cfg)
+        return self._steps[key]
+
+    def _dispatch(self, planes_d):
+        t = self.t
+        prev = (t.keys, t.cnt, t.size, t.bf)
+        args = (planes_d, t.keys, t.cnt, t.size)
+        if self.bloom_cfg is not None:
+            out = self._step()(*args, t.bf)
+            t.keys, t.cnt, t.size, n_new, r_ovf, t_ovf, t.bf = out
+        else:
+            t.keys, t.cnt, t.size, n_new, r_ovf, t_ovf = \
+                self._step()(*args)
+        self._last = (prev, planes_d, r_ovf, t_ovf)
+
+    def push_group(self, code_chunks):
+        self.settle()
+        planes = _pack_group_planes(code_chunks, self.chunk,
+                                    self.t.n_dev)
+        planes_d = jax.device_put(jnp.asarray(planes), self.t.sh)
+        self._dispatch(planes_d)
+
+    def settle(self):
+        if self._last is None:
+            return
+        prev, planes_d, r_ovf, t_ovf = self._last
+        self._last = None
+        while True:
+            r = int(np.asarray(r_ovf).max())
+            tv = bool(np.asarray(t_ovf).max())
+            if not r and not tv:
+                self.t.tot = int(np.asarray(self.t.size).sum())
+                return
+            # restore the preserved pre-step state, adjust, replay
+            t = self.t
+            t.keys, t.cnt, t.size, t.bf = prev
+            if r:
+                self.C = min(self.M, self.C * 2)
+            if tv:
+                t.grow(t.cap * 2)
+                prev = (t.keys, t.cnt, t.size, t.bf)
+            self._dispatch(planes_d)
+            prev, planes_d, r_ovf, t_ovf = self._last
+            self._last = None
+
+
+def count_file_mesh(fn, opt, mesh, cap_log2=None, table=None,
+                    create_new=None):
+    """Count one file into a MeshTable (data-parallel ingest: the host
+    packer deals plane-packed chunks round-robin to the chips).
+
+    table=None -> create a fresh table (create-new mode, Bloom-gated if
+    opt.bf_shift is set); otherwise increment-existing-only (pass 2 /
+    recount, htab.c:71-75) unless create_new is overridden."""
     from yak_tpu.io.chunks import ChunkSource
 
     n_dev = mesh.devices.size
     cap_log2 = cap_log2 or opt.cap_log2
-    table = MeshTable(mesh, opt.k, opt.pre, cap_log2)
+    if table is None:
+        table = MeshTable(mesh, opt.k, opt.pre, cap_log2,
+                          bf_shift=opt.bf_shift,
+                          bf_n_hash=opt.bf_n_hash)
+        create = True if create_new is None else create_new
+    else:
+        create = False if create_new is None else create_new
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
-    step = build_count_step(mesh, opt.k, cap_log2, chunk)
-    sh = NamedSharding(mesh, P("d"))
+    drv = _MeshCountDriver(table, chunk, create_new=create,
+                           use_bloom=create)
 
     group = []
     for packed in ChunkSource(fn, chunk, opt.k, min_len=opt.k,
                               with_meta=False):
         group.append(packed.codes)
         if len(group) == n_dev:
-            table = _apply(step, table, group, sh)
+            drv.push_group(group)
             group = []
     if group:
-        while len(group) < n_dev:
-            group.append(np.full(chunk, 4, np.uint8))
-        table = _apply(step, table, group, sh)
+        drv.push_group(group)
+    drv.settle()
     return table
 
 
-def _apply(step, table, group, sh):
-    codes = jax.device_put(np.stack(group), sh)
-    keys, cnt, size, n_new, r_ovf, t_ovf = step(codes, table.keys, table.cnt,
-                                                table.size)
-    if int(jnp.max(r_ovf)):
-        raise RuntimeError("all_to_all route capacity overflow")
-    if bool(jnp.max(t_ovf)):
-        raise RuntimeError("per-device table overflow (raise cap_log2)")
-    table.keys, table.cnt, table.size = keys, cnt, size
-    table.tot += int(np.asarray(n_new).sum())
+def count_mesh(files, opt, mesh, cap_log2=None):
+    """Full `yak count` on a mesh including the `-b` two-pass protocol
+    (main.c:53-60): Bloom-gated pass 1; destroy BF, zero counts; pass 2
+    increments existing keys; shrink to counts >= 2."""
+    table = count_file_mesh(files[0], opt, mesh, cap_log2=cap_log2)
+    if opt.bf_shift > 0 and table.bf is not None:
+        table.destroy_bf()
+        table.clear_counts()
+        second = files[1] if len(files) >= 2 else files[0]
+        count_file_mesh(second, opt, mesh, table=table)
+        table.shrink(2, 1023)
     return table
