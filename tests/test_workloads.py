@@ -205,6 +205,30 @@ def test_trioeval(trio):
                  trio / "child.fa"]) == ref
 
 
+def test_trioeval_spanning(trio):
+    """Tiny -K forces contigs across chunks: phase runs and the
+    last/fragment chain must merge across the halo boundary."""
+    ref = run_oracle(["trioeval", "-t1", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    assert ours(["trioeval", "-K16000", trio / "pat.yak",
+                 trio / "mat.yak", trio / "child.fa"]) == ref
+
+
+def test_trioeval_marker_overflow_fallback(trio, monkeypatch):
+    """Marker-budget overflow falls back to the per-position scan for
+    that chunk with identical output."""
+    from yak_tpu.ops import countstep
+    ref = run_oracle(["trioeval", "-t1", "-e", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    countstep.get_trioeval_step.cache_clear()
+    monkeypatch.setattr(countstep, "TRIOEVAL_MAX_RUNS", 1)
+    try:
+        assert ours(["trioeval", "-e", trio / "pat.yak", trio / "mat.yak",
+                     trio / "child.fa"]) == ref
+    finally:
+        countstep.get_trioeval_step.cache_clear()
+
+
 def test_chkerr(trio):
     ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
     assert ours(["chkerr", trio / "pat.yak", trio / "child.fa"]) == ref
@@ -274,3 +298,76 @@ def test_print_c(trio):
     ref = run_oracle(["print", "-c", trio / "pat.yak"])
     u = ours(["print", "-c", trio / "pat.yak"])
     assert sorted(u.splitlines()) == sorted(ref.splitlines())
+
+
+def test_inspect_streaming_memory(tmp_path):
+    """Two-table inspect must STREAM the first dump (inspect.c:40-62):
+    host peak allocation stays far below the first file's key payload."""
+    import io as _io
+    import tracemalloc
+
+    from yak_tpu.io import yakfmt
+    from yak_tpu.models.inspect import main_inspect
+
+    rng = np.random.default_rng(3)
+    n = 16_000_000                       # 128 MB of keys on disk
+    hashes = rng.integers(0, 1 << 52, size=n, dtype=np.uint64)
+    counts = rng.integers(1, 100, size=n).astype(np.int64)
+    big = tmp_path / "big.yak"
+    yakfmt.dump_yak(str(big), 21, 10, hashes, counts)
+    small = tmp_path / "small.yak"
+    yakfmt.dump_yak(str(small), 21, 10, hashes[:1000], counts[:1000])
+    del hashes, counts
+
+    tracemalloc.start()
+    main_inspect(str(big), str(small), out=_io.StringIO(),
+                 batch_keys=1 << 18)
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert peak < 48 << 20, f"host peak {peak >> 20} MB for a 128 MB dump"
+
+
+@pytest.fixture(scope="session")
+def trio33(tmp_path_factory):
+    """k=33 trio tables: the yak_hash_long path (inexact by design)
+    through every fused lookup workload."""
+    d = tmp_path_factory.mktemp("trio33")
+    rng = np.random.default_rng(19)
+    base = make_genome(rng, 20000)
+    pat, mat = base.copy(), base.copy()
+    for hap in (pat, mat):
+        idx = rng.choice(len(base), 80, replace=False)
+        hap[idx] = (hap[idx] + rng.integers(1, 4, 80)) % 4
+    to_fasta(d / "pat_reads.fa", mutate_reads(rng, pat, 4000, 100, err=0.002))
+    to_fasta(d / "mat_reads.fa", mutate_reads(rng, mat, 4000, 100, err=0.002))
+    child = [pat[:8000], mat[8000:16000],
+             np.concatenate([pat[16000:18000], mat[18000:20000]])]
+    to_fasta(d / "child.fa", child, names=["ctgP", "ctgM", "ctgX"])
+    run_oracle(["count", "-k33", "-K1000000", "-o", d / "pat.yak",
+                d / "pat_reads.fa"])
+    run_oracle(["count", "-k33", "-K1000000", "-o", d / "mat.yak",
+                d / "mat_reads.fa"])
+    return d
+
+
+def test_triobin_long_k(trio33):
+    ref = run_oracle(["triobin", "-t1", trio33 / "pat.yak",
+                      trio33 / "mat.yak", trio33 / "child.fa"])
+    args = ["triobin", trio33 / "pat.yak", trio33 / "mat.yak",
+            trio33 / "child.fa"]
+    assert ours(args) == ref
+    assert ours(args[:1] + ["-K16000"] + args[1:]) == ref
+
+
+def test_trioeval_long_k(trio33):
+    ref = run_oracle(["trioeval", "-t1", "-e", trio33 / "pat.yak",
+                      trio33 / "mat.yak", trio33 / "child.fa"])
+    assert ours(["trioeval", "-e", trio33 / "pat.yak", trio33 / "mat.yak",
+                 trio33 / "child.fa"]) == ref
+
+
+def test_chkerr_long_k(trio33):
+    ref = run_oracle(["chkerr", "-t1", trio33 / "pat.yak",
+                      trio33 / "child.fa"])
+    assert ours(["chkerr", trio33 / "pat.yak",
+                 trio33 / "child.fa"]) == ref

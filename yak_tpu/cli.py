@@ -233,13 +233,16 @@ def main_triobin(argv):
 
 def main_trioeval(argv):
     from yak_tpu.models.trio import TrioOpts, load_trio_tables, main_trioeval as te
-    o, pos = _getopt(argv, {"c": 1, "d": 1, "t": 1, "n": 1, "e": 0, "F": 0})
+    o, pos = _getopt(argv, {"c": 1, "d": 1, "t": 1, "n": 1, "e": 0,
+                            "F": 0, "K": 1})
     opt = TrioOpts()
+    kw = {}
     if "c" in o: opt.min_cnt = int(o["c"])
     if "d" in o: opt.mid_cnt = int(o["d"])
     if "n" in o: opt.min_n = int(o["n"])
     if "e" in o: opt.print_err = True
     if "F" in o: opt.print_frag = False
+    if "K" in o: kw["chunk_cap"] = _parse_num(o["K"])
     if len(pos) < 3:
         return _usage(["Usage: yak_tpu trioeval [options] <pat.yak> <mat.yak> "
                        "<seq.fa>"])
@@ -247,7 +250,7 @@ def main_trioeval(argv):
     cnt = ch.hist()
     print(f"[M::trioeval] {cnt[0 << 2 | 2]} file1-specific k-mers and "
           f"{cnt[2 << 2 | 0]} file2-specific k-mers", file=sys.stderr)
-    te(opt, ch, pos[2])
+    te(opt, ch, pos[2], **kw)
     return 0
 
 

@@ -69,6 +69,51 @@ def dump_yak(path, k, pre, hashes, counts):
             fp.close()
 
 
+def open_yak_stream(path, batch_keys=1 << 22):
+    """Stream a `.yak` file in O(batch) host memory.
+
+    Returns (k, pre, batches) where `batches` is a generator yielding
+    (hashes u64[<=batch_keys], counts i32) with full hashes
+    reconstructed — the streaming shard-by-shard read of the first dump
+    in two-table inspect (inspect.c:40-62), generalized to fixed-size
+    batches so device lookups keep one compiled shape."""
+    fp = open(path, "rb")
+    magic = fp.read(4)
+    if magic != YAK_MAGIC:
+        fp.close()
+        raise ValueError(f"{path}: wrong file magic")
+    k, pre, cbits = struct.unpack("<3I", fp.read(12))
+    if cbits != YAK_COUNTER_BITS:
+        fp.close()
+        raise ValueError(
+            f"{path}: saved counter bits {cbits} != {YAK_COUNTER_BITS}")
+
+    def batches():
+        try:
+            hs, cs, n = [], [], 0
+            for s in range(1 << pre):
+                _cap, sz = struct.unpack("<2I", fp.read(8))
+                left = sz
+                while left:
+                    m = min(left, batch_keys - n)
+                    buf = np.frombuffer(fp.read(8 * m), dtype="<u8")
+                    left -= m
+                    hs.append(((buf >> np.uint64(YAK_COUNTER_BITS))
+                               << np.uint64(pre)) | np.uint64(s))
+                    cs.append((buf & np.uint64(YAK_MAX_COUNT))
+                              .astype(np.int32))
+                    n += m
+                    if n >= batch_keys:   # exactly batch_keys by now
+                        yield (np.concatenate(hs), np.concatenate(cs))
+                        hs, cs, n = [], [], 0
+            if n:
+                yield (np.concatenate(hs), np.concatenate(cs))
+        finally:
+            fp.close()
+
+    return int(k), int(pre), batches()
+
+
 def restore_yak(path):
     """Read a `.yak` file; returns (k, pre, hashes u64[N], counts i32[N]).
 

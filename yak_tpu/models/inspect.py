@@ -8,25 +8,37 @@ time.  Upstream documents two-table inspect as a working feature, so we
 implement the corrected semantics: reconstruct the full hash
   hash = (key >> counter_bits) << l_pre | shard_ordinal
 before the lookup (verified against `yak qv` equality in BASELINE.md).
+
+Memory/streaming: the first dump is STREAMED in fixed-size batches
+(io/yakfmt.open_yak_stream — the role of inspect.c:40-62's
+shard-by-shard read), so host memory is O(batch) regardless of table
+size; only the second table is device-resident.  Batches are padded to
+one fixed shape so the sorted-join lookup compiles once.
 """
 
+import os
 import sys
 
 import jax.numpy as jnp
 import numpy as np
 
 from yak_tpu import YAK_N_COUNTS
-from yak_tpu.io.yakfmt import restore_yak
+from yak_tpu.io.yakfmt import open_yak_stream
 from yak_tpu.models.qv import qv_solve, _cf
 from yak_tpu.table import KmerTable
 
+_BATCH = 1 << 22
 
-def main_inspect(fn1, fn2=None, max_cnt=20, fpr=0.00004, out=None):
+
+def main_inspect(fn1, fn2=None, max_cnt=20, fpr=0.00004, out=None,
+                 batch_keys=_BATCH):
     out = out or sys.stdout
-    k1, pre1, hashes1, counts1 = restore_yak(fn1)
-    tot = np.bincount(counts1, minlength=YAK_N_COUNTS).astype(np.int64)
+    k1, pre1, batches = open_yak_stream(fn1, batch_keys)
 
     if fn2 is None:
+        tot = np.zeros(YAK_N_COUNTS, np.int64)
+        for _h, c in batches:
+            tot += np.bincount(c, minlength=YAK_N_COUNTS)
         acc_tot = 0
         for i in range(YAK_N_COUNTS - 1, -1, -1):
             acc_tot += int(tot[i])
@@ -37,14 +49,35 @@ def main_inspect(fn1, fn2=None, max_cnt=20, fpr=0.00004, out=None):
 
     ch = KmerTable.restore(fn2)
     hist = ch.hist()
-    # cnt[cnt_in1][cnt_in2] cross-tabulation
+    ch.flush()
+    # Pallas merge-JOIN on TPU (table streamed once per batch, only the
+    # batch sorted) behind the same gate as the qv join; XLA sorted join
+    # otherwise.
+    use_join = False
+    if ch.k <= 31 and os.environ.get("YAK_TPU_JOIN", "0") == "1":
+        import jax
+
+        from yak_tpu.ops import pallas_compact
+        use_join = (pallas_compact.enabled()
+                    and jax.default_backend() == "tpu")
+
+    tot = np.zeros(YAK_N_COUNTS, np.int64)
     cnt = np.zeros((YAK_N_COUNTS, YAK_N_COUNTS), np.int64)
-    chunk = 1 << 22
-    for off in range(0, len(hashes1), chunk):
-        h = jnp.asarray(hashes1[off:off + chunk], jnp.uint64)
-        r = np.asarray(ch.lookup_hashes(h, jnp.ones(h.shape, bool)))
+    for h_np, c0 in batches:
+        tot += np.bincount(c0, minlength=YAK_N_COUNTS)
+        n = len(h_np)
+        if n < batch_keys:
+            h_np = np.concatenate(
+                [h_np, np.zeros(batch_keys - n, np.uint64)])
+        valid = jnp.asarray(np.arange(batch_keys) < n)
+        h = jnp.asarray(h_np, jnp.uint64)
+        if use_join:
+            from yak_tpu.ops.countstep import lookup_pallas
+            r = np.asarray(lookup_pallas(ch.keys, ch.cnt, ch.size,
+                                         h, valid))[:n]
+        else:
+            r = np.asarray(ch.lookup_hashes(h, valid))[:n]
         c1 = np.maximum(r, 0)
-        c0 = counts1[off:off + chunk]
         np.add.at(cnt, (c0, c1), 1)
 
     # SN rows: cumulative sensitivity of in2 at occurrence thresholds

@@ -137,24 +137,17 @@ def scan_file(fn, table, chunk_size, on_progress=None):
     from yak_tpu.ops.countstep import get_scan_step
 
     table.flush()
-    packable = table.k <= 31
-
     step = None
 
     def provider(batch):
         nonlocal step
         out = []
         for packed in batch:
-            if packable:
-                if step is None:
-                    step = get_scan_step(table.k,
-                                         planes_L=packed.codes.shape[0])
-                arg = tuple(jnp.asarray(p) for p in
-                            pack_planes(packed.codes))
-            else:
-                if step is None:
-                    step = get_scan_step(table.k)
-                arg = jnp.asarray(packed.codes)[None, :]
+            if step is None:
+                step = get_scan_step(table.k,
+                                     planes_L=packed.codes.shape[0])
+            arg = tuple(jnp.asarray(p) for p in
+                        pack_planes(packed.codes))
             t = step(arg, table.keys, table.cnt, table.size)
             out.append(np.asarray(t[0]).astype(np.int32))
         return out

@@ -320,61 +320,194 @@ TRIOEVAL_HEADER = (
     "C\n")
 
 
+class _TeSeq:
+    """Per-sequence trioeval chain state: the exact per-qualifying-run
+    body of te_worker (trioeval.c:91-117) — pair counts c[4], site
+    counts d[2], the `last` phase link, fragment tracking (F rows), and
+    error rows (E rows).  Positions are vals-array coordinates (the
+    k-mer END base index), identical for the scan and fused paths."""
+
+    __slots__ = ("name", "L", "opt", "k", "c", "d", "last",
+                 "f_type", "f_st", "f_en", "f_cnt", "wrows")
+
+    def __init__(self, name, L, opt, k):
+        self.name, self.L, self.opt, self.k = name, L, opt, k
+        self.c = [0, 0, 0, 0]
+        self.d = [0, 0]
+        self.last = 0
+        self.f_type = self.f_st = self.f_en = self.f_cnt = 0
+        self.wrows = []
+
+    def run(self, st, ln, tv):
+        """One qualifying run (tv > 0, ln >= min_n)."""
+        n = (int(ln) + self.k - 1) // self.k
+        cc = int(tv) - 1
+        self.c[cc << 1 | cc] += n - 1
+        self.d[cc] += n
+        if self.last > 0:
+            self.c[(self.last - 1) << 1 | cc] += 1
+            if self.opt.print_err and self.last - 1 != cc:
+                self.wrows.append(f"E\t{self.name}\t{st + ln}\t"
+                                  f"{self.last}\t{cc + 1}\n")
+        if self.f_type != tv:
+            if self.f_type > 0 and self.opt.print_frag:
+                self.wrows.append(
+                    f"F\t{self.name}\t{self.f_type}\t{self.f_st}\t"
+                    f"{self.f_en}\t{self.f_cnt}\n")
+            self.f_type, self.f_st, self.f_cnt = \
+                int(tv), int(st) + 1 - self.k, 0
+        self.f_cnt += 1
+        self.f_en = int(st + ln) + 1  # trioeval.c:109: f_en = i + 1
+        self.last = int(tv)
+
+    def finish(self, bo, glob):
+        """Flush the open fragment, emit the S row, fold the global
+        switch/hamming accumulators (trioeval.c:132-149, 195-209)."""
+        if self.f_type > 0 and self.opt.print_frag:
+            self.wrows.append(f"F\t{self.name}\t{self.f_type}\t"
+                              f"{self.f_st}\t{self.f_en}\t{self.f_cnt}\n")
+        c, d = self.c, self.d
+        glob["n_par0"] += d[0]
+        glob["n_par1"] += d[1]
+        if d[0] + d[1] >= 2:
+            glob["n_pair"] += c[0] + c[1] + c[2] + c[3]
+            glob["n_switch"] += c[1] + c[2]
+            glob["n_site"] += d[0] + d[1]
+            glob["n_err"] += min(d[0], d[1])
+        bo.add("".join(self.wrows),
+               f"S\t{self.name}\t{d[0]}\t{d[1]}\t{c[0]}\t{c[1]}\t"
+               f"{c[2]}\t{c[3]}\t{self.L}\n", self.L)
+
+
 def main_trioeval(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
                   batch_bases=1_000_000_000):
     """Phase-block switch statistics (te_worker + summary,
-    trioeval.c:91-117,195-209)."""
+    trioeval.c:91-117,195-209) via the fused device fold (sparse run
+    markers, ops/countstep.get_trioeval_step; k >= 32 hashes via the
+    yak_hash_long funnel)."""
     out = out or sys.stdout
     k = ch.k
     chunk = max(1 << 14, min(batch_bases, chunk_cap))
     chunk = -(-chunk // 1024) * 1024
-    n_pair = n_site = n_switch = n_err = 0
-    n_par = [0, 0]
+    glob = {"n_pair": 0, "n_site": 0, "n_switch": 0, "n_err": 0,
+            "n_par0": 0, "n_par1": 0}
     out.write(TRIOEVAL_HEADER)
     bo = _BatchedOut(out, batch_bases)
-    for name, L, vals in scan_file(seq_fn, ch, chunk):
-        _, _, typ = _types_and_flags(vals)
-        c = [0, 0, 0, 0]
-        d = [0, 0]
-        last = 0
-        f_type = f_st = f_en = f_cnt = 0
-        wrows = []
-        starts, lens, tvals = _runs(typ)
-        for st, ln, tv in zip(starts, lens, tvals):
-            if tv > 0 and ln >= opt.min_n:
-                n = (int(ln) + k - 1) // k
-                cc = int(tv) - 1
-                c[cc << 1 | cc] += n - 1
-                d[cc] += n
-                if last > 0:
-                    c[(last - 1) << 1 | cc] += 1
-                    if opt.print_err and last - 1 != cc:
-                        wrows.append(f"E\t{name}\t{st + ln}\t{last}\t{cc + 1}\n")
-                if f_type != tv:
-                    if f_type > 0 and opt.print_frag:
-                        wrows.append(f"F\t{name}\t{f_type}\t{f_st}\t{f_en}\t"
-                                     f"{f_cnt}\n")
-                    f_type, f_st, f_cnt = int(tv), int(st) + 1 - k, 0
-                f_cnt += 1
-                f_en = int(st + ln) + 1  # trioeval.c:109: f_en = i + 1
-                last = int(tv)
-        if f_type > 0 and opt.print_frag:
-            wrows.append(f"F\t{name}\t{f_type}\t{f_st}\t{f_en}\t{f_cnt}\n")
-        n_par[0] += d[0]
-        n_par[1] += d[1]
-        if d[0] + d[1] >= 2:
-            n_pair += c[0] + c[1] + c[2] + c[3]
-            n_switch += c[1] + c[2]
-            n_site += d[0] + d[1]
-            n_err += min(d[0], d[1])
-        bo.add("".join(wrows),
-               f"S\t{name}\t{d[0]}\t{d[1]}\t{c[0]}\t{c[1]}\t{c[2]}\t"
-               f"{c[3]}\t{L}\n", L)
+    _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk)
     bo.flush()
+    n_switch, n_pair = glob["n_switch"], glob["n_pair"]
+    n_err, n_site = glob["n_err"], glob["n_site"]
+    n_par = [glob["n_par0"], glob["n_par1"]]
     out.write(f"W\t{n_switch}\t{n_pair}\t{_div(n_switch, n_pair):.6f}\n")
     out.write(f"H\t{n_err}\t{n_site}\t{_div(n_err, n_site):.6f}\n")
     out.write(f"N\t{n_par[0]}\t{n_par[1]}\t"
               f"{_div(min(n_par[0], n_par[1]), n_par[0] + n_par[1]):.6f}\n")
+
+
+def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
+    """Device fold (ops/countstep.get_trioeval_step): per-position
+    typing + run compression on device; the host replays the per-run
+    chain over the sparse marker stream, merging boundary runs across
+    chunk-spanning pieces (the halo makes piece windows seamless) and
+    falling back to the per-position scan on marker-budget overflow."""
+    import jax.numpy as jnp
+
+    from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.ops.countstep import (TRIOEVAL_MAX_RUNS,
+                                       get_trioeval_step)
+
+    k = ch.k
+    ch.flush()
+    M = chunk - k + 1
+    carry = None   # (gi, _TeSeq, open_run (typ, len, end_pos) | None)
+
+    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+        nseq = len(packed.rec_gid)
+        if not nseq:
+            continue
+        we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        step = get_trioeval_step(k, int(opt.min_n),
+                                 planes_L=packed.codes.shape[0])
+        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
+        key_d, n_d = step(pl3, jnp.asarray([we], np.int32),
+                          ch.keys, ch.cnt, ch.size)
+        n = int(n_d)
+        if n > TRIOEVAL_MAX_RUNS:
+            # marker overflow: per-position fallback for this chunk
+            from yak_tpu.ops.countstep import get_scan_step
+            sstep = get_scan_step(k, planes_L=packed.codes.shape[0])
+            vals = np.asarray(sstep(pl3, ch.keys, ch.cnt,
+                                    ch.size)).reshape(-1)
+            _, _, typ = _types_and_flags(vals)
+            lane = np.arange(len(typ), dtype=np.int64)
+            startm = np.concatenate([[True], typ[1:] != typ[:-1]])
+            run_start = np.maximum.accumulate(np.where(startm, lane, -1))
+            runlen = lane - run_start + 1
+            is_end = np.concatenate([typ[:-1] != typ[1:], [True]])
+            emit = is_end & (typ > 0) & ((runlen >= opt.min_n)
+                                         | (run_start == 0)
+                                         | (lane == we))
+            lanes = lane[emit]
+            lens = runlen[emit]
+            typs = typ[emit].astype(np.int64)
+        else:
+            keys = np.asarray(key_d)[:n]
+            lanes = (keys >> np.uint64(26)).astype(np.int64)
+            lens = ((keys >> np.uint64(2))
+                    & np.uint64((1 << 24) - 1)).astype(np.int64)
+            typs = (keys & np.uint64(3)).astype(np.int64)
+
+        starts = np.minimum(packed.rec_start, M)
+        seg_of = np.searchsorted(starts, lanes, side="right") - 1
+        continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
+                     < int(packed.rec_len[-1]))
+
+        bnd = np.concatenate([np.searchsorted(seg_of, np.arange(nseq)),
+                              [len(lanes)]])
+        for j in range(nseq):
+            gi = int(packed.rec_gid[j])
+            l_j = lanes[bnd[j]:bnd[j + 1]]
+            n_j = lens[bnd[j]:bnd[j + 1]]
+            t_j = typs[bnd[j]:bnd[j + 1]]
+            # run start in vals-array coords (k-mer end base index)
+            base = int(packed.rec_off0[j]) - int(starts[j]) + k - 1
+            runs = [(int(l) + base - int(ln) + 1, int(ln), int(tv))
+                    for l, ln, tv in zip(l_j, n_j, t_j)]
+            if j == 0 and carry is not None:
+                assert carry[0] == gi
+                ts, open_run = carry[1], carry[2]
+                carry = None
+                if open_run is not None:
+                    o_tv, o_ln, o_end = open_run
+                    if runs and runs[0][0] == o_end + 1 \
+                            and runs[0][2] == o_tv:
+                        st0, ln0, tv0 = runs[0]
+                        runs[0] = (st0 - o_ln, ln0 + o_ln, tv0)
+                    else:
+                        runs.insert(0, (o_end - o_ln + 1, o_ln, o_tv))
+            else:
+                ts = _TeSeq(packed.seq_names[gi],
+                            int(packed.rec_len[j]), opt, k)
+            tail_open = None
+            if j == nseq - 1 and continues and runs \
+                    and runs[-1][0] - base + runs[-1][1] - 1 == we:
+                st_l, ln_l, tv_l = runs.pop()
+                tail_open = (tv_l, ln_l, st_l + ln_l - 1)
+            for st, ln, tv in runs:
+                if ln >= opt.min_n:
+                    ts.run(st, ln, tv)
+            if j == nseq - 1 and continues:
+                carry = (gi, ts, tail_open)
+            else:
+                ts.finish(bo, glob)
+    if carry is not None:
+        _gi, ts, open_run = carry
+        if open_run is not None:
+            o_tv, o_ln, o_end = open_run
+            if o_ln >= opt.min_n:
+                ts.run(o_end - o_ln + 1, o_ln, o_tv)
+        ts.finish(bo, glob)
 
 
 def _div(a, b):

@@ -41,8 +41,11 @@ def _extractor(k, planes_L, rmajor=False):
 
     rmajor=True (count steps, plane inputs only): windows come back in
     the TPU-tile-friendly [G, 32, W-1] layout (ops/kmers._funnel_rm) —
-    only valid when the caller sorts the lanes anyway.
+    only valid when the caller sorts the lanes anyway.  k >= 32 always
+    uses the natural-order extractors (the yak_hash_long funnel,
+    ops/kmers._hash_long_from_planes).
     """
+    rmajor = rmajor and k <= 31
     if planes_L is None:
         return lambda codes: extract_kmer_hashes(codes, k)
     if isinstance(planes_L, tuple):
@@ -660,6 +663,63 @@ def get_triobin_step(k, ns, planes_L=None):
         tail_len = jnp.sum(jnp.where(at_we, runlen, 0))
         scalars = jnp.stack([typ[0], head_len, tail_typ, tail_len])
         return jnp.stack(outs), scalars
+
+    return step
+
+
+TRIOEVAL_MAX_RUNS = 1 << 17
+
+
+@lru_cache(maxsize=None)
+def get_trioeval_step(k, min_n, planes_L=None):
+    """Fused trioeval chunk step (te_worker, trioeval.c:91-117): lookup
+    + hap-mer typing + run-length compression on device.  Emits the
+    sparse stream of type>0 runs that can matter to the phase-block
+    chain — qualifying runs (len >= min_n) plus chunk-boundary runs
+    (lane-0 head, `we` tail) of any length — as packed
+    (lane << 26 | len << 2 | typ) markers sorted to the front, plus the
+    true marker count.  The host replays the per-run chain
+    (models/trio._TeSeq) over ~#hap-run events instead of M positions,
+    merging boundary runs across chunk-spanning pieces; it falls back
+    to the per-position scan for a chunk whose markers overflow the
+    budget."""
+    packable = k <= 31
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def step(codes, we1, tkeys, tcnt, size):
+        h, valid = ext((codes[0], codes[1], codes[2]))
+        M = h.shape[0] * h.shape[1]
+        if packable:
+            vals = st.lookup_qpacked(tkeys, tcnt, size, h.reshape(-1),
+                                     valid.reshape(-1))
+        else:
+            vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
+                                  valid.reshape(-1), packable=False)
+        is_k = valid.reshape(-1)
+        flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
+        c1 = flag & 3
+        c2 = (flag >> 2) & 3
+        typ = jnp.where(is_k & (c1 == 2) & (c2 == 0), 1,
+                        jnp.where(is_k & (c2 == 2) & (c1 == 0), 2, 0))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        prev = jnp.concatenate([jnp.full(1, -1, typ.dtype), typ[:-1]])
+        startm = typ != prev
+        run_start = jax.lax.cummax(jnp.where(startm, lane, -1))
+        runlen = lane - run_start + 1
+        nxt = jnp.concatenate([typ[1:], jnp.full(1, -1, typ.dtype)])
+        is_end = typ != nxt
+        we = we1[0]
+        emit = is_end & (typ > 0) & ((runlen >= min_n)
+                                     | (run_start == 0) | (lane == we))
+        key = jnp.where(emit,
+                        (lane.astype(jnp.uint64) << jnp.uint64(26))
+                        | (runlen.astype(jnp.uint64) << jnp.uint64(2))
+                        | typ.astype(jnp.uint64),
+                        jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        n = jnp.sum(emit.astype(jnp.int32))
+        return key[:TRIOEVAL_MAX_RUNS], n
 
     return step
 

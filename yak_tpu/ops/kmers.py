@@ -52,9 +52,8 @@ def extract_kmer_hashes(codes, k):
         return (jnp.zeros((B, 0), jnp.uint64), jnp.zeros((B, 0), bool))
     if k <= 31:
         return _extract_bitparallel(codes, k)
-    M = L - k + 1
-    valid = _valid_windows(codes, k)
-    return _hash_long_planes(codes, k, M), valid
+    plo, phi, pnn = codes_to_planes(codes)
+    return extract_from_planes(plo, phi, pnn, k, L)
 
 
 def _valid_windows(codes, k):
@@ -157,6 +156,64 @@ def extract_from_planes_rm(plo, phi, pnn, k, L):
     return h, valid
 
 
+def _words64(p32):
+    """u32 plane words [B, W] -> u64 words [B, ceil(W/2)+1]: pair-merge
+    plus one zero pad word past the end (the 64-funnel reads w[q+1];
+    the pad bits are only reachable from lanes >= M, which every caller
+    slices or masks away)."""
+    B, W = p32.shape
+    if W % 2:
+        p32 = jnp.concatenate([p32, jnp.zeros((B, 1), jnp.uint32)],
+                              axis=1)
+    p = p32.reshape(B, -1, 2).astype(jnp.uint64)
+    w = p[:, :, 0] | (p[:, :, 1] << jnp.uint64(32))
+    return jnp.concatenate([w, jnp.zeros((B, 1), jnp.uint64)], axis=1)
+
+
+def _funnel64(words, k):
+    """All k-bit (k <= 63) windows of a packed bit stream, from u64
+    words: out[:, 64q+r] = bits 64q+r .. +k-1 (LSB = first base)."""
+    B, W = words.shape
+    lo = words[:, :-1, None]                    # [B, W-1, 1]
+    hi = words[:, 1:, None]
+    r = jax.lax.broadcasted_iota(jnp.uint64, (1, 1, 64), 2)
+    win = (lo >> r) | ((hi << (jnp.uint64(63) - r)) << jnp.uint64(1))
+    win = win.reshape(B, (W - 1) * 64)
+    return win & jnp.uint64((1 << k) - 1)
+
+
+def _bitrev64(x, k):
+    """Reverse the low k (<= 63) bits of u64 lanes (6-step swap)."""
+    m = jnp.uint64
+    x = ((x & m(0x5555555555555555)) << m(1)) | ((x >> m(1)) & m(0x5555555555555555))
+    x = ((x & m(0x3333333333333333)) << m(2)) | ((x >> m(2)) & m(0x3333333333333333))
+    x = ((x & m(0x0F0F0F0F0F0F0F0F)) << m(4)) | ((x >> m(4)) & m(0x0F0F0F0F0F0F0F0F))
+    x = ((x & m(0x00FF00FF00FF00FF)) << m(8)) | ((x >> m(8)) & m(0x00FF00FF00FF00FF))
+    x = ((x & m(0x0000FFFF0000FFFF)) << m(16)) | ((x >> m(16)) & m(0x0000FFFF0000FFFF))
+    x = (x << m(32)) | (x >> m(32))
+    return x >> m(64 - k)
+
+
+def _hash_long_from_planes(plo, phi, k, M):
+    """yak_hash_long (k in [32, 63]) via u64-word funnel shifts: the
+    four 1-bit rolling planes of count.c:45-60 built bit-parallel in
+    O(1) passes instead of the O(k) unrolled loop.
+
+    Natural-order window bits w (bit j = base start+j) give:
+      x0/x1 (forward, bit k-1-j)   = bitrev_k(w)
+      x2/x3 (complement, bit j)    = ~w & mask
+    matching the reference's shift-register construction exactly
+    (oracle-verified via test_long_k_parity)."""
+    wlo = _funnel64(_words64(plo), k)[:, :M]
+    whi = _funnel64(_words64(phi), k)[:, :M]
+    mask = jnp.uint64((1 << k) - 1)
+    x0 = _bitrev64(wlo, k)
+    x1 = _bitrev64(whi, k)
+    x2 = (~wlo) & mask
+    x3 = (~whi) & mask
+    return hash_long(x0, x1, x2, x3, ns=jnp)
+
+
 def _bitrev(x, k):
     """Reverse the low k (<=31) bits of u32 lanes (classic 5-step swap)."""
     x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
@@ -202,15 +259,19 @@ def codes_to_planes(codes):
 
 
 def extract_periodic(plo, phi, wvec, k, L, R):
-    """Canonical k-mer hashes for PERIODIC chunk layouts (k <= 31):
-    reads of a uniform length R separated by single N cells, with an
-    all-N tail pad from base wvec[g] on (the fixed-length-FASTQ layout,
+    """Canonical k-mer hashes for PERIODIC chunk layouts: reads of a
+    uniform length R separated by single N cells, with an all-N tail
+    pad from base wvec[g] on (the fixed-length-FASTQ layout,
     io/pack.detect_periodic).  Validity is pure iota arithmetic — no N
     plane travels over the wire or is consulted at all:
     window i is valid iff it stays inside one period (i mod (R+1) <=
-    R-k) and ends before the pad (i + k <= w)."""
+    R-k) and ends before the pad (i + k <= w).  k >= 32 hashes via the
+    yak_hash_long funnel (_hash_long_from_planes)."""
     M = L - k + 1
-    h = _hashes_from_planes(plo, phi, k, M)
+    if k <= 31:
+        h = _hashes_from_planes(plo, phi, k, M)
+    else:
+        h = _hash_long_from_planes(plo, phi, k, M)
     i = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
     valid = ((i % (R + 1) <= R - k)
              & (i < (wvec.astype(jnp.int32) - (k - 1))[:, None]))
@@ -218,14 +279,18 @@ def extract_periodic(plo, phi, wvec, k, L, R):
 
 
 def extract_from_planes(plo, phi, pnn, k, L):
-    """Canonical k-mer hashes from pre-packed bit planes (k <= 31).
+    """Canonical (k <= 31) or yak_hash_long (k in [32, 63]) k-mer hashes
+    from pre-packed bit planes.
 
     plo/phi/pnn: u32[B, planes_words(L)] LSB-first planes; positions
     >= L must be marked nn=1.  Returns (hashes u64[B, L-k+1], valid).
     """
     M = L - k + 1
-    wnn = _funnel(pnn, k)[:, :M]
-    return _hashes_from_planes(plo, phi, k, M), wnn == 0
+    if k <= 31:
+        wnn = _funnel(pnn, k)[:, :M]
+        return _hashes_from_planes(plo, phi, k, M), wnn == 0
+    wnn = _funnel64(_words64(pnn), k)[:, :M]
+    return _hash_long_from_planes(plo, phi, k, M), wnn == 0
 
 
 def _hashes_from_planes(plo, phi, k, M):
@@ -251,21 +316,3 @@ def _extract_bitparallel(codes, k):
     L = codes.shape[1]
     plo, phi, pnn = codes_to_planes(codes)
     return extract_from_planes(plo, phi, pnn, k, L)
-
-
-def _hash_long_planes(codes, k, M):
-    c64 = codes.astype(jnp.uint64)
-    one = jnp.uint64(1)
-    x0 = jnp.zeros_like(c64[:, :M])
-    x1 = jnp.zeros_like(c64[:, :M])
-    x2 = jnp.zeros_like(c64[:, :M])
-    x3 = jnp.zeros_like(c64[:, :M])
-    for j in range(k):
-        cj = c64[:, j : j + M]
-        lo = cj & one
-        hi = (cj >> one) & one
-        x0 = x0 | (lo << jnp.uint64(k - 1 - j))
-        x1 = x1 | (hi << jnp.uint64(k - 1 - j))
-        x2 = x2 | ((one - lo) << jnp.uint64(j))
-        x3 = x3 | ((one - hi) << jnp.uint64(j))
-    return hash_long(x0, x1, x2, x3, ns=jnp)

@@ -115,18 +115,15 @@ class KmerTable:
         if self._pend_create != create_new:
             self.flush()
             self._pend_create = create_new
-        if self._packable:
-            from yak_tpu.io.pack import (detect_periodic, pack_planes,
-                                         pack_planes2)
-            per = detect_periodic(codes)
-            if per is not None:
-                plo, phi = pack_planes2(codes)
-                self._pend_codes.append((codes, plo, phi, None, per))
-            else:
-                plo, phi, pnn = pack_planes(codes)
-                self._pend_codes.append((codes, plo, phi, pnn, None))
+        from yak_tpu.io.pack import (detect_periodic, pack_planes,
+                                     pack_planes2)
+        per = detect_periodic(codes)
+        if per is not None:
+            plo, phi = pack_planes2(codes)
+            self._pend_codes.append((codes, plo, phi, None, per))
         else:
-            self._pend_codes.append(codes)
+            plo, phi, pnn = pack_planes(codes)
+            self._pend_codes.append((codes, plo, phi, pnn, None))
         if self._group_g is None:
             lanes = max(codes.shape[0] - self.k + 1, 1)
             target = self.flush_lanes or max(1 << 23, self.cap)
@@ -147,56 +144,49 @@ class KmerTable:
         # group is not inflated to the full flush width
         g_full = self._group_g or len(group)
         g = min(g_full, 1 << max(len(group) - 1, 0).bit_length())
-        planes_L = None
-        if self._packable:
-            # chunks arrive pre-packed from insert_codes as
-            # (codes, plo, phi, pnn|None, (R, w)|None); the fold only
-            # concatenates planes (2 bits/base periodic, 3 otherwise)
-            from yak_tpu.io.pack import pack_planes
-            L = group[0][0].shape[0]
-            n_pad = g - len(group)
-            pw = [e[4] for e in group]
-            periodic = (all(p is not None for p in pw)
-                        and len({p[0] for p in pw}) == 1)
-            if periodic:
-                R = pw[0][0]
-                # all-pad fill chunks are trivially periodic with w=0
-                wvec = np.array([p[1] for p in pw] + [0] * n_pad,
-                                np.int32)
-                zw = np.zeros((n_pad, group[0][1].shape[1]), np.uint32)
-                plo = np.concatenate([e[1] for e in group] + [zw])
-                phi = np.concatenate([e[2] for e in group] + [zw])
-                codes = ((jnp.asarray(plo), jnp.asarray(phi),
-                          jnp.asarray(wvec)), L)
-                planes_L = ("periodic", L, R)
-            else:
-                pl3s = []
-                for e in group:
-                    if e[3] is None:   # periodic chunk in a mixed group
-                        pl3s.append(pack_planes(e[0]))
-                    else:
-                        pl3s.append((e[1], e[2], e[3]))
-                W = pl3s[0][0].shape[1]
-                padw = np.zeros((n_pad, W), np.uint32)
-                padn = np.full((n_pad, W), 0xFFFFFFFF, np.uint32)
-                codes = (tuple(
-                    jnp.asarray(np.concatenate(
-                        [p[j] for p in pl3s]
-                        + [padn if j == 2 else padw]))
-                    for j in range(3)), L)
-                planes_L = L
+        # chunks arrive pre-packed from insert_codes as
+        # (codes, plo, phi, pnn|None, (R, w)|None); the fold only
+        # concatenates planes (2 bits/base periodic, 3 otherwise)
+        from yak_tpu.io.pack import pack_planes
+        L = group[0][0].shape[0]
+        n_pad = g - len(group)
+        pw = [e[4] for e in group]
+        periodic = (all(p is not None for p in pw)
+                    and len({p[0] for p in pw}) == 1)
+        if periodic:
+            R = pw[0][0]
+            # all-pad fill chunks are trivially periodic with w=0
+            wvec = np.array([p[1] for p in pw] + [0] * n_pad,
+                            np.int32)
+            zw = np.zeros((n_pad, group[0][1].shape[1]), np.uint32)
+            plo = np.concatenate([e[1] for e in group] + [zw])
+            phi = np.concatenate([e[2] for e in group] + [zw])
+            codes = ((jnp.asarray(plo), jnp.asarray(phi),
+                      jnp.asarray(wvec)), L)
+            planes_L = ("periodic", L, R)
         else:
-            if len(group) < g:
-                pad = np.full(group[0].shape, 4, np.uint8)
-                group = group + [pad] * (g - len(group))
-            codes = jnp.asarray(np.stack(group))
+            pl3s = []
+            for e in group:
+                if e[3] is None:   # periodic chunk in a mixed group
+                    pl3s.append(pack_planes(e[0]))
+                else:
+                    pl3s.append((e[1], e[2], e[3]))
+            W = pl3s[0][0].shape[1]
+            padw = np.zeros((n_pad, W), np.uint32)
+            padn = np.full((n_pad, W), 0xFFFFFFFF, np.uint32)
+            codes = (tuple(
+                jnp.asarray(np.concatenate(
+                    [p[j] for p in pl3s]
+                    + [padn if j == 2 else padw]))
+                for j in range(3)), L)
+            planes_L = L
         self._check_last_step()  # one step late: previous fold settled
         # capacity prior (only without an explicit cap hint): a group of
         # L lanes creates at most L keys and typically ~L/2 distinct;
         # grow proactively so the first folds don't walk the doubling
         # ladder (each cap is a fresh XLA shape).  With a hint, trust it:
         # overflow replay doubles from there if the user undershot.
-        chunk_len = (group[0][0] if self._packable else group[0]).shape[0]
+        chunk_len = group[0][0].shape[0]
         lanes = g * max(chunk_len - self.k + 1, 1)
         if not self._cap_hinted and self.cap * 2 < lanes:
             need = 1 << max((lanes // 2 - 1).bit_length(), 14)
