@@ -1,22 +1,30 @@
-"""Benchmark: `count -k31` insert throughput on one TPU chip.
+"""Benchmark: count / qv / triobin throughput on one TPU chip.
 
-Workload mirrors BASELINE.md: 2 Mbp genome, 400,000 x 150 bp reads with
-0.3% substitution errors = 48.0M k-mer instances, k=31, exact counting.
-Reference: 10.4M k-mers/s on this VM's single CPU core (BASELINE.md).
+Workloads mirror BASELINE.md: 2 Mbp genome, 400,000 x 150 bp reads with
+0.3% substitution errors = 48.0M k-mer instances, k=31.
+References (1 CPU core, BASELINE.md): count 10.4M k-mers/s; qv 12.1M
+lookups/s (the same per-position probe loop as triobin/trioeval).
 
-Timing covers host packing, host->device transfer, canonical k-mer
-extraction, and the sorted-table merge, end to end from in-memory reads
-(a warm-up pass excludes one-time XLA compilation).  Prints ONE JSON
-line for the driver.
+Timing covers the full end-to-end path (host packing / FASTA ingest,
+host->device transfer, extraction, table merge or join, reductions); a
+warm-up pass excludes one-time XLA compilation.  MEASUREMENT HYGIENE
+(CLAUDE.md): the remote tunnel can serve cached results for repeated
+identical dispatches, so the lookup benches time DISTINCT input sets
+(each dispatched once) and take the fastest clean set; every metric
+gates on an exact precomputed output value so a result-corrupting
+regression cannot post a score.  Prints one JSON line per metric
+(count first — the headline metric for single-line consumers).
 """
 
+import io
 import json
 import sys
 import time
 
 import numpy as np
 
-BASELINE_KMERS_PER_S = 10.4e6  # BASELINE.md, count -k31 exact, 1 core
+BASELINE_KMERS_PER_S = 10.4e6    # BASELINE.md, count -k31 exact, 1 core
+BASELINE_LOOKUPS_PER_S = 12.1e6  # BASELINE.md, qv probe loop, 1 core
 K = 31
 READ_LEN = 150
 N_READS = 400_000
@@ -65,6 +73,128 @@ def run_count(chunks, KmerTable):
     return table
 
 
+def _emit(metric, value, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value),
+        "unit": "k-mers/s" if "count" in metric else "lookups/s",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+def _genome():
+    return np.random.default_rng(42).integers(0, 4, GENOME_LEN,
+                                              dtype=np.uint8)
+
+
+def _write_fasta(path, seqs):
+    alph = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    with open(path, "wb") as fp:
+        for j, s in enumerate(seqs):
+            fp.write(b">s%d\n" % j)
+            fp.write(alph[s].tobytes())
+            fp.write(b"\n")
+
+
+def _qv_set(genome, seed, path):
+    """Error-free genome-derived reads: every k-mer present, min_frac
+    passes, histogram fully determined by the seeds."""
+    rng = np.random.default_rng(seed)
+    starts = rng.integers(0, GENOME_LEN - READ_LEN + 1, N_READS)
+    _write_fasta(path, list(genome[starts[:, None]
+                                   + np.arange(READ_LEN)[None, :]]))
+
+
+# exact-output gates (deterministic given the fixed seeds; recorded
+# from a verified run so any count/lookup corruption fails the bench)
+QV_CNT0 = {101: 0, 102: 0}
+QV_DIGEST = {101: "70a2f8de2e2c", 102: "72893d32c67e"}  # md5 of cnt[1024]
+QV_SUM = 48_000_000
+TB_DIGEST = {7: "d813150efc7a", 8: "34ffd15f941e"}
+
+
+def bench_qv(table, genome, out_times):
+    from yak_tpu.models.qv import QvOpts, run_qv
+
+    opt = QvOpts(chunk_size=1 << 23)
+    n_lookups = N_READS * (READ_LEN - K + 1)
+    _qv_set(genome, 100, "/tmp/yakbench_qv_warm.fa")
+    run_qv(opt, "/tmp/yakbench_qv_warm.fa", table, out=io.StringIO())
+    best = float("inf")
+    for seed in (101, 102):
+        fn = f"/tmp/yakbench_qv_{seed}.fa"
+        _qv_set(genome, seed, fn)
+        try:
+            t0 = time.time()
+            cnt = run_qv(opt, fn, table, out=io.StringIO())
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"[bench] qv set failed ({type(e).__name__})",
+                  file=sys.stderr)
+            continue
+        assert int(cnt.sum()) == QV_SUM, int(cnt.sum())
+        assert int(cnt[0]) == QV_CNT0[seed], (seed, int(cnt[0]))
+        import hashlib
+        dg = hashlib.md5(np.ascontiguousarray(cnt, np.int64)
+                         .tobytes()).hexdigest()[:12]
+        if QV_DIGEST[seed] is not None:
+            assert dg == QV_DIGEST[seed], (seed, dg)
+        else:
+            print(f"[bench] qv digest[{seed}] = {dg}", file=sys.stderr)
+        best = min(best, dt)
+    out_times["qv"] = best
+    return n_lookups / best
+
+
+def bench_triobin(table, genome, out_times):
+    """Flag table synthesized from the count table's hashes (typing and
+    streak logic exercised with deterministic output); child = 20
+    genome-rotations, ~48M probed positions."""
+    import hashlib
+
+    from yak_tpu.models.trio import TrioOpts, main_triobin
+    from yak_tpu.table import KmerTable
+
+    h, _c = table.items()
+    flags = ((h >> np.uint64(7)) % np.uint64(15) + np.uint64(1)
+             ).astype(np.int32)
+    tb = KmerTable(K)
+    tb._set_pairs(h, flags)
+    n_ctg, ctg_len = 24, GENOME_LEN
+    npos = n_ctg * (ctg_len - K + 1)
+
+    def write_set(seed, path):
+        rng = np.random.default_rng(seed)
+        _write_fasta(path, [np.roll(genome, int(r))
+                            for r in rng.integers(0, GENOME_LEN, n_ctg)])
+
+    opt = TrioOpts()
+    write_set(6, "/tmp/yakbench_tb_warm.fa")
+    main_triobin(opt, tb, "/tmp/yakbench_tb_warm.fa", out=io.StringIO())
+    best = float("inf")
+    for seed in (7, 8):
+        fn = f"/tmp/yakbench_tb_{seed}.fa"
+        write_set(seed, fn)
+        try:
+            buf = io.StringIO()
+            t0 = time.time()
+            main_triobin(opt, tb, fn, out=buf)
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"[bench] triobin set failed ({type(e).__name__})",
+                  file=sys.stderr)
+            continue
+        dg = hashlib.md5(buf.getvalue().encode()).hexdigest()[:12]
+        if TB_DIGEST[seed] is not None:
+            assert dg == TB_DIGEST[seed], (seed, dg)
+        else:
+            print(f"[bench] triobin digest[{seed}] = {dg}",
+                  file=sys.stderr)
+        best = min(best, dt)
+    out_times["triobin"] = best
+    return npos / best
+
+
 def main():
     from yak_tpu.table import KmerTable
 
@@ -109,6 +239,27 @@ def main():
         "unit": "k-mers/s",
         "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
     }))
+
+    times = {}
+    genome = _genome()
+    try:
+        v = bench_qv(table, genome, times)
+        print(f"[bench] qv 48.0M lookups, {times['qv']:.3f}s",
+              file=sys.stderr)
+        _emit("qv k=31 lookup+reduce throughput (1 chip, FASTA ingest)",
+              v, BASELINE_LOOKUPS_PER_S)
+    except Exception as e:
+        print(f"[bench] qv bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        v = bench_triobin(table, genome, times)
+        print(f"[bench] triobin 48.0M positions, "
+              f"{times['triobin']:.3f}s", file=sys.stderr)
+        _emit("triobin k=31 position throughput (1 chip, FASTA ingest)",
+              v, BASELINE_LOOKUPS_PER_S)
+    except Exception as e:
+        print(f"[bench] triobin bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -116,3 +116,33 @@ def test_n_seq_counter(data):
     want = sum(1 for rec in FastxReader(str(data / "ragged.fa"))
                if len(rec.seq) >= 17)
     assert r.n_seq == want
+
+
+def test_native_planes_match_host_packer():
+    """The reader thread's pre-packed bit planes must equal
+    io.pack.pack_planes of the same codes."""
+    import numpy as np
+    from yak_tpu import native
+    from yak_tpu.io.pack import pack_planes
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    import tempfile, os
+    rng = np.random.default_rng(7)
+    alph = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        fn = os.path.join(td, "r.fa")
+        with open(fn, "wb") as fp:
+            for i in range(200):
+                L = int(rng.integers(50, 400))
+                s = rng.integers(0, 5, L)
+                s = np.where(rng.random(L) < 0.97, s % 4, 4)
+                fp.write(b">s%d\n" % i + alph[s].tobytes() + b"\n")
+        r = native.NativePackReader(fn, 16384, 21, with_meta="records")
+        n = 0
+        for c in r:
+            want = pack_planes(c.codes)
+            for a, b in zip(c.planes, want):
+                np.testing.assert_array_equal(a, b)
+            n += 1
+        assert n > 0

@@ -371,3 +371,20 @@ def test_chkerr_long_k(trio33):
                       trio33 / "child.fa"])
     assert ours(["chkerr", trio33 / "pat.yak",
                  trio33 / "child.fa"]) == ref
+
+
+def test_join_folds_interpret(trio, tmp_path, monkeypatch):
+    """The Pallas merge-JOIN engine through the triobin/trioeval/chkerr
+    folds (interpret mode on CPU): identical stdout to the oracle."""
+    monkeypatch.setenv("YAK_TPU_JOIN_INTERPRET", "1")
+    ref = run_oracle(["triobin", "-t1", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    assert ours(["triobin", "-K16000", trio / "pat.yak", trio / "mat.yak",
+                 trio / "child.fa"]) == ref
+    ref = run_oracle(["trioeval", "-t1", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    assert ours(["trioeval", "-K16000", trio / "pat.yak", trio / "mat.yak",
+                 trio / "child.fa"]) == ref
+    ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
+    assert ours(["chkerr", "-K16384", trio / "pat.yak",
+                 trio / "child.fa"]) == ref

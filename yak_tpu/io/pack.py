@@ -92,6 +92,74 @@ def detect_periodic(codes):
     return (R, w)
 
 
+def detect_periodic_meta(packed):
+    """detect_periodic from record-piece metadata in O(nseq) — no code
+    scan (the scan costs ~100ms per 2^23 chunk, which dominates the
+    host side of the lookup workloads).  Requires N-free records (the
+    packer writes record bases verbatim, so an N inside a record breaks
+    the single-N-separator period) — callers' extract_periodic validity
+    would be wrong for N-bearing records, hence the pnn probe below."""
+    rl, rs, rt = packed.rec_len, packed.rec_start, packed.rec_take
+    m = len(rl)
+    if m == 0:
+        return None
+    R = int(rl[0])
+    if R < 1:
+        return None
+    if not ((rl[:-1] == R).all() and (rt[:-1] == rl[:-1]).all()
+            and int(rt[-1]) <= R and int(rl[-1]) >= int(rt[-1])
+            and int(rs[-1]) + int(rt[-1]) <= len(packed.codes)
+            and (rs == (R + 1) * np.arange(m, dtype=rs.dtype)).all()
+            and int(packed.rec_off0[-1]) == 0):
+        return None
+    # records must be N-free for the periodic validity arithmetic; one
+    # vectorized probe over the chunk's written region (via the
+    # pre-packed N plane's popcount when the native reader supplied it)
+    w = int(rs[-1]) + int(rt[-1])
+    pl = getattr(packed, "planes", None)
+    if pl is not None:
+        pnn = pl[2].reshape(-1)
+        full, rem = divmod(w, 32)
+        n_bits = int(np.bitwise_count(pnn[:full]).sum())
+        if rem:
+            n_bits += int(np.bitwise_count(
+                pnn[full] & np.uint32((1 << rem) - 1)))
+        if n_bits != m - 1:
+            return None
+    elif (packed.codes[:w] >= 4).sum() != m - 1:
+        return None
+    return (R, w)
+
+
+def pack_chunk_planes(codes, packed=None):
+    """Pack ONE flat code chunk for a fused lookup step: returns
+    (arg, planes_L) where `arg` is the device-ready plane tuple and
+    `planes_L` the static extractor key (ops/countstep._extractor).
+
+    Periodic chunks (fixed-length-read layout) ship 2 planes + the pad
+    start — 2 bits/base on the wire and no N-plane funnel on device;
+    general chunks ship 3 planes (3 bits/base).  Pass the PackedChunk
+    as `packed` to detect periodicity from record metadata (fast path)
+    and reuse planes pre-packed by the native reader thread
+    (native/fastx.cpp pack_planes); otherwise the codes are scanned and
+    packed here."""
+    import jax.numpy as jnp
+
+    pl = getattr(packed, "planes", None) if packed is not None else None
+    per = (detect_periodic_meta(packed) if packed is not None
+           else detect_periodic(codes))
+    if per is not None:
+        R, w = per
+        plo, phi = (pl[0], pl[1]) if pl is not None \
+            else pack_planes2(codes)
+        return ((jnp.asarray(plo), jnp.asarray(phi),
+                 jnp.asarray(np.array([w], np.int32))),
+                ("periodic", codes.shape[0], R))
+    plo, phi, pnn = pl if pl is not None else pack_planes(codes)
+    return ((jnp.asarray(plo), jnp.asarray(phi), jnp.asarray(pnn)),
+            codes.shape[0])
+
+
 class PackedChunk:
     """A fixed-size flat code buffer plus provenance.
 

@@ -34,12 +34,16 @@ def main_chkerr(opt, table, seq_fn, out=None):
     import jax.numpy as jnp
 
     from yak_tpu.io.chunks import ChunkSource
-    from yak_tpu.io.pack import pack_planes
-    from yak_tpu.ops.countstep import CHKERR_MAX_RUNS, get_chkerr_step
+    from yak_tpu.io.pack import pack_chunk_planes
+    from yak_tpu.ops.countstep import (CHKERR_MAX_RUNS, get_chkerr_step,
+                                       get_chkerr_join_post,
+                                       get_qv_join_pre, join_enabled,
+                                       run_join_lookup)
 
     out = out or sys.stdout
     k = table.k
     table.flush()
+    use_join, jinterp = join_enabled(k)
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     M = chunk - k + 1
@@ -54,10 +58,17 @@ def main_chkerr(opt, table, seq_fn, out=None):
         nseq = len(packed.rec_gid)
         if not nseq:
             continue
-        step = get_chkerr_step(k, int(opt.min_cnt),
-                               planes_L=packed.codes.shape[0])
-        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
-        key_d, n_d = step(pl3, table.keys, table.cnt, table.size)
+        arg, planes_key = pack_chunk_planes(packed.codes, packed)
+        if use_join:
+            ov, pay, vflat = run_join_lookup(
+                table, get_qv_join_pre(k, planes_key), arg, M,
+                interpret=jinterp)
+            key_d, n_d = get_chkerr_join_post(
+                k, int(opt.min_cnt), M)(ov, pay, vflat)
+        else:
+            step = get_chkerr_step(k, int(opt.min_cnt),
+                                   planes_L=planes_key)
+            key_d, n_d = step(arg, table.keys, table.cnt, table.size)
         n = int(n_d)
         if n > CHKERR_MAX_RUNS:
             # marker overflow (low-coverage table vs a large input):
@@ -65,8 +76,8 @@ def main_chkerr(opt, table, seq_fn, out=None):
             # find the run ends on host — same (lane, len) pairs, just
             # a full value-stream transfer instead of sparse markers
             from yak_tpu.ops.countstep import get_scan_step
-            sstep = get_scan_step(k, planes_L=packed.codes.shape[0])
-            vals = np.asarray(sstep(pl3, table.keys, table.cnt,
+            sstep = get_scan_step(k, planes_L=planes_key)
+            vals = np.asarray(sstep(arg, table.keys, table.cnt,
                                     table.size)).reshape(-1)
             low = (vals > -2) & (vals < opt.min_cnt)
             lane = np.arange(len(low), dtype=np.int64)

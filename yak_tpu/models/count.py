@@ -47,14 +47,25 @@ def count_file(fn, opt, table=None):
     else:
         assert table.k == opt.k and table.pre == opt.pre
     chunk = _device_chunk(opt)
-    t0 = time.time()
+    # record-level meta ("records") costs next to nothing and lets the
+    # periodic-layout check run on metadata instead of scanning codes
     src = ChunkSource(fn, chunk, opt.k, min_len=opt.k,  # count.c:94 skip
-                      with_meta=False)
+                      with_meta="records")
+    from yak_tpu.io.pack import detect_periodic_meta
+    from yak_tpu.utils import Progress
+    prog = Progress("count_file")
     for packed in src:
-        table.insert_codes(packed.codes, create_new=create_new)
-    print(f"[M::count_file::{time.time()-t0:.3f}] processed {src.n_seq} "
-          f"sequences; {table.tot} distinct k-mers in the hash table",
-          file=sys.stderr)
+        per = detect_periodic_meta(packed)
+        table.insert_codes(packed.codes, create_new=create_new,
+                           planes=getattr(packed, "planes", None),
+                           periodic=per if per else False)
+        # per-chunk line (count.c:140-141 shape); the distinct-k-mer
+        # figure is the last SETTLED fold (the current fold is still in
+        # flight — syncing here would serialize the pipeline)
+        prog.line(f"processed {src.n_seq} sequences; {table._tot} "
+                  f"distinct k-mers in the hash table")
+    prog.line(f"processed {src.n_seq} sequences; {table.tot} distinct "
+              f"k-mers in the hash table")
     return table
 
 
@@ -80,6 +91,10 @@ def recount(fn, table):
     table.clear_counts()
     o = CountOpts(k=table.k, pre=table.pre)
     chunk = _device_chunk(o)
-    for packed in ChunkSource(fn, chunk, table.k, with_meta=False):
-        table.insert_codes(packed.codes, create_new=False)
+    from yak_tpu.io.pack import detect_periodic_meta
+    for packed in ChunkSource(fn, chunk, table.k, with_meta="records"):
+        per = detect_periodic_meta(packed)
+        table.insert_codes(packed.codes, create_new=False,
+                           planes=getattr(packed, "planes", None),
+                           periodic=per if per else False)
     return table

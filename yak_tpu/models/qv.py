@@ -301,7 +301,7 @@ def _run_qv_fused(opt, fn, table, out):
     import jax.numpy as jnp
 
     from yak_tpu.io.chunks import ChunkSource
-    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops import pallas_compact, pallas_merge
     from yak_tpu.ops.countstep import (get_qv_join_post, get_qv_join_pre,
                                        get_qv_step)
@@ -313,17 +313,17 @@ def _run_qv_fused(opt, fn, table, out):
 
     k = table.k
     table.flush()
-    # Pallas merge-path JOIN (YAK_TPU_JOIN=1): the sorted table streams
-    # through the kernel once instead of re-sorting with the batch.
-    # The kernel alone beats the XLA sorted join 80ms vs 138ms/chunk,
-    # but the 3-dispatch split costs ~400ms/chunk in per-dispatch
-    # latency through THIS dev tunnel, so it loses end-to-end here;
-    # on directly-attached TPUs (us dispatch) it should win — default
-    # off until measured there.
+    # Pallas merge-path JOIN (default ON on TPU, YAK_TPU_JOIN=0 to
+    # disable): the sorted table streams through the kernel once
+    # instead of re-sorting with the batch.  Measured r2 on v5e with
+    # varied inputs: 47ms/chunk device vs 115ms for the XLA sorted
+    # join, 54-58M lookups/s end-to-end vs 36M (the r1 "3-dispatch
+    # latency" penalty no longer reproduces with the split pre/post
+    # jits).
     join_interp = os.environ.get("YAK_TPU_JOIN_INTERPRET", "0") == "1"
     use_join = k <= 31 and (join_interp or (
         pallas_compact.enabled() and jax.default_backend() == "tpu"
-        and os.environ.get("YAK_TPU_JOIN", "0") == "1"))
+        and os.environ.get("YAK_TPU_JOIN", "1") != "0"))
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     cnt_d = jnp.zeros(YAK_N_COUNTS, jnp.int64)
@@ -333,6 +333,8 @@ def _run_qv_fused(opt, fn, table, out):
     carry_gi = None            # host mirror: which seq the carry is
     h_carry = [0, 0]           # host mirror of (tot, non0) for -p
     sq = []                    # (name, L, tot, non0) in output order
+    from yak_tpu.utils import Progress
+    prog = Progress("run_qv")
 
     _src_iter = iter(ChunkSource(fn, chunk, k, with_meta="records"))
     while True:
@@ -352,13 +354,13 @@ def _run_qv_fused(opt, fn, table, out):
                                               opt.min_len)
         T["host"] += _time.time() - _t0
         _t0 = _time.time()
-        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
+        arg, planes_key = pack_chunk_planes(packed.codes, packed)
         T["pack"] += _time.time() - _t0
         _t0 = _time.time()
         if use_join:
             Mw = chunk - k + 1
-            pre = get_qv_join_pre(k, packed.codes.shape[0])
-            *args8, pay, vflat = pre(pl3, table.keys, table.cnt,
+            pre = get_qv_join_pre(k, planes_key)
+            *args8, pay, vflat = pre(arg, table.keys, table.cnt,
                                      table.size)
             kout = pallas_merge.merge_reduce(
                 *args8, Na=table.cap, Nb=Mw, lookup=True,
@@ -369,10 +371,10 @@ def _run_qv_fused(opt, fn, table, out):
                 kout[2], pay, vflat, jnp.asarray(meta),
                 cnt_d, c_tot, c_non0, c_hist)
         else:
-            step = get_qv_step(k, ns, planes_L=packed.codes.shape[0],
+            step = get_qv_step(k, ns, planes_L=planes_key,
                                min_frac=float(opt.min_frac))
             cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = step(
-                pl3, jnp.asarray(meta),
+                arg, jnp.asarray(meta),
                 cnt_d, c_tot, c_non0, c_hist,
                 table.keys, table.cnt, table.size)
 
@@ -382,6 +384,8 @@ def _run_qv_fused(opt, fn, table, out):
             _qv_sq_update(packed, info, np.asarray(tot_d),
                           np.asarray(non0_d), h_carry, sq, opt.min_len)
 
+        # per-chunk progress in the reference shape (qv.c:104-106)
+        prog.line(f"processed {nseq} sequences")
         T["dispatch"] += _time.time() - _t0
     for name, L, tot, non0 in sq:
         _sq_line(out, name, L, tot, non0, k)

@@ -82,18 +82,24 @@ def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
 
 
 def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
-                  extra_args=()):
+                  extra_args=(), join_post_builder=None):
     """Shared driver for device-side per-segment reductions (sexchr and
     friends): stream record-meta chunks, run `step_builder(k, ns,
     planes_L)`'s step per chunk, accumulate the n_out per-seg sum
     vectors across chunk-spanning pieces, and yield
-    (name, seq_len, sums tuple of ints) per sequence in input order."""
+    (name, seq_len, sums tuple of ints) per sequence in input order.
+    With join_post_builder(k, ns, M), the lookup runs through the
+    Pallas merge-JOIN engine when enabled (countstep.join_enabled)."""
     import jax.numpy as jnp
 
-    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.io.pack import pack_chunk_planes
+    from yak_tpu.ops.countstep import (get_qv_join_pre, join_enabled,
+                                       run_join_lookup)
 
     k = table.k
     table.flush()
+    use_join, jinterp = join_enabled(k)
+    use_join = use_join and join_post_builder is not None
     chunk = -(-max(1 << 14, int(chunk_size)) // 1024) * 1024
     M = chunk - k + 1
     carry = None    # [gi, sums list] for the chunk-spanning seq
@@ -105,10 +111,17 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
         ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
         bounds = np.full(ns + 1, M, np.int32)
         bounds[:nseq] = np.minimum(packed.rec_start, M)
-        step = step_builder(k, ns, planes_L=packed.codes.shape[0])
-        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
-        outs = step(pl3, jnp.asarray(bounds), *extra_args,
-                    table.keys, table.cnt, table.size)
+        arg, planes_key = pack_chunk_planes(packed.codes, packed)
+        if use_join:
+            ov, pay, vflat = run_join_lookup(
+                table, get_qv_join_pre(k, planes_key), arg, M,
+                interpret=jinterp)
+            outs = join_post_builder(k, ns, M)(
+                ov, pay, vflat, jnp.asarray(bounds), *extra_args)
+        else:
+            step = step_builder(k, ns, planes_L=planes_key)
+            outs = step(arg, jnp.asarray(bounds), *extra_args,
+                        table.keys, table.cnt, table.size)
         outs = [np.asarray(o)[:nseq] for o in outs[:n_out]]
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
                      < int(packed.rec_len[-1]))
@@ -133,21 +146,16 @@ def scan_file(fn, table, chunk_size, on_progress=None):
     """Yield (name, seq_len, vals int32[seq_len]) per sequence, in order
     (single-table, one fused dispatch per chunk; k <= 31 ships 3
     bits/base host-packed planes and receives one i16 value stream)."""
-    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops.countstep import get_scan_step
 
     table.flush()
-    step = None
 
     def provider(batch):
-        nonlocal step
         out = []
         for packed in batch:
-            if step is None:
-                step = get_scan_step(table.k,
-                                     planes_L=packed.codes.shape[0])
-            arg = tuple(jnp.asarray(p) for p in
-                        pack_planes(packed.codes))
+            arg, planes_key = pack_chunk_planes(packed.codes, packed)
+            step = get_scan_step(table.k, planes_L=planes_key)
             t = step(arg, table.keys, table.cnt, table.size)
             out.append(np.asarray(t[0]).astype(np.int32))
         return out

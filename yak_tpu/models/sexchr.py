@@ -38,7 +38,8 @@ SEXCHR_HEADER = (
 
 def main_sexchr(opt, ch, hap_fns, out=None):
     from yak_tpu.models.scan import scan_seg_sums
-    from yak_tpu.ops.countstep import get_sexchr_step
+    from yak_tpu.ops.countstep import (get_sexchr_join_post,
+                                       get_sexchr_step)
 
     out = out or sys.stdout
     out.write(SEXCHR_HEADER)
@@ -46,7 +47,8 @@ def main_sexchr(opt, ch, hap_fns, out=None):
     chunk = -(-chunk // 1024) * 1024
     for hap, fn in enumerate(hap_fns, start=1):
         for name, _L, (n_k, n_sexchr, n_sex1, n_sex2) in scan_seg_sums(
-                fn, ch, chunk, get_sexchr_step, 4):
+                fn, ch, chunk, get_sexchr_step, 4,
+                join_post_builder=get_sexchr_join_post):
             out.write(f"S\t{name}\t{hap}\t0\t{n_k}\t{n_sexchr}\t{n_sex1}\t"
                       f"{n_sex2}\n")
 

@@ -158,8 +158,11 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     import jax.numpy as jnp
 
     from yak_tpu.io.chunks import ChunkSource
-    from yak_tpu.io.pack import pack_planes
-    from yak_tpu.ops.countstep import get_triobin_step
+    from yak_tpu.io.pack import pack_chunk_planes
+    from yak_tpu.ops.countstep import (get_qv_join_pre,
+                                       get_triobin_join_post,
+                                       get_triobin_step, join_enabled,
+                                       run_join_lookup)
 
     import os
     import time as _time
@@ -169,6 +172,7 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
 
     k = ch.k
     ch.flush()
+    use_join, jinterp = join_enabled(k)
     chunk = max(1 << 14, min(batch_bases, chunk_cap))
     chunk = -(-chunk // 1024) * 1024
     M = chunk - k + 1
@@ -198,12 +202,19 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         we = int(meta[-1])
         T["host"] += _time.time() - _t0
         _t0 = _time.time()
-        step = get_triobin_step(k, ns, planes_L=packed.codes.shape[0])
-        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
+        arg, planes_key = pack_chunk_planes(packed.codes, packed)
         T["pack"] += _time.time() - _t0
         _t0 = _time.time()
-        seg_d, sc_d = step(pl3, jnp.asarray(meta), ch.keys, ch.cnt,
-                           ch.size)
+        if use_join:
+            ov, pay, vflat = run_join_lookup(
+                ch, get_qv_join_pre(k, planes_key), arg, M,
+                interpret=jinterp)
+            seg_d, sc_d = get_triobin_join_post(k, ns, M)(
+                ov, pay, vflat, jnp.asarray(meta))
+        else:
+            step = get_triobin_step(k, ns, planes_L=planes_key)
+            seg_d, sc_d = step(arg, jnp.asarray(meta), ch.keys, ch.cnt,
+                               ch.size)
         T["dispatch"] += _time.time() - _t0
         _t0 = _time.time()
         S = np.asarray(seg_d)[:, :nseq].T.astype(np.int64)
@@ -413,12 +424,16 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
     import jax.numpy as jnp
 
     from yak_tpu.io.chunks import ChunkSource
-    from yak_tpu.io.pack import pack_planes
+    from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops.countstep import (TRIOEVAL_MAX_RUNS,
-                                       get_trioeval_step)
+                                       get_qv_join_pre,
+                                       get_trioeval_join_post,
+                                       get_trioeval_step, join_enabled,
+                                       run_join_lookup)
 
     k = ch.k
     ch.flush()
+    use_join, jinterp = join_enabled(k)
     M = chunk - k + 1
     carry = None   # (gi, _TeSeq, open_run (typ, len, end_pos) | None)
 
@@ -427,17 +442,24 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
         if not nseq:
             continue
         we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
-        step = get_trioeval_step(k, int(opt.min_n),
-                                 planes_L=packed.codes.shape[0])
-        pl3 = jnp.asarray(np.stack(pack_planes(packed.codes)))
-        key_d, n_d = step(pl3, jnp.asarray([we], np.int32),
-                          ch.keys, ch.cnt, ch.size)
+        arg, planes_key = pack_chunk_planes(packed.codes, packed)
+        if use_join:
+            ov, pay, vflat = run_join_lookup(
+                ch, get_qv_join_pre(k, planes_key), arg, M,
+                interpret=jinterp)
+            key_d, n_d = get_trioeval_join_post(k, int(opt.min_n), M)(
+                ov, pay, vflat, jnp.asarray([we], np.int32))
+        else:
+            step = get_trioeval_step(k, int(opt.min_n),
+                                     planes_L=planes_key)
+            key_d, n_d = step(arg, jnp.asarray([we], np.int32),
+                              ch.keys, ch.cnt, ch.size)
         n = int(n_d)
         if n > TRIOEVAL_MAX_RUNS:
             # marker overflow: per-position fallback for this chunk
             from yak_tpu.ops.countstep import get_scan_step
-            sstep = get_scan_step(k, planes_L=packed.codes.shape[0])
-            vals = np.asarray(sstep(pl3, ch.keys, ch.cnt,
+            sstep = get_scan_step(k, planes_L=planes_key)
+            vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
                                     ch.size)).reshape(-1)
             _, _, typ = _types_and_flags(vals)
             lane = np.arange(len(typ), dtype=np.int64)

@@ -62,11 +62,16 @@ def _load():
     for name, res in [("yx_codes", ctypes.POINTER(ctypes.c_uint8)),
                       ("yx_seq_id", ctypes.POINTER(ctypes.c_int32)),
                       ("yx_pos", ctypes.POINTER(ctypes.c_int32)),
+                      ("yx_plo", ctypes.POINTER(ctypes.c_uint32)),
+                      ("yx_phi", ctypes.POINTER(ctypes.c_uint32)),
+                      ("yx_pnn", ctypes.POINTER(ctypes.c_uint32)),
                       ("yx_meta_names", ctypes.c_char_p)]:
         getattr(lib, name).restype = res
         getattr(lib, name).argtypes = [ctypes.c_void_p]
     lib.yx_meta_n.restype = ctypes.c_long
     lib.yx_meta_n.argtypes = [ctypes.c_void_p]
+    lib.yx_plane_words.restype = ctypes.c_long
+    lib.yx_plane_words.argtypes = [ctypes.c_void_p]
     lib.yx_meta_names_len.restype = ctypes.c_long
     lib.yx_meta_names_len.argtypes = [ctypes.c_void_p]
     lib.yx_meta_fill.restype = None
@@ -90,7 +95,7 @@ class _NativeChunk:
 
     __slots__ = ("codes", "seq_id", "pos", "n_bases", "seq_names",
                  "seq_lens", "rec_gid", "rec_len", "rec_start", "rec_off0",
-                 "rec_take")
+                 "rec_take", "planes")
 
 
 class NativePackReader:
@@ -133,6 +138,11 @@ class NativePackReader:
         cs = self._chunk_size
         c.codes = np.ctypeslib.as_array(
             self._lib.yx_codes(self._h), (cs,)).copy()
+        W = int(self._lib.yx_plane_words(self._h))
+        c.planes = tuple(
+            np.ctypeslib.as_array(getattr(self._lib, f)(self._h),
+                                  (W,)).reshape(1, W).copy()
+            for f in ("yx_plo", "yx_phi", "yx_pnn"))
         c.seq_id = c.pos = None
         c.seq_names = {}
         c.seq_lens = {}

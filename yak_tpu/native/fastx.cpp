@@ -54,6 +54,10 @@ struct Chunk {
     std::vector<uint8_t> codes;    // [chunk_size], pad = 4
     std::vector<int32_t> seq_id;   // [chunk_size], -1 = separator/pad
     std::vector<int32_t> pos;      // [chunk_size]
+    // LSB-first packed bit planes (io/pack.pack_planes layout): filled
+    // by the producer thread at emit time so the consumer's host side
+    // never touches the codes on the hot paths.
+    std::vector<uint32_t> plo, phi, pnn;
     long n_bases = 0;
     // sequences appearing in this chunk (incl. halo continuations),
     // ascending gid; names '\n'-joined in the same order.  Per entry,
@@ -219,7 +223,35 @@ class Stream {
     int64_t n_seq() const { return n_seq_.load(); }
 
   private:
+    // Pack the chunk's bit planes (identical layout to
+    // io/pack.pack_planes: one spare word past the end, pad bases = N).
+    void pack_planes(Chunk &c) const {
+        const long L = (long)c.codes.size();
+        const long W = (L + 31) / 32 + 1;
+        c.plo.assign(W, 0);
+        c.phi.assign(W, 0);
+        c.pnn.assign(W, 0);
+        const uint8_t *s = c.codes.data();
+        for (long q = 0; q * 32 < L; q++) {
+            const long base = q * 32;
+            const long m = std::min<long>(32, L - base);
+            uint32_t lo = 0, hi = 0, nn = 0;
+            for (long r = 0; r < m; r++) {
+                const uint32_t v = s[base + r];
+                lo |= (v & 1u) << r;
+                hi |= ((v >> 1) & 1u) << r;
+                nn |= (v >> 2) << r;
+            }
+            if (m < 32) nn |= ~0u << m;   // pad bases beyond L are N
+            c.plo[q] = lo;
+            c.phi[q] = hi;
+            c.pnn[q] = nn;
+        }
+        for (long q = (L + 31) / 32; q < W; q++) c.pnn[q] = ~0u;
+    }
+
     void emit(std::unique_ptr<Chunk> c) {
+        pack_planes(*c);
         std::unique_lock<std::mutex> lk(mu_);
         cv_space_.wait(lk,
                        [this] { return queue_.size() < max_queue_ || stop_; });
@@ -346,6 +378,10 @@ long yx_next(void *hp) {
 }
 
 const uint8_t *yx_codes(void *hp) { return ((Handle *)hp)->current->codes.data(); }
+long yx_plane_words(void *hp) { return (long)((Handle *)hp)->current->plo.size(); }
+const uint32_t *yx_plo(void *hp) { return ((Handle *)hp)->current->plo.data(); }
+const uint32_t *yx_phi(void *hp) { return ((Handle *)hp)->current->phi.data(); }
+const uint32_t *yx_pnn(void *hp) { return ((Handle *)hp)->current->pnn.data(); }
 const int32_t *yx_seq_id(void *hp) { return ((Handle *)hp)->current->seq_id.data(); }
 const int32_t *yx_pos(void *hp) { return ((Handle *)hp)->current->pos.data(); }
 

@@ -556,6 +556,52 @@ def get_qv_join_post(k, ns, M, min_frac=0.5):
     return post
 
 
+def join_enabled(k):
+    """Shared gate for the Pallas merge-JOIN lookup engine (table
+    streamed once per chunk instead of re-sorted with the batch):
+    default ON on TPU, YAK_TPU_JOIN=0 disables,
+    YAK_TPU_JOIN_INTERPRET=1 forces interpret mode (CPU tests).
+    Returns (use_join, interpret)."""
+    import os
+
+    if k > 31:
+        return False, False
+    if os.environ.get("YAK_TPU_JOIN_INTERPRET", "0") == "1":
+        return True, True
+    import jax
+
+    from yak_tpu.ops import pallas_compact
+    use = (pallas_compact.enabled() and jax.default_backend() == "tpu"
+           and os.environ.get("YAK_TPU_JOIN", "1") != "0")
+    return use, False
+
+
+def run_join_lookup(table, pre, arg, Mw, interpret=False):
+    """Drive the 3-dispatch join: pre-jit (extract + prep) -> Pallas
+    merge-path JOIN kernel -> returns (ov, pay, vflat) for a
+    workload-specific post-jit (plookup_post + reduce)."""
+    from yak_tpu.ops import pallas_merge
+
+    *args8, pay, vflat = pre(arg, table.keys, table.cnt, table.size)
+    out = pallas_merge.merge_reduce(*args8, Na=table.cap, Nb=Mw,
+                                    lookup=True, interpret=interpret)
+    return out[2], pay, vflat
+
+
+def _sexchr_reduce(vals, has, bounds, M):
+    """sc_worker's per-segment sums (sexchr.c:61-71)."""
+    flag = jnp.where(has, jnp.maximum(vals, 0), 0)
+    bc = jnp.clip(bounds, 0, M)
+
+    def seg_sum(mask):
+        cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(mask.astype(jnp.int32))])
+        return cs[bc[1:]] - cs[bc[:-1]]
+
+    return (seg_sum(has), seg_sum(flag > 0),
+            seg_sum(flag == 1), seg_sum(flag == 2))
+
+
 @lru_cache(maxsize=None)
 def get_sexchr_step(k, ns, planes_L=None):
     """Fused sexchr chunk step (sc_worker, sexchr.c:61-71): lookup +
@@ -575,19 +621,64 @@ def get_sexchr_step(k, ns, planes_L=None):
         else:
             vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                                   valid.reshape(-1), packable=False)
-        has = valid.reshape(-1)
-        flag = jnp.where(has, jnp.maximum(vals, 0), 0)
-        bc = jnp.clip(bounds, 0, M)
-
-        def seg_sum(mask):
-            cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(mask.astype(jnp.int32))])
-            return cs[bc[1:]] - cs[bc[:-1]]
-
-        return (seg_sum(has), seg_sum(flag > 0),
-                seg_sum(flag == 1), seg_sum(flag == 2))
+        return _sexchr_reduce(vals, valid.reshape(-1), bounds, M)
 
     return step
+
+
+@lru_cache(maxsize=None)
+def get_sexchr_join_post(k, ns, M):
+    @jax.jit
+    def post(ov, pay, valid, bounds):
+        vals = plookup_post(ov, pay, B=M)
+        return _sexchr_reduce(vals, valid, bounds, M)
+
+    return post
+
+
+def _triobin_reduce(vals, is_k, meta, k, M):
+    """tb_worker's per-contig reductions (triobin.c:41-101) over the
+    per-window value stream; see get_triobin_step."""
+    bounds = meta[:-1]
+    we = meta[-1]
+    flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
+    c1 = flag & 3
+    c2 = (flag >> 2) & 3
+    typ = jnp.where(is_k & (c1 == 2) & (c2 == 0), 1,
+                    jnp.where(is_k & (c2 == 2) & (c1 == 0), 2, 0))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    prev = jnp.concatenate([jnp.full(1, -1, typ.dtype), typ[:-1]])
+    startm = typ != prev
+    run_start = jax.lax.cummax(jnp.where(startm, lane, -1))
+    runlen = lane - run_start + 1
+    nxt = jnp.concatenate([typ[1:], jnp.full(1, -1, typ.dtype)])
+    is_end = typ != nxt
+    interior = (run_start > 0) & (lane < we)
+    strk = is_end & (typ > 0) & (runlen >= k - 4) & interior
+
+    bc = jnp.clip(bounds, 0, M)
+
+    def seg_sum(x):
+        cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(x.astype(jnp.int32))])
+        return cs[bc[1:]] - cs[bc[:-1]]
+
+    outs = [seg_sum(is_k)]
+    for v in (0, 1, 2, 4, 8):
+        outs.append(seg_sum(is_k & (flag == v)))
+    for t in (1, 2):
+        outs.append(seg_sum(jnp.where(strk & (typ == t), runlen, 0)))
+
+    # boundary runs (always excluded above; the host re-adds them,
+    # merged across pieces where a sequence spans chunks).  Pure
+    # reductions — no argmax / dynamic single-element gathers.
+    head_len = jnp.sum((run_start == 0).astype(jnp.int32))
+    at_we = (lane == we)
+    tail_typ = jnp.sum(jnp.where(at_we, typ, 0))
+    tail_len = jnp.sum(jnp.where(at_we, runlen, 0))
+    scalars = jnp.stack([typ[0], head_len, tail_typ, tail_len])
+    return jnp.stack(outs), scalars
 
 
 @lru_cache(maxsize=None)
@@ -614,8 +705,6 @@ def get_triobin_step(k, ns, planes_L=None):
         # meta i32[ns+2]: bounds[ns+1] then we — ONE h2d transfer; the
         # result is ONE i32[8*ns+4] buffer — one d2h roundtrip (each
         # small-array transfer costs a full tunnel roundtrip)
-        bounds = meta[:-1]
-        we = meta[-1]
         h, valid = ext((codes[0], codes[1], codes[2]))
         M = h.shape[0] * h.shape[1]
         if packable:
@@ -624,47 +713,19 @@ def get_triobin_step(k, ns, planes_L=None):
         else:
             vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                                   valid.reshape(-1), packable=False)
-        is_k = valid.reshape(-1)
-        flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
-        c1 = flag & 3
-        c2 = (flag >> 2) & 3
-        typ = jnp.where(is_k & (c1 == 2) & (c2 == 0), 1,
-                        jnp.where(is_k & (c2 == 2) & (c1 == 0), 2, 0))
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        prev = jnp.concatenate([jnp.full(1, -1, typ.dtype), typ[:-1]])
-        startm = typ != prev
-        run_start = jax.lax.cummax(jnp.where(startm, lane, -1))
-        runlen = lane - run_start + 1
-        nxt = jnp.concatenate([typ[1:], jnp.full(1, -1, typ.dtype)])
-        is_end = typ != nxt
-        interior = (run_start > 0) & (lane < we)
-        strk = is_end & (typ > 0) & (runlen >= k - 4) & interior
-
-        bc = jnp.clip(bounds, 0, M)
-
-        def seg_sum(x):
-            cs = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(x.astype(jnp.int32))])
-            return cs[bc[1:]] - cs[bc[:-1]]
-
-        outs = [seg_sum(is_k)]
-        for v in (0, 1, 2, 4, 8):
-            outs.append(seg_sum(is_k & (flag == v)))
-        for t in (1, 2):
-            outs.append(seg_sum(jnp.where(strk & (typ == t), runlen, 0)))
-
-        # boundary runs (always excluded above; the host re-adds them,
-        # merged across pieces where a sequence spans chunks).  Pure
-        # reductions — no argmax / dynamic single-element gathers.
-        head_len = jnp.sum((run_start == 0).astype(jnp.int32))
-        at_we = (lane == we)
-        tail_typ = jnp.sum(jnp.where(at_we, typ, 0))
-        tail_len = jnp.sum(jnp.where(at_we, runlen, 0))
-        scalars = jnp.stack([typ[0], head_len, tail_typ, tail_len])
-        return jnp.stack(outs), scalars
+        return _triobin_reduce(vals, valid.reshape(-1), meta, k, M)
 
     return step
+
+
+@lru_cache(maxsize=None)
+def get_triobin_join_post(k, ns, M):
+    @jax.jit
+    def post(ov, pay, valid, meta):
+        vals = plookup_post(ov, pay, B=M)
+        return _triobin_reduce(vals, valid, meta, k, M)
+
+    return post
 
 
 TRIOEVAL_MAX_RUNS = 1 << 17
@@ -696,32 +757,46 @@ def get_trioeval_step(k, min_n, planes_L=None):
         else:
             vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                                   valid.reshape(-1), packable=False)
-        is_k = valid.reshape(-1)
-        flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
-        c1 = flag & 3
-        c2 = (flag >> 2) & 3
-        typ = jnp.where(is_k & (c1 == 2) & (c2 == 0), 1,
-                        jnp.where(is_k & (c2 == 2) & (c1 == 0), 2, 0))
-        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        prev = jnp.concatenate([jnp.full(1, -1, typ.dtype), typ[:-1]])
-        startm = typ != prev
-        run_start = jax.lax.cummax(jnp.where(startm, lane, -1))
-        runlen = lane - run_start + 1
-        nxt = jnp.concatenate([typ[1:], jnp.full(1, -1, typ.dtype)])
-        is_end = typ != nxt
-        we = we1[0]
-        emit = is_end & (typ > 0) & ((runlen >= min_n)
-                                     | (run_start == 0) | (lane == we))
-        key = jnp.where(emit,
-                        (lane.astype(jnp.uint64) << jnp.uint64(26))
-                        | (runlen.astype(jnp.uint64) << jnp.uint64(2))
-                        | typ.astype(jnp.uint64),
-                        jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
-        n = jnp.sum(emit.astype(jnp.int32))
-        return key[:TRIOEVAL_MAX_RUNS], n
+        return _trioeval_reduce(vals, valid.reshape(-1), we1, min_n, M)
 
     return step
+
+
+def _trioeval_reduce(vals, is_k, we1, min_n, M):
+    """te_worker's run compression (see get_trioeval_step)."""
+    flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
+    c1 = flag & 3
+    c2 = (flag >> 2) & 3
+    typ = jnp.where(is_k & (c1 == 2) & (c2 == 0), 1,
+                    jnp.where(is_k & (c2 == 2) & (c1 == 0), 2, 0))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    prev = jnp.concatenate([jnp.full(1, -1, typ.dtype), typ[:-1]])
+    startm = typ != prev
+    run_start = jax.lax.cummax(jnp.where(startm, lane, -1))
+    runlen = lane - run_start + 1
+    nxt = jnp.concatenate([typ[1:], jnp.full(1, -1, typ.dtype)])
+    is_end = typ != nxt
+    we = we1[0]
+    emit = is_end & (typ > 0) & ((runlen >= min_n)
+                                 | (run_start == 0) | (lane == we))
+    key = jnp.where(emit,
+                    (lane.astype(jnp.uint64) << jnp.uint64(26))
+                    | (runlen.astype(jnp.uint64) << jnp.uint64(2))
+                    | typ.astype(jnp.uint64),
+                    jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    n = jnp.sum(emit.astype(jnp.int32))
+    return key[:TRIOEVAL_MAX_RUNS], n
+
+
+@lru_cache(maxsize=None)
+def get_trioeval_join_post(k, min_n, M):
+    @jax.jit
+    def post(ov, pay, valid, we1):
+        vals = plookup_post(ov, pay, B=M)
+        return _trioeval_reduce(vals, valid, we1, min_n, M)
+
+    return post
 
 
 CHKERR_MAX_RUNS = 1 << 17
@@ -750,21 +825,36 @@ def get_chkerr_step(k, min_cnt, planes_L=None):
         else:
             vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                                   valid.reshape(-1), packable=False)
-        low = valid.reshape(-1) & (vals < min_cnt)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
-        last_high = jax.lax.cummax(jnp.where(low, -1, lane))
-        runlen = lane - last_high
-        nxt = jnp.concatenate([low[1:], jnp.zeros(1, bool)])
-        is_end = low & ~nxt
-        key = jnp.where(is_end,
-                        (lane.astype(jnp.uint64) << jnp.uint64(24))
-                        | runlen.astype(jnp.uint64),
-                        jnp.uint64(0xFFFFFFFFFFFFFFFF))
-        (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
-        n = jnp.sum(is_end.astype(jnp.int32))
-        return key[:CHKERR_MAX_RUNS], n
+        return _chkerr_reduce(vals, valid.reshape(-1), min_cnt, M)
 
     return step
+
+
+def _chkerr_reduce(vals, has, min_cnt, M):
+    """Low-count run-end extraction (see get_chkerr_step)."""
+    low = has & (vals < min_cnt)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    last_high = jax.lax.cummax(jnp.where(low, -1, lane))
+    runlen = lane - last_high
+    nxt = jnp.concatenate([low[1:], jnp.zeros(1, bool)])
+    is_end = low & ~nxt
+    key = jnp.where(is_end,
+                    (lane.astype(jnp.uint64) << jnp.uint64(24))
+                    | runlen.astype(jnp.uint64),
+                    jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    n = jnp.sum(is_end.astype(jnp.int32))
+    return key[:CHKERR_MAX_RUNS], n
+
+
+@lru_cache(maxsize=None)
+def get_chkerr_join_post(k, min_cnt, M):
+    @jax.jit
+    def post(ov, pay, valid):
+        vals = plookup_post(ov, pay, B=M)
+        return _chkerr_reduce(vals, valid, min_cnt, M)
+
+    return post
 
 
 @lru_cache(maxsize=None)

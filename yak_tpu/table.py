@@ -100,7 +100,8 @@ class KmerTable:
 
     # -- hot path ---------------------------------------------------------
 
-    def insert_codes(self, codes, create_new=True):
+    def insert_codes(self, codes, create_new=True, planes=None,
+                     periodic=None):
         """Queue one fixed-size flat base-code chunk (uint8, 4 = N/pad).
 
         The hot `count` path: chunks accumulate host-side and fold into
@@ -110,19 +111,24 @@ class KmerTable:
 
         Host-side bit-plane packing happens HERE, per chunk, so it
         overlaps the device's work on the previous fold; the fold only
-        concatenates pre-packed planes (k <= 31).
+        concatenates pre-packed planes.  `planes` (the native reader's
+        pre-packed (plo, phi, pnn)) skips the packing; `periodic` skips
+        the layout scan: a (R, w) tuple, or False for known-general.
         """
         if self._pend_create != create_new:
             self.flush()
             self._pend_create = create_new
         from yak_tpu.io.pack import (detect_periodic, pack_planes,
                                      pack_planes2)
-        per = detect_periodic(codes)
+        per = detect_periodic(codes) if periodic is None \
+            else (periodic or None)
         if per is not None:
-            plo, phi = pack_planes2(codes)
+            plo, phi = (planes[0], planes[1]) if planes is not None \
+                else pack_planes2(codes)
             self._pend_codes.append((codes, plo, phi, None, per))
         else:
-            plo, phi, pnn = pack_planes(codes)
+            plo, phi, pnn = planes if planes is not None \
+                else pack_planes(codes)
             self._pend_codes.append((codes, plo, phi, pnn, None))
         if self._group_g is None:
             lanes = max(codes.shape[0] - self.k + 1, 1)
@@ -294,11 +300,26 @@ class KmerTable:
     def _check_last_step(self):
         """Settle the previous fused fold: on overflow, grow the preserved
         pre-step table and replay (the step does not donate, so the old
-        state is intact)."""
+        state is intact).  A transient device fault at the sync point
+        (shared-tenant TPU INTERNAL errors) replays the same step from
+        the preserved state too — the library-level promotion of
+        bench.py's whole-pass retry."""
+        from yak_tpu.utils import is_transient
+
         if self._last_step is None:
             return
         prev, codes, ovf, step, use_bf, mode = self._last_step
         self._last_step = None
+        for attempt in range(3):
+            try:
+                bool(ovf)
+                break
+            except Exception as e:
+                if not is_transient(e) or attempt == 2:
+                    raise
+                _log(f"transient device fault, replaying fold "
+                     f"({type(e).__name__})")
+                ovf = self._run_step(step, codes, prev, use_bf, mode)
         while bool(ovf):
             if isinstance(prev[0], str):
                 # plane-form snapshot: rebuild u64 state, then grow and
