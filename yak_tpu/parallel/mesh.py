@@ -164,11 +164,15 @@ class MeshTable:
             raise ValueError("pre must be >= log2(n_devices)")
         self.sh = NamedSharding(mesh, P("d"))
         capd = 1 << cap_log2
-        self.keys = jax.device_put(jnp.zeros((n, capd), jnp.uint64),
-                                   self.sh)
-        self.cnt = jax.device_put(jnp.full((n, capd), -1, jnp.int32),
-                                  self.sh)
-        self.size = jax.device_put(jnp.zeros((n,), jnp.int32), self.sh)
+        # jit-with-out-shardings creates the sharded state without a
+        # host-side global array — required in multi-host mode (no
+        # process addresses the whole mesh) and equivalent on one host
+        zeros = jax.jit(
+            lambda: (jnp.zeros((n, capd), jnp.uint64),
+                     jnp.full((n, capd), -1, jnp.int32),
+                     jnp.zeros((n,), jnp.int32)),
+            out_shardings=(self.sh,) * 3)
+        self.keys, self.cnt, self.size = zeros()
         self.tot = 0
         self.bf = None
         self.bf_shift = bf_shift
@@ -176,9 +180,10 @@ class MeshTable:
         if bf_shift > pre and 9 <= bf_shift - pre <= 64 - 9:
             # per-chip slice: 2^(bf_shift - log2 N) bits (bbf.c:9 bounds
             # checked against the full filter, htab.c:23-27)
-            self.bf = jax.device_put(
-                jnp.zeros((n, 1 << (bf_shift - self.nlog - 5)),
-                          jnp.uint32), self.sh)
+            self.bf = jax.jit(
+                lambda: jnp.zeros((n, 1 << (bf_shift - self.nlog - 5)),
+                                  jnp.uint32),
+                out_shardings=self.sh)()
 
     @property
     def cap(self):
@@ -198,12 +203,16 @@ class MeshTable:
         if new_capd == capd:
             return
         n = self.n_dev
-        self.keys = jax.device_put(jnp.concatenate(
-            [self.keys, jnp.zeros((n, new_capd - capd), jnp.uint64)],
-            axis=1), self.sh)
-        self.cnt = jax.device_put(jnp.concatenate(
-            [self.cnt, jnp.full((n, new_capd - capd), -1, jnp.int32)],
-            axis=1), self.sh)
+        ext = jax.jit(
+            lambda k, c: (
+                jnp.concatenate(
+                    [k, jnp.zeros((n, new_capd - capd), jnp.uint64)],
+                    axis=1),
+                jnp.concatenate(
+                    [c, jnp.full((n, new_capd - capd), -1, jnp.int32)],
+                    axis=1)),
+            out_shardings=(self.sh, self.sh))
+        self.keys, self.cnt = ext(self.keys, self.cnt)
 
     def clear_counts(self):
         """Zero live counts on every chip (yak_ch_clear, htab.c:116-130)."""
@@ -230,15 +239,29 @@ class MeshTable:
         f = shard_map(local, mesh=self.mesh,
                       in_specs=(P("d"), P("d"), P("d")),
                       out_specs=(P("d"),) * 3, check_vma=False)
-        self.keys, self.cnt, self.size = jax.jit(f)(
+
+        @jax.jit
+        def run(k, c, s):
+            k2, c2, s2 = f(k, c, s)
+            return k2, c2, s2, jnp.sum(s2)   # replicated total
+
+        self.keys, self.cnt, self.size, tot = run(
             self.keys, self.cnt, self.size)
-        self.tot = int(np.asarray(self.size).sum())
+        self.tot = int(tot)
 
     def items(self):
-        """Host (hash, count) pairs over all shards."""
-        k_np = np.asarray(self.keys)
-        c_np = np.asarray(self.cnt)
-        s_np = np.asarray(self.size)
+        """Host (hash, count) pairs over all shards.  In multi-host
+        mode the table is first replicated so every process sees the
+        full set (final gathers ride DCN — SURVEY §5)."""
+        keys, cnt, size = self.keys, self.cnt, self.size
+        if jax.process_count() > 1:
+            rep = NamedSharding(self.mesh, P())
+            keys, cnt, size = jax.jit(
+                lambda k, c, s: (k, c, s),
+                out_shardings=(rep, rep, rep))(keys, cnt, size)
+        k_np = np.asarray(keys)
+        c_np = np.asarray(cnt)
+        s_np = np.asarray(size)
         hs, cs = [], []
         for d in range(self.n_dev):
             hs.append(k_np[d, :s_np[d]])
