@@ -107,6 +107,7 @@ def _qv_set(genome, seed, path):
 
 # exact-output gates (deterministic given the fixed seeds; recorded
 # from a verified run so any count/lookup corruption fails the bench)
+COUNT_HIST_DIGEST = "669014fae5d3"   # md5 of the 1024-bin histogram
 QV_CNT0 = {101: 0, 102: 0}
 QV_DIGEST = {101: "70a2f8de2e2c", 102: "72893d32c67e"}  # md5 of cnt[1024]
 QV_SUM = 48_000_000
@@ -195,6 +196,93 @@ def bench_triobin(table, genome, out_times):
     return npos / best
 
 
+DEV_DISTINCT = {43: 1999963, 44: 1999953}
+
+
+def bench_count_device(out_times):
+    """Device-path fold throughput: plane groups pre-packed AND
+    pre-transferred, so the timed loop is exactly the TPU engine
+    (fused extract+sort+prep jit -> Pallas merge-reduce kernel) with a
+    single scalar sync at the end — the wire/host-free number the
+    VERDICT asked to report separately (the ~430ms ingest wire floor
+    otherwise caps the end-to-end metric on this rig)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yak_tpu.io.pack import pack_planes2
+    from yak_tpu.ops import pallas_compact, pallas_merge
+    from yak_tpu.ops import sorttable as st
+    from yak_tpu.ops.countstep import (finalize_pmerge,
+                                       get_count_step_pmerge,
+                                       get_count_step_pmerge_planes)
+    from yak_tpu.ops.kmers import rmajor_lanes
+
+    if not (pallas_compact.enabled()
+            and jax.default_backend() == "tpu"):
+        return None
+    n_kmers = N_READS * (READ_LEN - K + 1)
+    R = READ_LEN
+    CAP = 1 << 23
+
+    def make_groups(seed):
+        rng = np.random.default_rng(seed)
+        genome = rng.integers(0, 4, GENOME_LEN, dtype=np.uint8)
+        starts = rng.integers(0, GENOME_LEN - READ_LEN + 1, N_READS)
+        reads = genome[starts[:, None] + np.arange(READ_LEN)[None, :]]
+        chunks = pack_chunks(reads.astype(np.uint8))
+        L = len(chunks[0])
+        groups = []
+        for g0 in range(0, len(chunks), 4):
+            grp = chunks[g0:g0 + 4]
+            plos, phis, ws = [], [], []
+            for c in grp:
+                plo, phi = pack_planes2(c)
+                plos.append(plo)
+                phis.append(phi)
+                nz = np.flatnonzero(c[::-1] < 4)
+                ws.append(len(c) - int(nz[0]) if len(nz) else 0)
+            arg = (jnp.asarray(np.concatenate(plos)),
+                   jnp.asarray(np.concatenate(phis)),
+                   jnp.asarray(np.array(ws, np.int32)))
+            jax.block_until_ready(arg)
+            groups.append((arg, L))
+        return groups, L
+
+    def run(groups, L):
+        keys, cnt, size = st.make_table(CAP)
+        planes_L = ("periodic", L, R)
+        ps = None
+        for arg, _L in groups:
+            if ps is None:
+                prep = get_count_step_pmerge(K, planes_L=planes_L)(
+                    arg, keys, cnt, size)
+            else:
+                prep = get_count_step_pmerge_planes(
+                    K, CAP, planes_L=planes_L)(arg, *ps[:4])
+            B = arg[0].shape[0] * rmajor_lanes(L)
+            ps = pallas_merge.merge_reduce(*prep, Na=CAP, Nb=B,
+                                           create=True)
+        keys2, cnt2, sz, _n, _o = finalize_pmerge(*ps, cap=CAP)
+        return int(sz)
+
+    warm_groups, L = make_groups(43)
+    run(warm_groups, L)                      # compile + warm
+    best = float("inf")
+    for seed in (43, 44):
+        groups, L = make_groups(seed)
+        t0 = time.time()
+        sz = run(groups, L)
+        dt = time.time() - t0
+        if DEV_DISTINCT[seed] is not None:
+            assert sz == DEV_DISTINCT[seed], (seed, sz)
+        else:
+            print(f"[bench] device distinct[{seed}] = {sz}",
+                  file=sys.stderr)
+        best = min(best, dt)
+    out_times["count_device"] = best
+    return n_kmers / best
+
+
 def main():
     from yak_tpu.table import KmerTable
 
@@ -206,8 +294,17 @@ def main():
     # is compiled before the timed run
     warm = run_count(chunks, KmerTable)
     # seeded workload => a fixed answer; the bench doubles as an
-    # end-to-end correctness gate for the device engines
+    # end-to-end correctness gate for the device engines.  The full
+    # histogram digest catches count corruption the distinct-key total
+    # alone would miss (r1 VERDICT weak #7).
     assert warm.tot == 6226713, f"wrong distinct count: {warm.tot}"
+    import hashlib
+    hd = hashlib.md5(np.ascontiguousarray(warm.hist(), np.int64)
+                     .tobytes()).hexdigest()[:12]
+    if COUNT_HIST_DIGEST is not None:
+        assert hd == COUNT_HIST_DIGEST, hd
+    else:
+        print(f"[bench] count hist digest = {hd}", file=sys.stderr)
 
 
     # best of 3 timed passes: the remote-device tunnel shows occasional
@@ -242,6 +339,17 @@ def main():
 
     times = {}
     genome = _genome()
+    try:
+        v = bench_count_device(times)
+        if v:
+            print(f"[bench] device folds {times['count_device']:.3f}s",
+                  file=sys.stderr)
+            _emit("count k=31 device-fold throughput "
+                  "(1 chip, device-resident planes)", v,
+                  BASELINE_KMERS_PER_S)
+    except Exception as e:
+        print(f"[bench] device bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     try:
         v = bench_qv(table, genome, times)
         print(f"[bench] qv 48.0M lookups, {times['qv']:.3f}s",
