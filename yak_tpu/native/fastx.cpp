@@ -225,6 +225,10 @@ class Stream {
   private:
     // Pack the chunk's bit planes (identical layout to
     // io/pack.pack_planes: one spare word past the end, pad bases = N).
+    // Hot path: 8 bases per u64 via the multiply-gather trick —
+    // ((x & 0x0101..01) * 0x0102040810204080) >> 56 packs the 8 byte
+    // LSBs into 8 consecutive bits (carry-free: the shifted partial
+    // products land on distinct bit positions).
     void pack_planes(Chunk &c) const {
         const long L = (long)c.codes.size();
         const long W = (L + 31) / 32 + 1;
@@ -232,9 +236,27 @@ class Stream {
         c.phi.assign(W, 0);
         c.pnn.assign(W, 0);
         const uint8_t *s = c.codes.data();
-        for (long q = 0; q * 32 < L; q++) {
-            const long base = q * 32;
-            const long m = std::min<long>(32, L - base);
+        constexpr uint64_t M1 = 0x0101010101010101ull;
+        constexpr uint64_t MG = 0x0102040810204080ull;
+        const long full = L / 32;          // whole 32-base words
+        for (long q = 0; q < full; q++) {
+            uint64_t x[4];
+            memcpy(x, s + q * 32, 32);
+            uint32_t lo = 0, hi = 0, nn = 0;
+            for (int j = 0; j < 4; j++) {
+                lo |= (uint32_t)(((x[j] & M1) * MG) >> 56) << (8 * j);
+                hi |= (uint32_t)((((x[j] >> 1) & M1) * MG) >> 56)
+                      << (8 * j);
+                nn |= (uint32_t)((((x[j] >> 2) & M1) * MG) >> 56)
+                      << (8 * j);
+            }
+            c.plo[q] = lo;
+            c.phi[q] = hi;
+            c.pnn[q] = nn;
+        }
+        if (L % 32) {                      // ragged tail word
+            const long base = full * 32;
+            const long m = L - base;
             uint32_t lo = 0, hi = 0, nn = 0;
             for (long r = 0; r < m; r++) {
                 const uint32_t v = s[base + r];
@@ -242,10 +264,10 @@ class Stream {
                 hi |= ((v >> 1) & 1u) << r;
                 nn |= (v >> 2) << r;
             }
-            if (m < 32) nn |= ~0u << m;   // pad bases beyond L are N
-            c.plo[q] = lo;
-            c.phi[q] = hi;
-            c.pnn[q] = nn;
+            nn |= ~0u << m;                // pad bases beyond L are N
+            c.plo[full] = lo;
+            c.phi[full] = hi;
+            c.pnn[full] = nn;
         }
         for (long q = (L + 31) / 32; q < W; q++) c.pnn[q] = ~0u;
     }
