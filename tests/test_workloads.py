@@ -186,6 +186,9 @@ def test_triobin(trio):
                       trio / "mat.yak", trio / "child.fa"])
     assert ours(["triobin", "-p", trio / "pat.yak", trio / "mat.yak",
                  trio / "child.fa"]) == ref
+    # -p with tiny -K: D rows of chunk-spanning contigs stay contiguous
+    assert ours(["triobin", "-p", "-K16000", trio / "pat.yak",
+                 trio / "mat.yak", trio / "child.fa"]) == ref
 
 
 def test_triobin_fused_and_spanning(trio):

@@ -320,7 +320,9 @@ def main(argv=None):
     if cmd not in _COMMANDS:
         print(f"[E::main] unknown command", file=sys.stderr)
         return 1
-    ret = _COMMANDS[cmd](argv[1:])
+    from yak_tpu.utils import maybe_profile
+    with maybe_profile():
+        ret = _COMMANDS[cmd](argv[1:])
     if ret == 0:
         ru = resource.getrusage(resource.RUSAGE_SELF)
         cpu = ru.ru_utime + ru.ru_stime

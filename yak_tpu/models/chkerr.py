@@ -59,17 +59,24 @@ def main_chkerr(opt, table, seq_fn, out=None):
         if not nseq:
             continue
         arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        if use_join:
-            ov, pay, vflat = run_join_lookup(
-                table, get_qv_join_pre(k, planes_key), arg, M,
-                interpret=jinterp)
-            key_d, n_d = get_chkerr_join_post(
-                k, int(opt.min_cnt), M)(ov, pay, vflat)
-        else:
-            step = get_chkerr_step(k, int(opt.min_cnt),
-                                   planes_L=planes_key)
-            key_d, n_d = step(arg, table.keys, table.cnt, table.size)
-        n = int(n_d)
+        h = {}
+
+        def dispatch():
+            if use_join:
+                ov, pay, vflat = run_join_lookup(
+                    table, get_qv_join_pre(k, planes_key), arg, M,
+                    interpret=jinterp)
+                h["o"] = get_chkerr_join_post(
+                    k, int(opt.min_cnt), M)(ov, pay, vflat)
+            else:
+                step = get_chkerr_step(k, int(opt.min_cnt),
+                                       planes_L=planes_key)
+                h["o"] = step(arg, table.keys, table.cnt, table.size)
+
+        dispatch()
+        from yak_tpu.utils import retry_transient
+        n = retry_transient(lambda: int(h["o"][1]), redo=dispatch)
+        key_d = h["o"][0]
         if n > CHKERR_MAX_RUNS:
             # marker overflow (low-coverage table vs a large input):
             # re-run this chunk through the per-position scan step and

@@ -112,17 +112,25 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
         bounds = np.full(ns + 1, M, np.int32)
         bounds[:nseq] = np.minimum(packed.rec_start, M)
         arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        if use_join:
-            ov, pay, vflat = run_join_lookup(
-                table, get_qv_join_pre(k, planes_key), arg, M,
-                interpret=jinterp)
-            outs = join_post_builder(k, ns, M)(
-                ov, pay, vflat, jnp.asarray(bounds), *extra_args)
-        else:
-            step = step_builder(k, ns, planes_L=planes_key)
-            outs = step(arg, jnp.asarray(bounds), *extra_args,
-                        table.keys, table.cnt, table.size)
-        outs = [np.asarray(o)[:nseq] for o in outs[:n_out]]
+        h = {}
+
+        def dispatch():
+            if use_join:
+                ov, pay, vflat = run_join_lookup(
+                    table, get_qv_join_pre(k, planes_key), arg, M,
+                    interpret=jinterp)
+                h["o"] = join_post_builder(k, ns, M)(
+                    ov, pay, vflat, jnp.asarray(bounds), *extra_args)
+            else:
+                step = step_builder(k, ns, planes_L=planes_key)
+                h["o"] = step(arg, jnp.asarray(bounds), *extra_args,
+                              table.keys, table.cnt, table.size)
+
+        dispatch()
+        from yak_tpu.utils import retry_transient
+        outs = retry_transient(
+            lambda: [np.asarray(o)[:nseq] for o in h["o"][:n_out]],
+            redo=dispatch)
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
                      < int(packed.rec_len[-1]))
         for j in range(nseq):

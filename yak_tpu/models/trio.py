@@ -135,21 +135,18 @@ class _BatchedOut:
 def main_triobin(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
                  batch_bases=200_000_000):
     out = out or sys.stdout
-    if opt.print_diff:       # -p per-position rows: per-position path
-        return _main_triobin_scan(opt, ch, seq_fn, out, chunk_cap,
-                                  batch_bases)
     return _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap,
                                batch_bases)
 
 
-def _emit_triobin_row(bo, opt, k, name, L, s):
+def _emit_triobin_row(bo, opt, k, name, L, s, wtext=""):
     """s = [nk, c0, c1, c2, c4, c8, sc1, sc2] accumulated for one seq."""
     c = np.zeros(16, np.int64)
     c[[0, 1, 2, 4, 8]] = s[1:6]
     sc = [int(s[6]), int(s[7])]
     t = tb_classify(sc, c, k, opt.ratio_thres)
-    bo.add("", (f"{name}\t{t}\t{sc[0]}\t{sc[1]}\t{c[2]}\t{c[8]}\t"
-                f"{c[1]}\t{c[4]}\t{int(s[0])}\t{c[0]}\n"), L)
+    bo.add(wtext, (f"{name}\t{t}\t{sc[0]}\t{sc[1]}\t{c[2]}\t{c[8]}\t"
+                   f"{c[1]}\t{c[4]}\t{int(s[0])}\t{c[0]}\n"), L)
 
 
 def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
@@ -159,7 +156,8 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
 
     from yak_tpu.io.chunks import ChunkSource
     from yak_tpu.io.pack import pack_chunk_planes
-    from yak_tpu.ops.countstep import (get_qv_join_pre,
+    from yak_tpu.ops.countstep import (TRIOBIN_MAX_DIFF,
+                                       get_qv_join_pre,
                                        get_triobin_join_post,
                                        get_triobin_step, join_enabled,
                                        run_join_lookup)
@@ -177,7 +175,8 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     chunk = -(-chunk // 1024) * 1024
     M = chunk - k + 1
     bo = _BatchedOut(out, batch_bases)
-    carry = None   # [gi, sums(8), open_typ, open_len] of the spanning seq
+    emit_diff = bool(opt.print_diff)
+    carry = None   # [gi, sums(8), open_typ, open_len, name, L, d_text]
 
     def close(sums, typ, length):
         if typ > 0 and length >= k - 4:
@@ -205,20 +204,64 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         arg, planes_key = pack_chunk_planes(packed.codes, packed)
         T["pack"] += _time.time() - _t0
         _t0 = _time.time()
-        if use_join:
-            ov, pay, vflat = run_join_lookup(
-                ch, get_qv_join_pre(k, planes_key), arg, M,
-                interpret=jinterp)
-            seg_d, sc_d = get_triobin_join_post(k, ns, M)(
-                ov, pay, vflat, jnp.asarray(meta))
-        else:
-            step = get_triobin_step(k, ns, planes_L=planes_key)
-            seg_d, sc_d = step(arg, jnp.asarray(meta), ch.keys, ch.cnt,
-                               ch.size)
+        h = {}
+
+        def dispatch():
+            if use_join:
+                ov, pay, vflat = run_join_lookup(
+                    ch, get_qv_join_pre(k, planes_key), arg, M,
+                    interpret=jinterp)
+                h["o"] = get_triobin_join_post(
+                    k, ns, M, emit_diff=emit_diff)(
+                    ov, pay, vflat, jnp.asarray(meta))
+            else:
+                step = get_triobin_step(k, ns, planes_L=planes_key,
+                                        emit_diff=emit_diff)
+                h["o"] = step(arg, jnp.asarray(meta), ch.keys, ch.cnt,
+                              ch.size)
+
+        dispatch()
         T["dispatch"] += _time.time() - _t0
         _t0 = _time.time()
-        S = np.asarray(seg_d)[:, :nseq].T.astype(np.int64)
-        h_typ, h_len, t_typ, t_len = (int(x) for x in np.asarray(sc_d))
+        # stateless per-chunk read: transient faults re-dispatch
+        from yak_tpu.utils import retry_transient
+        S, sc_np = retry_transient(
+            lambda: (np.asarray(h["o"][0]), np.asarray(h["o"][1])),
+            redo=dispatch)
+        outs = h["o"]
+        S = S[:, :nseq].T.astype(np.int64)
+        h_typ, h_len, t_typ, t_len = (int(x) for x in sc_np)
+        d_txt = [""] * nseq
+        if emit_diff:
+            nd = int(outs[3])
+            if nd > TRIOBIN_MAX_DIFF:
+                # marker overflow: per-position fallback for this chunk
+                from yak_tpu.ops.countstep import get_scan_step
+                sstep = get_scan_step(k, planes_L=planes_key)
+                vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
+                                        ch.size)).reshape(-1)
+                is_k2, flag2, _ = _types_and_flags(vals)
+                dm = is_k2 & ((flag2 & 3) != ((flag2 >> 2) & 3))
+                dlanes = np.flatnonzero(dm).astype(np.int64)
+                dflag = flag2[dm].astype(np.int64)
+            else:
+                dk = np.asarray(outs[2])[:nd]
+                dlanes = (dk >> np.uint64(4)).astype(np.int64)
+                dflag = (dk & np.uint64(15)).astype(np.int64)
+            starts_np = np.minimum(packed.rec_start, M)
+            dseg = np.searchsorted(starts_np, dlanes,
+                                   side="right") - 1
+            dbnd = np.concatenate(
+                [np.searchsorted(dseg, np.arange(nseq)), [len(dlanes)]])
+            for j in range(nseq):
+                gi_j = int(packed.rec_gid[j])
+                nm = packed.seq_names[gi_j]
+                base = (int(packed.rec_off0[j]) - int(starts_np[j])
+                        + k - 1)
+                sl = slice(dbnd[j], dbnd[j + 1])
+                d_txt[j] = "".join(
+                    f"D\t{nm}\t{int(l) + base}\t{f & 3}\t{f >> 2}\n"
+                    for l, f in zip(dlanes[sl], dflag[sl]))
         T["fetch"] += _time.time() - _t0
         _t0 = _time.time()
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
@@ -233,6 +276,7 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
             assert carry[0] == g0
             S[0] += carry[1]
             o_typ, o_len = carry[2], carry[3]
+            d_txt[0] = carry[6] + d_txt[0]
             carry = None
         open_out = None
         if single and nseq == 1:
@@ -261,7 +305,8 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
             carry = [gi_c, S[-1],
                      open_out[0] if open_out else 0,
                      open_out[1] if open_out else 0,
-                     packed.seq_names[gi_c], int(packed.rec_len[-1])]
+                     packed.seq_names[gi_c], int(packed.rec_len[-1]),
+                     d_txt[-1]]
 
         # vectorized classify + row formatting for all completed segs
         j_hi = nseq - 1 if continues else nseq
@@ -279,7 +324,8 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
                     f"{nk}\t{c0_}\n"
                     for nm, tv, a, b, cP, cM, c1_, c4_, nk, c0_, _L in zip(
                         names, t_arr, *cols)]
-            bo.add("", "".join(rows), int(np.sum(packed.rec_len[:j_hi])))
+            bo.add("".join(d_txt[:j_hi]), "".join(rows),
+                   int(np.sum(packed.rec_len[:j_hi])))
         T["emit"] += _time.time() - _t0
     if dbg:
         import sys as _sys
@@ -290,34 +336,8 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         # always yields a following chunk), but emit the REAL name and
         # length if a future packer ever ends the stream mid-carry
         close(carry[1], carry[2], carry[3])
-        _emit_triobin_row(bo, opt, k, carry[4], carry[5], carry[1])
-    bo.flush()
-
-
-def _main_triobin_scan(opt, ch, seq_fn, out, chunk_cap=1 << 23,
-                       batch_bases=200_000_000):
-    k = ch.k
-    chunk = max(1 << 14, min(batch_bases, chunk_cap))
-    chunk = -(-chunk // 1024) * 1024
-    bo = _BatchedOut(out, batch_bases)
-    for name, L, vals in scan_file(seq_fn, ch, chunk):
-        is_k, flag, typ = _types_and_flags(vals)
-        nk = int(np.count_nonzero(is_k))
-        c = np.bincount(flag[is_k], minlength=16)
-        wrows = []
-        if opt.print_diff:
-            for i in np.nonzero(is_k & ((flag >> 2 & 3) != (flag & 3)))[0]:
-                wrows.append(f"D\t{name}\t{i}\t{flag[i] & 3}\t{flag[i] >> 2 & 3}\n")
-        sc = [0, 0]
-        _, lens, tvals = _runs(typ)
-        for ln, tv in zip(lens, tvals):
-            if tv > 0 and ln >= k - 4:
-                sc[tv - 1] += int(ln)
-        t = tb_classify(sc, c, k, opt.ratio_thres)
-        srow = (f"{name}\t{t}\t{sc[0]}\t{sc[1]}\t{c[0 << 2 | 2]}\t"
-                f"{c[2 << 2 | 0]}\t{c[0 << 2 | 1]}\t{c[1 << 2 | 0]}\t"
-                f"{nk}\t{c[0]}\n")
-        bo.add("".join(wrows), srow, L)
+        _emit_triobin_row(bo, opt, k, carry[4], carry[5], carry[1],
+                          wtext=carry[6])
     bo.flush()
 
 
@@ -443,18 +463,26 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
             continue
         we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
         arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        if use_join:
-            ov, pay, vflat = run_join_lookup(
-                ch, get_qv_join_pre(k, planes_key), arg, M,
-                interpret=jinterp)
-            key_d, n_d = get_trioeval_join_post(k, int(opt.min_n), M)(
-                ov, pay, vflat, jnp.asarray([we], np.int32))
-        else:
-            step = get_trioeval_step(k, int(opt.min_n),
-                                     planes_L=planes_key)
-            key_d, n_d = step(arg, jnp.asarray([we], np.int32),
+        h = {}
+
+        def dispatch():
+            if use_join:
+                ov, pay, vflat = run_join_lookup(
+                    ch, get_qv_join_pre(k, planes_key), arg, M,
+                    interpret=jinterp)
+                h["o"] = get_trioeval_join_post(
+                    k, int(opt.min_n), M)(
+                    ov, pay, vflat, jnp.asarray([we], np.int32))
+            else:
+                step = get_trioeval_step(k, int(opt.min_n),
+                                         planes_L=planes_key)
+                h["o"] = step(arg, jnp.asarray([we], np.int32),
                               ch.keys, ch.cnt, ch.size)
-        n = int(n_d)
+
+        dispatch()
+        from yak_tpu.utils import retry_transient
+        n = retry_transient(lambda: int(h["o"][1]), redo=dispatch)
+        key_d = h["o"][0]
         if n > TRIOEVAL_MAX_RUNS:
             # marker overflow: per-position fallback for this chunk
             from yak_tpu.ops.countstep import get_scan_step

@@ -636,9 +636,16 @@ def get_sexchr_join_post(k, ns, M):
     return post
 
 
-def _triobin_reduce(vals, is_k, meta, k, M):
+TRIOBIN_MAX_DIFF = 1 << 18
+
+
+def _triobin_reduce(vals, is_k, meta, k, M, emit_diff=False):
     """tb_worker's per-contig reductions (triobin.c:41-101) over the
-    per-window value stream; see get_triobin_step."""
+    per-window value stream; see get_triobin_step.
+
+    emit_diff: additionally extract the -p rows (positions where the
+    pat and mat classes differ, triobin.c:89-92) as sparse
+    (lane << 4 | flag) markers + count, chkerr-style."""
     bounds = meta[:-1]
     we = meta[-1]
     flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
@@ -678,11 +685,20 @@ def _triobin_reduce(vals, is_k, meta, k, M):
     tail_typ = jnp.sum(jnp.where(at_we, typ, 0))
     tail_len = jnp.sum(jnp.where(at_we, runlen, 0))
     scalars = jnp.stack([typ[0], head_len, tail_typ, tail_len])
-    return jnp.stack(outs), scalars
+    if not emit_diff:
+        return jnp.stack(outs), scalars
+    dm = is_k & (c1 != c2)
+    dkey = jnp.where(dm,
+                     (lane.astype(jnp.uint64) << jnp.uint64(4))
+                     | flag.astype(jnp.uint64),
+                     jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    (dkey,) = jax.lax.sort((dkey,), num_keys=1, is_stable=False)
+    dn = jnp.sum(dm.astype(jnp.int32))
+    return jnp.stack(outs), scalars, dkey[:TRIOBIN_MAX_DIFF], dn
 
 
 @lru_cache(maxsize=None)
-def get_triobin_step(k, ns, planes_L=None):
+def get_triobin_step(k, ns, planes_L=None, emit_diff=False):
     """Fused triobin chunk step (tb_worker, triobin.c:41-101): lookup +
     hap-mer typing + ALL per-contig reductions on device:
 
@@ -713,17 +729,19 @@ def get_triobin_step(k, ns, planes_L=None):
         else:
             vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                                   valid.reshape(-1), packable=False)
-        return _triobin_reduce(vals, valid.reshape(-1), meta, k, M)
+        return _triobin_reduce(vals, valid.reshape(-1), meta, k, M,
+                               emit_diff=emit_diff)
 
     return step
 
 
 @lru_cache(maxsize=None)
-def get_triobin_join_post(k, ns, M):
+def get_triobin_join_post(k, ns, M, emit_diff=False):
     @jax.jit
     def post(ov, pay, valid, meta):
         vals = plookup_post(ov, pay, B=M)
-        return _triobin_reduce(vals, valid, meta, k, M)
+        return _triobin_reduce(vals, valid, meta, k, M,
+                               emit_diff=emit_diff)
 
     return post
 

@@ -18,6 +18,52 @@ def is_transient(e):
                 "DEADLINE_EXCEEDED"))
 
 
+def retry_transient(fn, redo=None, attempts=3):
+    """Run `fn` (a device dispatch+fetch closure), retrying transient
+    device faults; `redo` (optional) re-issues the dispatch before the
+    next attempt.  Only safe for STATELESS reads — chained folds replay
+    from preserved state instead (table._check_last_step)."""
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if not is_transient(e) or a == attempts - 1:
+                raise
+            print(f"[M::yak_tpu] transient device fault, retrying "
+                  f"({type(e).__name__})", file=sys.stderr)
+            if redo is not None:
+                redo()
+
+
+class _Profiler:
+    """YAK_TPU_PROFILE=<dir>: wrap a workload in a JAX profiler trace
+    (the reference's observability surface is wall/CPU/RSS only,
+    sys.c:9-43; this is the TPU-native upgrade — open the trace in
+    TensorBoard / xprof)."""
+
+    def __init__(self):
+        import os
+        self.dir = os.environ.get("YAK_TPU_PROFILE")
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+            jax.profiler.start_trace(self.dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"[M::yak_tpu] profiler trace written to {self.dir}",
+                  file=sys.stderr)
+        return False
+
+
+def maybe_profile():
+    return _Profiler()
+
+
 class Progress:
     """Reference-shaped per-chunk progress lines:
     `[M::<name>::<real>*<cpu/real>] <message>` (count.c:140-141)."""
