@@ -109,6 +109,20 @@ def test_qv_err_kmers_min_len(qvdata):
                  qvdata / "asm.fa"]) == ref
 
 
+def test_qv_err_kmers_spanning_and_print_each(qvdata):
+    """-E through the fused fold: EK rows of chunk-spanning contigs stay
+    contiguous and, with -p, interleave with the SQ rows per sequence
+    exactly as the reference worker emits them (qv.c:62-81)."""
+    ref = run_oracle(["qv", "-E", "-t1", qvdata / "sr.yak",
+                      qvdata / "mix.fa"])
+    assert ours(["qv", "-E", "-K20000", qvdata / "sr.yak",
+                 qvdata / "mix.fa"]) == ref
+    ref = run_oracle(["qv", "-E", "-p", "-t1", qvdata / "sr.yak",
+                      qvdata / "mix.fa"])
+    assert ours(["qv", "-E", "-p", "-K20000", qvdata / "sr.yak",
+                 qvdata / "mix.fa"]) == ref
+
+
 @pytest.fixture(scope="session")
 def ztake(tmp_path_factory):
     """A record header landing in a chunk's last k-1 cells: at -K16384

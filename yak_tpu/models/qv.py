@@ -104,17 +104,18 @@ def run_qv(opt, fn, table, out=None, scan=None):
     from yak_tpu.parallel.mesh import MeshTable
 
     is_mesh = isinstance(table, MeshTable)
-    if scan is None and not opt.print_err_kmer and table.k < 32:
-        if is_mesh:
+    if scan is None and table.k < 32:
+        if not is_mesh:
+            return _run_qv_fused(opt, fn, table, out or sys.stdout)
+        if not opt.print_err_kmer:
             return _run_qv_fused_mesh(opt, fn, table, out or sys.stdout)
-        return _run_qv_fused(opt, fn, table, out or sys.stdout)
     if scan is None and is_mesh:
         from yak_tpu.models.scan import scan_file_mesh
         scan = scan_file_mesh
     return _run_qv_scan(opt, fn, table, out, scan)
 
 
-def _sq_line(out, name, L, tot, non0, k):
+def _sq_text(name, L, tot, non0, k):
     qv = -1.0
     if tot > 0:
         if non0 > 0:
@@ -125,7 +126,11 @@ def _sq_line(out, name, L, tot, non0, k):
                 qv = 99.0
         else:
             qv = 0.0
-    out.write(f"SQ\t{name}\t{L}\t{tot}\t{non0}\t{qv:.2f}\n")
+    return f"SQ\t{name}\t{L}\t{tot}\t{non0}\t{qv:.2f}\n"
+
+
+def _sq_line(out, name, L, tot, non0, k):
+    out.write(_sq_text(name, L, tot, non0, k))
 
 
 def _qv_chunk_meta(packed, M, ns, carry_gi, min_len):
@@ -183,31 +188,48 @@ def _qv_pad_meta(M, ns):
     return meta
 
 
-def _qv_sq_update(packed, info, tot_np, non0_np, h_carry, sq, min_len):
-    """-p bookkeeping for one chunk: accumulate SQ rows (name, L, tot,
-    non0) in output order, folding chunk-spanning pieces through the
-    host carry mirror h_carry."""
+def _qv_out_update(packed, info, tot_np, non0_np, h_carry, blocks,
+                   min_len, k, print_each, ek_txt=None, carry_ek=None):
+    """Per-chunk output assembly: per completed sequence, its EK rows
+    (-E) followed by its SQ row (-p), in input order (the reference's
+    worker emits both inside one per-seq loop, qv.c:62-81);
+    chunk-spanning pieces accumulate through h_carry / carry_ek."""
     nseq, g0, has_head, continues, head_end, j_inc = info
     gis = packed.rec_gid
+    ek = ek_txt if ek_txt is not None else [""] * nseq
     if has_head and head_end == 0:      # middle piece
         h_carry[0] += int(tot_np[0])
         h_carry[1] += int(non0_np[0])
+        if carry_ek is not None:
+            carry_ek[0] += ek[0]
         return
+
+    def emit(name, L, tot, non0, ektext):
+        if L < min_len:
+            return
+        t = ektext
+        if print_each:
+            t += _sq_text(name, L, tot, non0, k)
+        if t:
+            blocks.append(t)
+
     if has_head:
-        if packed.seq_lens[g0] >= min_len:
-            sq.append((packed.seq_names[g0], packed.seq_lens[g0],
-                       h_carry[0] + int(tot_np[0]),
-                       h_carry[1] + int(non0_np[0])))
+        emit(packed.seq_names[g0], packed.seq_lens[g0],
+             h_carry[0] + int(tot_np[0]),
+             h_carry[1] + int(non0_np[0]),
+             ((carry_ek[0] if carry_ek is not None else "") + ek[0]))
         h_carry[:] = [0, 0]
+        if carry_ek is not None:
+            carry_ek[0] = ""
     for j in range(1 if has_head else 0,
                    nseq - 1 if continues else nseq):
         gi = int(gis[j])
-        if packed.seq_lens[gi] < min_len:
-            continue
-        sq.append((packed.seq_names[gi], packed.seq_lens[gi],
-                   int(tot_np[j]), int(non0_np[j])))
+        emit(packed.seq_names[gi], packed.seq_lens[gi],
+             int(tot_np[j]), int(non0_np[j]), ek[j])
     if continues:
         h_carry[:] = [int(tot_np[j_inc]), int(non0_np[j_inc])]
+        if carry_ek is not None:
+            carry_ek[0] += ek[j_inc]
 
 
 def _run_qv_fused_mesh(opt, fn, mtable, out):
@@ -235,7 +257,7 @@ def _run_qv_fused_mesh(opt, fn, mtable, out):
     c_hist = jnp.zeros(YAK_N_COUNTS, jnp.int64)
     carry_gi = None
     h_carry = [0, 0]
-    sq = []
+    blocks = []
     route = {"C": default_route_cap(M, n_dev)}
     steps = {}
 
@@ -273,8 +295,9 @@ def _run_qv_fused_mesh(opt, fn, mtable, out):
             tot_np = np.asarray(tot_d)
             non0_np = np.asarray(non0_d)
             for i, (p, info) in enumerate(zip(group, infos)):
-                _qv_sq_update(p, info, tot_np[i], non0_np[i],
-                              h_carry, sq, opt.min_len)
+                _qv_out_update(p, info, tot_np[i], non0_np[i],
+                               h_carry, blocks, opt.min_len, k,
+                               opt.print_each)
 
     group = []
     for packed in ChunkSource(fn, chunk, k, with_meta="records"):
@@ -285,8 +308,7 @@ def _run_qv_fused_mesh(opt, fn, mtable, out):
             flush_group(group)
             group = []
     flush_group(group)
-    for name, L, tot, non0 in sq:
-        _sq_line(out, name, L, tot, non0, k)
+    out.write("".join(blocks))
     return np.asarray(cnt_d)
 
 
@@ -332,7 +354,9 @@ def _run_qv_fused(opt, fn, table, out):
     c_hist = jnp.zeros(YAK_N_COUNTS, jnp.int64)
     carry_gi = None            # host mirror: which seq the carry is
     h_carry = [0, 0]           # host mirror of (tot, non0) for -p
-    sq = []                    # (name, L, tot, non0) in output order
+    blocks = []                # per-seq output text, input order
+    carry_ek = [""]            # EK rows of the chunk-spanning seq
+    want_ek = bool(opt.print_err_kmer)
     from yak_tpu.utils import Progress
     prog = Progress("run_qv")
 
@@ -366,29 +390,56 @@ def _run_qv_fused(opt, fn, table, out):
                 *args8, Na=table.cap, Nb=Mw, lookup=True,
                 interpret=join_interp)
             post = get_qv_join_post(k, ns, Mw,
-                                    min_frac=float(opt.min_frac))
-            cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = post(
-                kout[2], pay, vflat, jnp.asarray(meta),
-                cnt_d, c_tot, c_non0, c_hist)
+                                    min_frac=float(opt.min_frac),
+                                    emit_ek=want_ek)
+            outs = post(kout[2], pay, vflat, jnp.asarray(meta),
+                        cnt_d, c_tot, c_non0, c_hist)
         else:
             step = get_qv_step(k, ns, planes_L=planes_key,
-                               min_frac=float(opt.min_frac))
-            cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = step(
-                arg, jnp.asarray(meta),
-                cnt_d, c_tot, c_non0, c_hist,
-                table.keys, table.cnt, table.size)
+                               min_frac=float(opt.min_frac),
+                               emit_ek=want_ek)
+            outs = step(arg, jnp.asarray(meta),
+                        cnt_d, c_tot, c_non0, c_hist,
+                        table.keys, table.cnt, table.size)
+        cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = outs[:6]
 
-        if opt.print_each:
-            # host mirror of the totals for the SQ lines (sync per
-            # chunk — only in -p mode)
-            _qv_sq_update(packed, info, np.asarray(tot_d),
-                          np.asarray(non0_d), h_carry, sq, opt.min_len)
+        ek_txt = None
+        if want_ek:
+            # sparse 0-count markers -> per-seq EK rows (qv.c:62-64)
+            from yak_tpu.ops.countstep import QV_MAX_EK, get_scan_step
+            nz = int(outs[7])
+            if nz > QV_MAX_EK:
+                sstep = get_scan_step(k, planes_L=planes_key)
+                vals = np.asarray(sstep(arg, table.keys, table.cnt,
+                                        table.size)).reshape(-1)
+                zl = np.flatnonzero((vals != -2) & (vals <= 0)
+                                    ).astype(np.int64)
+            else:
+                zl = np.asarray(outs[6])[:nz].astype(np.int64)
+            starts_np = np.minimum(packed.rec_start, M)
+            zseg = np.searchsorted(starts_np, zl, side="right") - 1
+            zb = np.concatenate(
+                [np.searchsorted(zseg, np.arange(info[0])), [len(zl)]])
+            ek_txt = []
+            for j in range(info[0]):
+                gi_j = int(packed.rec_gid[j])
+                nm = packed.seq_names[gi_j]
+                base = int(packed.rec_off0[j]) - int(starts_np[j])
+                ek_txt.append("".join(
+                    f"EK\t{nm}\t{int(l) + base}\n"
+                    for l in zl[zb[j]:zb[j + 1]]))
+
+        if opt.print_each or want_ek:
+            # host mirror of totals (sync per chunk; -p/-E modes only)
+            _qv_out_update(packed, info, np.asarray(tot_d),
+                           np.asarray(non0_d), h_carry, blocks,
+                           opt.min_len, k, opt.print_each,
+                           ek_txt=ek_txt, carry_ek=carry_ek)
 
         # per-chunk progress in the reference shape (qv.c:104-106)
         prog.line(f"processed {nseq} sequences")
         T["dispatch"] += _time.time() - _t0
-    for name, L, tot, non0 in sq:
-        _sq_line(out, name, L, tot, non0, k)
+    out.write("".join(blocks))
     _t0 = _time.time()
     r = np.asarray(cnt_d)
     if dbg:

@@ -381,8 +381,24 @@ def lookup_pallas(tkeys, tcnt, size, h, valid, interpret=False):
     return plookup_post(out[2], pay, B)
 
 
+QV_MAX_EK = 1 << 17
+
+
+def _qv_ek_markers(vals, has, M):
+    """Sparse 0-count k-mer positions for -E (qv.c:62-64: a window is an
+    err-kmer when extracted but t == max(cnt, 0) == 0, i.e. absent OR
+    count 0): ascending lane markers + true count (host falls back to a
+    full value fetch for the chunk if the budget overflows)."""
+    em = has & (vals <= 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    key = jnp.where(em, lane.astype(jnp.uint32),
+                    jnp.uint32(0xFFFFFFFF))
+    (key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    return key[:QV_MAX_EK], jnp.sum(em.astype(jnp.int32))
+
+
 @lru_cache(maxsize=None)
-def get_qv_step(k, ns, planes_L=None, min_frac=0.5):
+def get_qv_step(k, ns, planes_L=None, min_frac=0.5, emit_ek=False):
     """Fused qv chunk step: lookup + the ENTIRE per-chunk reduction of
     yak_qv's worker (qv.c:34-88) on device, so only histograms and
     per-sequence scalars cross the wire (the per-position value stream
@@ -420,8 +436,11 @@ def get_qv_step(k, ns, planes_L=None, min_frac=0.5):
         else:
             vals = st.lookup_impl(tkeys, tcnt, size, h.reshape(-1),
                                   valid.reshape(-1), packable=False)
-        return _qv_reduce(vals, valid.reshape(-1), meta, cnt, c_tot,
-                          c_non0, c_hist, ns, M, min_frac)
+        r = _qv_reduce(vals, valid.reshape(-1), meta, cnt, c_tot,
+                       c_non0, c_hist, ns, M, min_frac)
+        if emit_ek:
+            r = r + _qv_ek_markers(vals, valid.reshape(-1), M)
+        return r
 
     return step
 
@@ -543,15 +562,18 @@ def get_qv_join_pre(k, planes_L):
 
 
 @lru_cache(maxsize=None)
-def get_qv_join_post(k, ns, M, min_frac=0.5):
+def get_qv_join_post(k, ns, M, min_frac=0.5, emit_ek=False):
     """Pallas-join qv, phase 3 (one jit): restore query order from the
     kernel's dense value stream, then the shared reduction/fold."""
 
     @jax.jit
     def post(ov, pay, valid, meta, cnt, c_tot, c_non0, c_hist):
         vals = plookup_post(ov, pay, B=M)
-        return _qv_reduce(vals, valid, meta, cnt, c_tot, c_non0,
-                          c_hist, ns, M, min_frac)
+        r = _qv_reduce(vals, valid, meta, cnt, c_tot, c_non0,
+                       c_hist, ns, M, min_frac)
+        if emit_ek:
+            r = r + _qv_ek_markers(vals, valid, M)
+        return r
 
     return post
 
@@ -688,9 +710,12 @@ def _triobin_reduce(vals, is_k, meta, k, M, emit_diff=False):
     if not emit_diff:
         return jnp.stack(outs), scalars
     dm = is_k & (c1 != c2)
+    # mask to the 4 class bits: a non-trio table's larger values must
+    # not bleed into the lane field (the reference reads flag&3 and
+    # flag>>2&3 regardless, triobin.c:89-92)
     dkey = jnp.where(dm,
                      (lane.astype(jnp.uint64) << jnp.uint64(4))
-                     | flag.astype(jnp.uint64),
+                     | (flag & 15).astype(jnp.uint64),
                      jnp.uint64(0xFFFFFFFFFFFFFFFF))
     (dkey,) = jax.lax.sort((dkey,), num_keys=1, is_stable=False)
     dn = jnp.sum(dm.astype(jnp.int32))

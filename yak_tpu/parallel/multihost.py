@@ -51,7 +51,7 @@ def global_mesh():
     return make_mesh(devices=jax.devices())
 
 
-def _wrap_global(step, has_bf):
+def _wrap_global(step):
     """Wrap a build_count_step program so its control outputs come back
     fully replicated: every process fetches the same flag scalars and
     takes the same growth/retry branch."""
@@ -124,8 +124,7 @@ def count_file_multihost(fn, opt, mesh=None, cap_log2=None, table=None,
                                    route_cap=state["C"],
                                    create_new=create,
                                    bloom_cfg=bloom_cfg)
-            state["steps"][key] = _wrap_global(raw,
-                                               bloom_cfg is not None)
+            state["steps"][key] = _wrap_global(raw)
         return state["steps"][key]
 
     def run_group(code_chunks):
