@@ -249,3 +249,95 @@ def test_mesh_qv_fused_matches_single(data, tmp_path):
         main_qv(qopt, single, str(tmp_path / "asm.fa"), out=a)
         main_qv(qopt, sharded, str(tmp_path / "asm.fa"), out=b)
         assert a.getvalue() == b.getvalue()
+
+
+def test_mesh_triobin_matches_single(data, tmp_path):
+    """The mesh triobin fold (routed group lookups + vmapped per-chunk
+    reductions) == the single-chip fused triobin, incl. -p D rows and
+    contigs spanning chunk AND group boundaries."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from yak_tpu.models.trio import TrioOpts, main_triobin
+    from yak_tpu.table import KmerTable
+
+    rng = np.random.default_rng(31)
+    base = util.make_genome(rng, 30_000)
+    pat, mat = base.copy(), base.copy()
+    for hap in (pat, mat):
+        idx = rng.choice(len(base), 120, replace=False)
+        hap[idx] = (hap[idx] + rng.integers(1, 4, 120)) % 4
+    child = [pat[:12_000], mat[12_000:24_000], base[24_000:]]
+    util.to_fasta(tmp_path / "child.fa", child, names=["cP", "cM", "cB"])
+
+    # synthesize a 4-bit flag table directly (TRIOBIN-load semantics)
+    single = KmerTable(17)
+    hs = np.unique(np.concatenate([
+        np.random.default_rng(7).integers(0, 1 << 34, 50_000,
+                                          dtype=np.uint64)]))
+    from yak_tpu.ops.kmers import extract_kmer_hashes
+    import jax.numpy as jnp
+    hp, vp = extract_kmer_hashes(jnp.asarray(pat[None, :], jnp.uint8), 17)
+    hm, vm = extract_kmer_hashes(jnp.asarray(mat[None, :], jnp.uint8), 17)
+    hp = np.asarray(hp).reshape(-1)
+    hm = np.asarray(hm).reshape(-1)
+    flags = {}
+    for h in hp:
+        flags[int(h)] = flags.get(int(h), 0) | 2       # pat-strong
+    for h in hm:
+        flags[int(h)] = flags.get(int(h), 0) | 8       # mat-strong
+    h_np = np.fromiter(flags.keys(), np.uint64, len(flags))
+    c_np = np.fromiter(flags.values(), np.int64, len(flags))
+    o = np.argsort(h_np)
+    single._set_pairs(h_np[o], c_np[o].astype(np.int32))
+
+    from yak_tpu.parallel.mesh import MeshTable
+    mesh = make_mesh(4)
+    sharded = MeshTable.from_items(mesh, 17, 10, h_np[o], c_np[o])
+
+    import io as _io
+    for args in ({"print_diff": False}, {"print_diff": True}):
+        opt = TrioOpts(**args)
+        a, b = _io.StringIO(), _io.StringIO()
+        main_triobin(opt, single, str(tmp_path / "child.fa"), out=a,
+                     chunk_cap=1 << 14)
+        main_triobin(opt, sharded, str(tmp_path / "child.fa"), out=b,
+                     chunk_cap=1 << 14)
+        assert a.getvalue() == b.getvalue()
+        assert a.getvalue()      # non-empty
+
+
+def test_mesh_trioeval_sexchr_chkerr_match_single(data, tmp_path):
+    """trioeval/sexchr/chkerr accept MeshTables (routed per-position
+    scan) with output identical to the single-table paths."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from yak_tpu.models.chkerr import ChkerrOpts, main_chkerr
+    from yak_tpu.models.sexchr import SexchrOpts, main_sexchr
+    from yak_tpu.models.trio import TrioOpts, main_trioeval
+    from yak_tpu.table import KmerTable
+
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+    h, c = single.items()
+    sharded = MeshTable.from_items(mesh, 17, 10, h, c)
+
+    rng = np.random.default_rng(41)
+    g = util.make_genome(rng, 25_000)
+    util.to_fasta(tmp_path / "asm.fa", [g[:12_000], g[12_000:]],
+                  names=["a1", "a2"])
+
+    for fn, kwargs in ((main_trioeval, {"chunk_cap": 1 << 14}),
+                       (main_chkerr, {})):
+        a, b = io.StringIO(), io.StringIO()
+        o = TrioOpts() if fn is main_trioeval else \
+            ChkerrOpts(chunk_size=1 << 14)
+        fn(o, single, str(tmp_path / "asm.fa"), out=a, **kwargs)
+        fn(o, sharded, str(tmp_path / "asm.fa"), out=b, **kwargs)
+        assert a.getvalue() == b.getvalue()
+
+    o = SexchrOpts(chunk_size=1 << 14)
+    a, b = io.StringIO(), io.StringIO()
+    main_sexchr(o, single, [str(tmp_path / "asm.fa")], out=a)
+    main_sexchr(o, sharded, [str(tmp_path / "asm.fa")], out=b)
+    assert a.getvalue() == b.getvalue()

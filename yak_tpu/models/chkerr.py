@@ -43,6 +43,9 @@ def main_chkerr(opt, table, seq_fn, out=None):
     out = out or sys.stdout
     k = table.k
     table.flush()
+    from yak_tpu.parallel.mesh import MeshTable
+    if isinstance(table, MeshTable):
+        return _main_chkerr_mesh(opt, table, seq_fn, out)
     use_join, jinterp = join_enabled(k)
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
@@ -131,3 +134,25 @@ def main_chkerr(opt, table, seq_fn, out=None):
     if carry is not None:
         name_c, _gi, streak_c, end_c = carry
         emit(name_c, streak_c, end_c)
+
+
+def _main_chkerr_mesh(opt, table, seq_fn, out):
+    """Mesh tables: routed per-position scan (scan_file_mesh) + the
+    host streak pass per sequence (chkerr.c:55-68 semantics)."""
+    from yak_tpu.models.scan import scan_file_mesh
+
+    k = table.k
+    chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
+    chunk = -(-chunk // 1024) * 1024
+    for name, L, vals in scan_file_mesh(seq_fn, table, chunk):
+        low = (vals != NO_KMER) & (vals < opt.min_cnt)
+        if not low.any():
+            continue
+        lane = np.arange(len(low), dtype=np.int64)
+        last_high = np.maximum.accumulate(np.where(low, -1, lane))
+        is_end = low & ~np.append(low[1:], False)
+        for endpos, streak in zip(lane[is_end],
+                                  lane[is_end] - last_high[is_end]):
+            if streak > opt.min_streak:
+                out.write(f"{name}\t{endpos + 1 - k - (streak - 1)}\t"
+                          f"{endpos + 1}\t{streak}\n")

@@ -45,10 +45,25 @@ def main_sexchr(opt, ch, hap_fns, out=None):
     out.write(SEXCHR_HEADER)
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
-    for hap, fn in enumerate(hap_fns, start=1):
-        for name, _L, (n_k, n_sexchr, n_sex1, n_sex2) in scan_seg_sums(
+    from yak_tpu.parallel.mesh import MeshTable
+    if isinstance(ch, MeshTable):
+        # mesh tables: routed per-position scan + host per-seg sums
+        from yak_tpu.models.scan import scan_file_mesh
+
+        def seg_iter(fn):
+            for name, L, vals in scan_file_mesh(fn, ch, chunk):
+                has = vals != NO_KMER
+                flag = np.where(has, np.maximum(vals, 0), 0)
+                yield (name, L,
+                       (int(has.sum()), int((flag > 0).sum()),
+                        int((flag == 1).sum()), int((flag == 2).sum())))
+    else:
+        def seg_iter(fn):
+            yield from scan_seg_sums(
                 fn, ch, chunk, get_sexchr_step, 4,
-                join_post_builder=get_sexchr_join_post):
+                join_post_builder=get_sexchr_join_post)
+    for hap, fn in enumerate(hap_fns, start=1):
+        for name, _L, (n_k, n_sexchr, n_sex1, n_sex2) in seg_iter(fn):
             out.write(f"S\t{name}\t{hap}\t0\t{n_k}\t{n_sexchr}\t{n_sex1}\t"
                       f"{n_sex2}\n")
 

@@ -149,121 +149,26 @@ def _emit_triobin_row(bo, opt, k, name, L, s, wtext=""):
                    f"{c[1]}\t{c[4]}\t{int(s[0])}\t{c[0]}\n"), L)
 
 
-def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
-    """Device fold (ops/countstep.get_triobin_step): all per-contig sums
-    on device; boundary streaks merged across chunk-spanning pieces."""
-    import jax.numpy as jnp
+class _TriobinFold:
+    """Host side of the triobin device fold: merges boundary streaks
+    (and -p D rows) across chunk-spanning pieces and emits the report
+    rows; shared by the single-chip and mesh drivers."""
 
-    from yak_tpu.io.chunks import ChunkSource
-    from yak_tpu.io.pack import pack_chunk_planes
-    from yak_tpu.ops.countstep import (TRIOBIN_MAX_DIFF,
-                                       get_qv_join_pre,
-                                       get_triobin_join_post,
-                                       get_triobin_step, join_enabled,
-                                       run_join_lookup)
+    def __init__(self, opt, k, bo):
+        self.opt, self.k, self.bo = opt, k, bo
+        self.carry = None  # [gi, sums(8), open_typ, open_len, nm, L, dtxt]
 
-    import os
-    import time as _time
-    dbg = os.environ.get("YAK_TPU_TRIO_DEBUG")
-    T = {"ingest": 0.0, "host": 0.0, "pack": 0.0, "dispatch": 0.0,
-         "fetch": 0.0, "emit": 0.0}
-
-    k = ch.k
-    ch.flush()
-    use_join, jinterp = join_enabled(k)
-    chunk = max(1 << 14, min(batch_bases, chunk_cap))
-    chunk = -(-chunk // 1024) * 1024
-    M = chunk - k + 1
-    bo = _BatchedOut(out, batch_bases)
-    emit_diff = bool(opt.print_diff)
-    carry = None   # [gi, sums(8), open_typ, open_len, name, L, d_text]
-
-    def close(sums, typ, length):
-        if typ > 0 and length >= k - 4:
+    def _close(self, sums, typ, length):
+        if typ > 0 and length >= self.k - 4:
             sums[5 + typ] += length
 
-    _it = iter(ChunkSource(seq_fn, chunk, k, with_meta="records"))
-    while True:
-        _t0 = _time.time()
-        try:
-            packed = next(_it)
-        except StopIteration:
-            break
-        T["ingest"] += _time.time() - _t0
-        _t0 = _time.time()
+    def chunk(self, packed, S, scal4, d_txt, M):
+        """One chunk's fetched outputs: S [nseq, 8] i64 per-seg sums,
+        scal4 the boundary-run scalars, d_txt per-seg -p row text."""
+        opt, k, bo, close = self.opt, self.k, self.bo, self._close
         nseq = len(packed.rec_gid)
-        if not nseq:
-            continue
-        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
-        meta = np.full(ns + 2, M, np.int32)
-        meta[:nseq] = np.minimum(packed.rec_start, M)
-        meta[-1] = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
-        we = int(meta[-1])
-        T["host"] += _time.time() - _t0
-        _t0 = _time.time()
-        arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        T["pack"] += _time.time() - _t0
-        _t0 = _time.time()
-        h = {}
-
-        def dispatch():
-            if use_join:
-                ov, pay, vflat = run_join_lookup(
-                    ch, get_qv_join_pre(k, planes_key), arg, M,
-                    interpret=jinterp)
-                h["o"] = get_triobin_join_post(
-                    k, ns, M, emit_diff=emit_diff)(
-                    ov, pay, vflat, jnp.asarray(meta))
-            else:
-                step = get_triobin_step(k, ns, planes_L=planes_key,
-                                        emit_diff=emit_diff)
-                h["o"] = step(arg, jnp.asarray(meta), ch.keys, ch.cnt,
-                              ch.size)
-
-        dispatch()
-        T["dispatch"] += _time.time() - _t0
-        _t0 = _time.time()
-        # stateless per-chunk read: transient faults re-dispatch
-        from yak_tpu.utils import retry_transient
-        S, sc_np = retry_transient(
-            lambda: (np.asarray(h["o"][0]), np.asarray(h["o"][1])),
-            redo=dispatch)
-        outs = h["o"]
-        S = S[:, :nseq].T.astype(np.int64)
-        h_typ, h_len, t_typ, t_len = (int(x) for x in sc_np)
-        d_txt = [""] * nseq
-        if emit_diff:
-            nd = int(outs[3])
-            if nd > TRIOBIN_MAX_DIFF:
-                # marker overflow: per-position fallback for this chunk
-                from yak_tpu.ops.countstep import get_scan_step
-                sstep = get_scan_step(k, planes_L=planes_key)
-                vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
-                                        ch.size)).reshape(-1)
-                is_k2, flag2, _ = _types_and_flags(vals)
-                dm = is_k2 & ((flag2 & 3) != ((flag2 >> 2) & 3))
-                dlanes = np.flatnonzero(dm).astype(np.int64)
-                dflag = flag2[dm].astype(np.int64)
-            else:
-                dk = np.asarray(outs[2])[:nd]
-                dlanes = (dk >> np.uint64(4)).astype(np.int64)
-                dflag = (dk & np.uint64(15)).astype(np.int64)
-            starts_np = np.minimum(packed.rec_start, M)
-            dseg = np.searchsorted(starts_np, dlanes,
-                                   side="right") - 1
-            dbnd = np.concatenate(
-                [np.searchsorted(dseg, np.arange(nseq)), [len(dlanes)]])
-            for j in range(nseq):
-                gi_j = int(packed.rec_gid[j])
-                nm = packed.seq_names[gi_j]
-                base = (int(packed.rec_off0[j]) - int(starts_np[j])
-                        + k - 1)
-                sl = slice(dbnd[j], dbnd[j + 1])
-                d_txt[j] = "".join(
-                    f"D\t{nm}\t{int(l) + base}\t{f & 3}\t{f >> 2}\n"
-                    for l, f in zip(dlanes[sl], dflag[sl]))
-        T["fetch"] += _time.time() - _t0
-        _t0 = _time.time()
+        we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        h_typ, h_len, t_typ, t_len = (int(x) for x in scal4)
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
                      < int(packed.rec_len[-1]))
         single = h_len == we + 1
@@ -272,12 +177,12 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         # everything else is already complete in S
         g0 = int(packed.rec_gid[0])
         o_typ, o_len = 0, 0
-        if carry is not None:
-            assert carry[0] == g0
-            S[0] += carry[1]
-            o_typ, o_len = carry[2], carry[3]
-            d_txt[0] = carry[6] + d_txt[0]
-            carry = None
+        if self.carry is not None:
+            assert self.carry[0] == g0
+            S[0] += self.carry[1]
+            o_typ, o_len = self.carry[2], self.carry[3]
+            d_txt[0] = self.carry[6] + d_txt[0]
+            self.carry = None
         open_out = None
         if single and nseq == 1:
             # head and tail are the same run spanning the piece
@@ -302,11 +207,11 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
                 close(S[-1], t_typ, t_len)
         if continues:
             gi_c = int(packed.rec_gid[-1])
-            carry = [gi_c, S[-1],
-                     open_out[0] if open_out else 0,
-                     open_out[1] if open_out else 0,
-                     packed.seq_names[gi_c], int(packed.rec_len[-1]),
-                     d_txt[-1]]
+            self.carry = [gi_c, S[-1],
+                          open_out[0] if open_out else 0,
+                          open_out[1] if open_out else 0,
+                          packed.seq_names[gi_c],
+                          int(packed.rec_len[-1]), d_txt[-1]]
 
         # vectorized classify + row formatting for all completed segs
         j_hi = nseq - 1 if continues else nseq
@@ -320,25 +225,216 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
                     (sub[:, 6], sub[:, 7], sub[:, 3], sub[:, 5],
                      sub[:, 2], sub[:, 4], sub[:, 0], sub[:, 1],
                      packed.rec_len[:j_hi])]
-            rows = [f"{nm}\t{tv}\t{a}\t{b}\t{cP}\t{cM}\t{c1_}\t{c4_}\t"
-                    f"{nk}\t{c0_}\n"
-                    for nm, tv, a, b, cP, cM, c1_, c4_, nk, c0_, _L in zip(
-                        names, t_arr, *cols)]
+            rows = [f"{nm}\t{tv}\t{a}\t{b}\t{cP}\t{cM}\t{c1_}\t"
+                    f"{c4_}\t{nk}\t{c0_}\n"
+                    for nm, tv, a, b, cP, cM, c1_, c4_, nk, c0_, _L in
+                    zip(names, t_arr, *cols)]
             bo.add("".join(d_txt[:j_hi]), "".join(rows),
                    int(np.sum(packed.rec_len[:j_hi])))
-        T["emit"] += _time.time() - _t0
-    if dbg:
-        import sys as _sys
-        print("[trio-debug]", {a: round(b, 2) for a, b in T.items()},
-              file=_sys.stderr)
-    if carry is not None:
-        # unreachable with the current packer (a continuing record
-        # always yields a following chunk), but emit the REAL name and
-        # length if a future packer ever ends the stream mid-carry
-        close(carry[1], carry[2], carry[3])
-        _emit_triobin_row(bo, opt, k, carry[4], carry[5], carry[1],
-                          wtext=carry[6])
-    bo.flush()
+
+    def build_d_txt(self, packed, dlanes, dflag, M):
+        """Per-segment -p D-row text from decoded difference markers."""
+        k = self.k
+        nseq = len(packed.rec_gid)
+        starts_np = np.minimum(packed.rec_start, M)
+        dseg = np.searchsorted(starts_np, dlanes, side="right") - 1
+        dbnd = np.concatenate(
+            [np.searchsorted(dseg, np.arange(nseq)), [len(dlanes)]])
+        d_txt = []
+        for j in range(nseq):
+            nm = packed.seq_names[int(packed.rec_gid[j])]
+            base = (int(packed.rec_off0[j]) - int(starts_np[j]) + k - 1)
+            sl = slice(dbnd[j], dbnd[j + 1])
+            d_txt.append("".join(
+                f"D\t{nm}\t{int(l) + base}\t{f & 3}\t{f >> 2}\n"
+                for l, f in zip(dlanes[sl], dflag[sl])))
+        return d_txt
+
+    def finish(self):
+        if self.carry is not None:
+            # unreachable with the current packer (a continuing record
+            # always yields a following chunk), but emit the REAL name
+            # and length if a future packer ends the stream mid-carry
+            self._close(self.carry[1], self.carry[2], self.carry[3])
+            _emit_triobin_row(self.bo, self.opt, self.k, self.carry[4],
+                              self.carry[5], self.carry[1],
+                              wtext=self.carry[6])
+        self.bo.flush()
+
+
+def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
+    """Device fold (ops/countstep.get_triobin_step): all per-contig sums
+    on device; boundary streaks merged across chunk-spanning pieces."""
+    import jax.numpy as jnp
+
+    from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.io.pack import pack_chunk_planes
+    from yak_tpu.ops.countstep import (TRIOBIN_MAX_DIFF,
+                                       get_qv_join_pre,
+                                       get_triobin_join_post,
+                                       get_triobin_step, join_enabled,
+                                       run_join_lookup)
+    from yak_tpu.parallel.mesh import MeshTable
+    from yak_tpu.utils import retry_transient
+
+    if isinstance(ch, MeshTable):
+        return _main_triobin_fused_mesh(opt, ch, seq_fn, out, chunk_cap,
+                                        batch_bases)
+    k = ch.k
+    ch.flush()
+    use_join, jinterp = join_enabled(k)
+    chunk = max(1 << 14, min(batch_bases, chunk_cap))
+    chunk = -(-chunk // 1024) * 1024
+    M = chunk - k + 1
+    bo = _BatchedOut(out, batch_bases)
+    emit_diff = bool(opt.print_diff)
+    fold = _TriobinFold(opt, k, bo)
+
+    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+        nseq = len(packed.rec_gid)
+        if not nseq:
+            continue
+        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
+        meta = np.full(ns + 2, M, np.int32)
+        meta[:nseq] = np.minimum(packed.rec_start, M)
+        meta[-1] = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        arg, planes_key = pack_chunk_planes(packed.codes, packed)
+        h = {}
+
+        def dispatch():
+            if use_join:
+                ov, pay, vflat = run_join_lookup(
+                    ch, get_qv_join_pre(k, planes_key), arg, M,
+                    interpret=jinterp)
+                h["o"] = get_triobin_join_post(
+                    k, ns, M, emit_diff=emit_diff)(
+                    ov, pay, vflat, jnp.asarray(meta))
+            else:
+                step = get_triobin_step(k, ns, planes_L=planes_key,
+                                        emit_diff=emit_diff)
+                h["o"] = step(arg, jnp.asarray(meta), ch.keys, ch.cnt,
+                              ch.size)
+
+        dispatch()
+        # stateless per-chunk read: transient faults re-dispatch
+        S, sc_np = retry_transient(
+            lambda: (np.asarray(h["o"][0]), np.asarray(h["o"][1])),
+            redo=dispatch)
+        outs = h["o"]
+        S = S[:, :nseq].T.astype(np.int64)
+        d_txt = [""] * nseq
+        if emit_diff:
+            nd = int(outs[3])
+            if nd > TRIOBIN_MAX_DIFF:
+                # marker overflow: per-position fallback for this chunk
+                from yak_tpu.ops.countstep import get_scan_step
+                sstep = get_scan_step(k, planes_L=planes_key)
+                vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
+                                        ch.size)).reshape(-1)
+                is_k2, flag2, _ = _types_and_flags(vals)
+                dm = is_k2 & ((flag2 & 3) != ((flag2 >> 2) & 3))
+                dlanes = np.flatnonzero(dm).astype(np.int64)
+                dflag = (flag2[dm] & 15).astype(np.int64)
+            else:
+                dk = np.asarray(outs[2])[:nd]
+                dlanes = (dk >> np.uint64(4)).astype(np.int64)
+                dflag = (dk & np.uint64(15)).astype(np.int64)
+            d_txt = fold.build_d_txt(packed, dlanes, dflag, M)
+        fold.chunk(packed, S, sc_np, d_txt, M)
+    fold.finish()
+
+
+def _main_triobin_fused_mesh(opt, ch, seq_fn, out, chunk_cap,
+                             batch_bases):
+    """Mesh triobin: groups of n_dev plane-packed chunks run the routed
+    lookup data-parallel (parallel/mesh.build_lookup_step), the
+    per-chunk reductions vmap over the sharded value rows, and the host
+    fold consumes the group's results in order — same output as the
+    single-chip fold, one dispatch pair per GROUP."""
+    import jax
+    import jax.numpy as jnp
+
+    from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.ops.countstep import _triobin_reduce
+    from yak_tpu.parallel.mesh import (_pack_group_planes,
+                                       build_lookup_step,
+                                       default_route_cap)
+
+    k = ch.k
+    n_dev = ch.n_dev
+    emit_diff = bool(opt.print_diff)
+    chunk = max(1 << 14, min(batch_bases, chunk_cap))
+    chunk = -(-chunk // 1024) * 1024
+    M = chunk - k + 1
+    bo = _BatchedOut(out, batch_bases)
+    fold = _TriobinFold(opt, k, bo)
+    route = {"C": default_route_cap(M, n_dev), "step": None}
+    reducers = {}
+
+    def reducer(ns):
+        if ns not in reducers:
+            reducers[ns] = jax.jit(jax.vmap(
+                lambda v, hs, m: _triobin_reduce(
+                    v, hs, m, k, M, emit_diff=emit_diff)))
+        return reducers[ns]
+
+    def flush_group(group):
+        if not group:
+            return
+        ns = max(1 << 12, 1 << int(
+            max(max(len(p.rec_gid) for p in group) - 1, 1)).bit_length())
+        metas = []
+        for pck in group:
+            m = np.full(ns + 2, M, np.int32)
+            nseq = len(pck.rec_gid)
+            m[:nseq] = np.minimum(pck.rec_start, M)
+            m[-1] = int(pck.rec_start[-1] + pck.rec_take[-1] - k)
+            metas.append(m)
+        while len(metas) < n_dev:
+            metas.append(np.full(ns + 2, M, np.int32))
+        planes = jax.device_put(jnp.asarray(_pack_group_planes(
+            [pck.codes for pck in group], chunk, n_dev)), ch.sh)
+        while True:
+            if route["step"] is None:
+                route["step"] = build_lookup_step(
+                    ch.mesh, k, chunk, route_cap=route["C"])
+            vals, hasw, ovf = route["step"](planes, ch.keys, ch.cnt,
+                                            ch.size)
+            if not int(np.asarray(ovf).max()):
+                break
+            route["C"] = min(M, route["C"] * 2)
+            route["step"] = None
+        outs = reducer(ns)(vals, hasw, jnp.asarray(np.stack(metas)))
+        seg_np = np.asarray(outs[0])
+        sc_np = np.asarray(outs[1])
+        if emit_diff:
+            dk_np = np.asarray(outs[2])
+            dn_np = np.asarray(outs[3])
+        for i, pck in enumerate(group):
+            nseq = len(pck.rec_gid)
+            S = seg_np[i][:, :nseq].T.astype(np.int64)
+            d_txt = [""] * nseq
+            if emit_diff:
+                nd = int(dn_np[i])
+                if nd > len(dk_np[i]):
+                    raise RuntimeError(
+                        "mesh triobin -p marker overflow; lower -K")
+                dk = dk_np[i][:nd]
+                d_txt = fold.build_d_txt(
+                    pck, (dk >> np.uint64(4)).astype(np.int64),
+                    (dk & np.uint64(15)).astype(np.int64), M)
+            fold.chunk(pck, S, sc_np[i], d_txt, M)
+
+    group = []
+    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+        if not len(packed.rec_gid):
+            continue
+        group.append(packed)
+        if len(group) == n_dev:
+            flush_group(group)
+            group = []
+    flush_group(group)
+    fold.finish()
 
 
 TRIOEVAL_HEADER = (
@@ -424,7 +520,19 @@ def main_trioeval(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
             "n_par0": 0, "n_par1": 0}
     out.write(TRIOEVAL_HEADER)
     bo = _BatchedOut(out, batch_bases)
-    _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk)
+    from yak_tpu.parallel.mesh import MeshTable
+    if isinstance(ch, MeshTable):
+        # mesh tables: routed per-position scan + the shared chain
+        from yak_tpu.models.scan import scan_file_mesh
+        for name, L, vals in scan_file_mesh(seq_fn, ch, chunk):
+            _, _, typ = _types_and_flags(vals)
+            ts = _TeSeq(name, L, opt, k)
+            for st, ln, tv in zip(*_runs(typ)):
+                if tv > 0 and ln >= opt.min_n:
+                    ts.run(int(st), int(ln), int(tv))
+            ts.finish(bo, glob)
+    else:
+        _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk)
     bo.flush()
     n_switch, n_pair = glob["n_switch"], glob["n_pair"]
     n_err, n_site = glob["n_err"], glob["n_site"]

@@ -185,6 +185,33 @@ class MeshTable:
                                   jnp.uint32),
                 out_shardings=self.sh)()
 
+    @classmethod
+    def from_items(cls, mesh, k, pre, hashes, counts):
+        """Build a sharded table from host (hash, value) pairs — the
+        mesh-side restore (trio/sexchr flag tables on a mesh; single
+        process: multi-host loads would ship per-host rows instead)."""
+        n = mesh.devices.size
+        hashes = np.asarray(hashes, np.uint64)
+        counts = np.asarray(counts, np.int64)
+        owner = (hashes & np.uint64(n - 1)).astype(np.int64)
+        sizes = np.bincount(owner, minlength=n)
+        capd = 1 << max(int(sizes.max() - 1).bit_length(), 14)
+        keys = np.zeros((n, capd), np.uint64)
+        cnt = np.full((n, capd), -1, np.int32)
+        for d in range(n):
+            sel = owner == d
+            hd = np.sort(hashes[sel])
+            order = np.argsort(hashes[sel], kind="stable")
+            keys[d, :sizes[d]] = hd
+            cnt[d, :sizes[d]] = counts[sel][order]
+        t = cls(mesh, k, pre, cap_log2=int(capd).bit_length() - 1)
+        t.keys = jax.device_put(jnp.asarray(keys), t.sh)
+        t.cnt = jax.device_put(jnp.asarray(cnt), t.sh)
+        t.size = jax.device_put(jnp.asarray(sizes.astype(np.int32)),
+                                t.sh)
+        t.tot = int(sizes.sum())
+        return t
+
     @property
     def cap(self):
         """Per-device slots."""
