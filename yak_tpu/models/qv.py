@@ -346,6 +346,9 @@ def _run_qv_fused(opt, fn, table, out):
     use_join = k <= 31 and (join_interp or (
         pallas_compact.enabled() and jax.default_backend() == "tpu"
         and os.environ.get("YAK_TPU_JOIN", "1") != "0"))
+    # chunk cap 2^23: measured r2, 2^24 join chunks LOSE (41-47M/s vs
+    # 55-58M/s) — the batch sort's superlinear growth outweighs the
+    # halved per-chunk dispatch latency
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     cnt_d = jnp.zeros(YAK_N_COUNTS, jnp.int64)
