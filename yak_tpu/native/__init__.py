@@ -89,6 +89,72 @@ def available():
     return _load() is not None
 
 
+class _LazyNames:
+    """Lazy gid -> name view over the (ascending) gid array and the
+    '\n'-joined name blob: the eager 55k-entry dict build per chunk
+    cost more host time than the whole C++ parse (measured — it was
+    the per-record overhead gap); the default workloads touch at most
+    one name per chunk."""
+
+    __slots__ = ("_gids", "_blob", "_names")
+
+    def __init__(self, gids, blob):
+        self._gids, self._blob, self._names = gids, blob, None
+
+    def _split(self):
+        if self._names is None:
+            self._names = self._blob.decode().split(
+                "\n")[:len(self._gids)]
+        return self._names
+
+    def __getitem__(self, gi):
+        i = int(np.searchsorted(self._gids, gi))
+        if i >= len(self._gids) or self._gids[i] != gi:
+            raise KeyError(gi)
+        return self._split()[i]
+
+    def items(self):
+        return zip((int(g) for g in self._gids), self._split())
+
+    def __iter__(self):
+        return (int(g) for g in self._gids)
+
+    def __len__(self):
+        return len(self._gids)
+
+    def __eq__(self, other):
+        return dict(self.items()) == other
+
+    __hash__ = None
+
+
+class _LazyLens:
+    """Lazy gid -> full-record-length view (same motivation)."""
+
+    __slots__ = ("_gids", "_lens")
+
+    def __init__(self, gids, lens):
+        self._gids, self._lens = gids, lens
+
+    def __getitem__(self, gi):
+        i = int(np.searchsorted(self._gids, gi))
+        if i >= len(self._gids) or self._gids[i] != gi:
+            raise KeyError(gi)
+        return int(self._lens[i])
+
+    def __len__(self):
+        return len(self._gids)
+
+    def items(self):
+        return ((int(g), int(v)) for g, v in
+                zip(self._gids, self._lens))
+
+    def __eq__(self, other):
+        return dict(self.items()) == other
+
+    __hash__ = None
+
+
 class _NativeChunk:
     """Mirror of io.pack.PackedChunk backed by native buffers (copied out,
     since the native chunk is recycled on the next yx_next)."""
@@ -155,7 +221,7 @@ class NativePackReader:
         if self._level >= 1:
             m = int(self._lib.yx_meta_n(self._h))
             arrs = [np.empty(m, np.int64) for _ in range(5)]
-            names = []
+            blob = b""
             if m:
                 self._lib.yx_meta_fill(self._h, *[
                     a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
@@ -163,12 +229,11 @@ class NativePackReader:
                 nlen = int(self._lib.yx_meta_names_len(self._h))
                 blob = ctypes.string_at(
                     self._lib.yx_meta_names(self._h), nlen)
-                names = blob.decode().split("\n")[:m]
             gids, lens, starts, off0s, takes = arrs
             c.rec_gid, c.rec_len = gids, lens
             c.rec_start, c.rec_off0, c.rec_take = starts, off0s, takes
-            c.seq_names = {int(g): nm for g, nm in zip(gids, names)}
-            c.seq_lens = {int(g): int(l) for g, l in zip(gids, lens)}
+            c.seq_names = _LazyNames(gids, blob)
+            c.seq_lens = _LazyLens(gids, lens)
         return c
 
     @property
