@@ -57,13 +57,9 @@ def main_chkerr(opt, table, seq_fn, out=None):
             out.write(f"{name}\t{endpos + 1 - k - (streak - 1)}\t"
                       f"{endpos + 1}\t{streak}\n")
 
-    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
-        nseq = len(packed.rec_gid)
-        if not nseq:
-            continue
-        arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        h = {}
+    from yak_tpu.utils import retry_transient
 
+    def make_dispatch(arg, planes_key, h):
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
@@ -75,9 +71,26 @@ def main_chkerr(opt, table, seq_fn, out=None):
                 step = get_chkerr_step(k, int(opt.min_cnt),
                                        planes_L=planes_key)
                 h["o"] = step(arg, table.keys, table.cnt, table.size)
+        return dispatch
 
-        dispatch()
-        from yak_tpu.utils import retry_transient
+    def produce():
+        """2-deep dispatch pipeline: chunk i's device work overlaps the
+        host streak pass of chunk i-1 (kt_pipeline overlap shape)."""
+        pending = []
+        for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+            if not len(packed.rec_gid):
+                continue
+            arg, planes_key = pack_chunk_planes(packed.codes, packed)
+            h = {}
+            dispatch = make_dispatch(arg, planes_key, h)
+            dispatch()
+            pending.append((packed, arg, planes_key, h, dispatch))
+            if len(pending) >= 2:
+                yield pending.pop(0)
+        yield from pending
+
+    for packed, arg, planes_key, h, dispatch in produce():
+        nseq = len(packed.rec_gid)
         n = retry_transient(lambda: int(h["o"][1]), redo=dispatch)
         key_d = h["o"][0]
         if n > CHKERR_MAX_RUNS:

@@ -96,6 +96,8 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
     from yak_tpu.ops.countstep import (get_qv_join_pre, join_enabled,
                                        run_join_lookup)
 
+    from yak_tpu.utils import retry_transient
+
     k = table.k
     table.flush()
     use_join, jinterp = join_enabled(k)
@@ -104,16 +106,7 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
     M = chunk - k + 1
     carry = None    # [gi, sums list] for the chunk-spanning seq
 
-    for packed in ChunkSource(fn, chunk, k, with_meta="records"):
-        nseq = len(packed.rec_gid)
-        if not nseq:
-            continue
-        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
-        bounds = np.full(ns + 1, M, np.int32)
-        bounds[:nseq] = np.minimum(packed.rec_start, M)
-        arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        h = {}
-
+    def make_dispatch(arg, planes_key, bounds, ns, h):
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
@@ -125,9 +118,29 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
                 step = step_builder(k, ns, planes_L=planes_key)
                 h["o"] = step(arg, jnp.asarray(bounds), *extra_args,
                               table.keys, table.cnt, table.size)
+        return dispatch
 
-        dispatch()
-        from yak_tpu.utils import retry_transient
+    def produce():
+        """2-deep dispatch pipeline (kt_pipeline overlap shape)."""
+        pending = []
+        for packed in ChunkSource(fn, chunk, k, with_meta="records"):
+            nseq = len(packed.rec_gid)
+            if not nseq:
+                continue
+            ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
+            bounds = np.full(ns + 1, M, np.int32)
+            bounds[:nseq] = np.minimum(packed.rec_start, M)
+            arg, planes_key = pack_chunk_planes(packed.codes, packed)
+            h = {}
+            dispatch = make_dispatch(arg, planes_key, bounds, ns, h)
+            dispatch()
+            pending.append((packed, h, dispatch))
+            if len(pending) >= 2:
+                yield pending.pop(0)
+        yield from pending
+
+    for packed, h, dispatch in produce():
+        nseq = len(packed.rec_gid)
         outs = retry_transient(
             lambda: [np.asarray(o)[:nseq] for o in h["o"][:n_out]],
             redo=dispatch)

@@ -290,17 +290,7 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     emit_diff = bool(opt.print_diff)
     fold = _TriobinFold(opt, k, bo)
 
-    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
-        nseq = len(packed.rec_gid)
-        if not nseq:
-            continue
-        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
-        meta = np.full(ns + 2, M, np.int32)
-        meta[:nseq] = np.minimum(packed.rec_start, M)
-        meta[-1] = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
-        arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        h = {}
-
+    def make_dispatch(arg, planes_key, meta, ns, h):
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
@@ -314,8 +304,11 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
                                         emit_diff=emit_diff)
                 h["o"] = step(arg, jnp.asarray(meta), ch.keys, ch.cnt,
                               ch.size)
+        return dispatch
 
-        dispatch()
+    def consume(item):
+        packed, arg, planes_key, h, dispatch = item
+        nseq = len(packed.rec_gid)
         # stateless per-chunk read: transient faults re-dispatch
         S, sc_np = retry_transient(
             lambda: (np.asarray(h["o"][0]), np.asarray(h["o"][1])),
@@ -341,6 +334,29 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
                 dflag = (dk & np.uint64(15)).astype(np.int64)
             d_txt = fold.build_d_txt(packed, dlanes, dflag, M)
         fold.chunk(packed, S, sc_np, d_txt, M)
+
+    # 2-deep dispatch/consume pipeline: chunk i's device work overlaps
+    # the host fold + d2h fetch of chunk i-1 (the role of kt_pipeline's
+    # read/compute overlap, triobin.c:136; the fold itself is order-
+    # preserving so consumption stays in input order)
+    pending = []
+    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+        nseq = len(packed.rec_gid)
+        if not nseq:
+            continue
+        ns = max(1 << 12, 1 << int(max(nseq - 1, 1)).bit_length())
+        meta = np.full(ns + 2, M, np.int32)
+        meta[:nseq] = np.minimum(packed.rec_start, M)
+        meta[-1] = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        arg, planes_key = pack_chunk_planes(packed.codes, packed)
+        h = {}
+        dispatch = make_dispatch(arg, planes_key, meta, ns, h)
+        dispatch()
+        pending.append((packed, arg, planes_key, h, dispatch))
+        if len(pending) >= 2:
+            consume(pending.pop(0))
+    for item in pending:
+        consume(item)
     fold.finish()
 
 
@@ -559,20 +575,15 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                                        get_trioeval_step, join_enabled,
                                        run_join_lookup)
 
+    from yak_tpu.utils import retry_transient
+
     k = ch.k
     ch.flush()
     use_join, jinterp = join_enabled(k)
     M = chunk - k + 1
     carry = None   # (gi, _TeSeq, open_run (typ, len, end_pos) | None)
 
-    for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
-        nseq = len(packed.rec_gid)
-        if not nseq:
-            continue
-        we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
-        arg, planes_key = pack_chunk_planes(packed.codes, packed)
-        h = {}
-
+    def make_dispatch(arg, planes_key, we, h):
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
@@ -586,9 +597,28 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                                          planes_L=planes_key)
                 h["o"] = step(arg, jnp.asarray([we], np.int32),
                               ch.keys, ch.cnt, ch.size)
+        return dispatch
 
-        dispatch()
-        from yak_tpu.utils import retry_transient
+    def produce():
+        """Dispatch chunks as they parse; 2-deep so chunk i's device
+        work overlaps the host chain replay of chunk i-1."""
+        pending = []
+        for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
+            nseq = len(packed.rec_gid)
+            if not nseq:
+                continue
+            we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+            arg, planes_key = pack_chunk_planes(packed.codes, packed)
+            h = {}
+            dispatch = make_dispatch(arg, planes_key, we, h)
+            dispatch()
+            pending.append((packed, arg, planes_key, we, h, dispatch))
+            if len(pending) >= 2:
+                yield pending.pop(0)
+        yield from pending
+
+    for packed, arg, planes_key, we, h, dispatch in produce():
+        nseq = len(packed.rec_gid)
         n = retry_transient(lambda: int(h["o"][1]), redo=dispatch)
         key_d = h["o"][0]
         if n > TRIOEVAL_MAX_RUNS:
