@@ -162,6 +162,21 @@ def test_qv_join_print_each_interpret(trio, monkeypatch):
                  trio / "child.fa"]) == ref
 
 
+def test_qv_join_seg_interpret(trio, monkeypatch):
+    """Plain qv through the SEG-payload join post (grouping restore via
+    one narrow sort, ops/countstep.get_qv_join_post_seg) in interpret
+    mode: tiny -K forces chunk-spanning sequences, exercising the
+    head/inc/mid region-to-segment mapping."""
+    monkeypatch.setenv("YAK_TPU_JOIN_INTERPRET", "1")
+    monkeypatch.setenv("YAK_TPU_QV_SEG", "1")
+    ref = run_oracle(["qv", trio / "pat.yak", trio / "child.fa"])
+    assert ours(["qv", "-K16384", trio / "pat.yak",
+                 trio / "child.fa"]) == ref
+    # a different chunk size shifts which segments span the boundary
+    assert ours(["qv", "-K20480", trio / "pat.yak",
+                 trio / "child.fa"]) == ref
+
+
 def test_chkerr_marker_overflow_fallback(trio, monkeypatch):
     """When a chunk's low-count run markers exceed the device budget the
     driver must fall back to the per-position scan for that chunk, not

@@ -384,7 +384,29 @@ def _run_qv_fused(opt, fn, table, out):
         arg, planes_key = pack_chunk_planes(packed.codes, packed)
         T["pack"] += _time.time() - _t0
         _t0 = _time.time()
-        if use_join:
+        # seg-payload join post (YAK_TPU_QV_SEG=1): restores GROUPING
+        # (one narrow u32 sort) instead of per-lane order.  Measured r2
+        # on v5e: NO end-to-end win (0.91s vs 0.78s for the 48M-lookup
+        # bench) — the post's cost is spread across many full-lane
+        # passes, not the u64 restore sort — so default OFF; kept as a
+        # correctness-tested alternative for future post work.
+        use_seg = os.environ.get("YAK_TPU_QV_SEG", "0") == "1"
+        if use_join and use_seg and not want_ek:
+            from yak_tpu.ops.countstep import (get_qv_join_post_seg,
+                                               get_qv_join_pre_seg)
+            Mw = chunk - k + 1
+            meta_j = jnp.asarray(meta)
+            pre = get_qv_join_pre_seg(k, planes_key, ns)
+            *args8, pay = pre(arg, meta_j, table.keys, table.cnt,
+                              table.size)
+            kout = pallas_merge.merge_reduce(
+                *args8, Na=table.cap, Nb=Mw, lookup=True,
+                interpret=join_interp)
+            post = get_qv_join_post_seg(k, ns, Mw,
+                                        min_frac=float(opt.min_frac))
+            outs = post(kout[2], pay, meta_j,
+                        cnt_d, c_tot, c_non0, c_hist)
+        elif use_join:
             Mw = chunk - k + 1
             pre = get_qv_join_pre(k, planes_key)
             *args8, pay, vflat = pre(arg, table.keys, table.cnt,

@@ -578,6 +578,140 @@ def get_qv_join_post(k, ns, M, min_frac=0.5, emit_ek=False):
     return post
 
 
+# payload sentinel for INVALID query lanes in the seg-payload join:
+# sorts every invalid lane's post key above all real (seg << 11 | v)
+# keys (seg ids stay < 2^21 - 1; ns never exceeds 2^20)
+SEG_INVALID = (1 << 21) - 1
+
+
+def _seg_of_lane(bounds, ns, M):
+    """Per-lane segment id from the qv-style bounds row (first window
+    lane of each segment, clipped to M): one ns-sized scatter of ones at
+    the interior bounds + a running sum — the same scatter-free
+    expansion as the fused qv gate (no 2^23-wide gather)."""
+    bc = jnp.clip(bounds[:ns + 1], 0, M)
+    d = jnp.zeros(M + 1, jnp.int32).at[bc[1:]].add(1)
+    return jnp.cumsum(d[:M])
+
+
+@lru_cache(maxsize=None)
+def get_qv_join_pre_seg(k, planes_L, ns):
+    """Pallas-join phase 1 with a SEGMENT-ID payload (instead of the
+    lane index): the post phase then restores *grouping* rather than
+    order with one narrow u32 sort of seg<<11|val+1 — measured ~3x
+    cheaper than the u64 idx<<11|val restore + 2^23-lane cumsums
+    (the default qv/triobin/sexchr folds only ever consume per-segment
+    sums and histograms, never per-lane order; -p/-E/chkerr/trioeval
+    need true positions and keep the idx payload)."""
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def pre(codes, bounds, tkeys, tcnt, size):
+        h, valid = ext((codes[0], codes[1], codes[2]))
+        hflat, vflat = h.reshape(-1), valid.reshape(-1)
+        M = hflat.shape[0]
+        cap = tkeys.shape[0]
+        shifted = tkeys << jnp.uint64(1)
+        thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        seg = _seg_of_lane(bounds, ns, M)
+        pay = jnp.where(vflat, seg, SEG_INVALID)
+        prep = _pmerge_prep_core(thi, tlo, tcnt, size, cap, hflat, None,
+                                 vflat, unit_adds=True,
+                                 lo_has_stream_bit=False, payload=pay,
+                                 lookup=True)
+        return prep
+
+    return pre
+
+
+def _seg_sorted_vals(ov, pay, B):
+    """Shared seg-post epilogue head: align the kernel's ascending-key
+    value stream with the seg payload and sort ONE u32 key
+    seg<<11 | val+1 (val+1: absent -> 0, count c -> c+1 <= 1024; the
+    invalid sentinel seg sorts to the tail).  Returns the sorted key."""
+    vals_asc = ov.reshape(-1)[:B]
+    seg_asc = jnp.flip(pay[pay.shape[0] - B:])
+    k2 = ((seg_asc.astype(jnp.uint32) << jnp.uint32(11))
+          | (vals_asc + 1).astype(jnp.uint32))
+    (k2,) = jax.lax.sort((k2,), num_keys=1, is_stable=False)
+    return k2
+
+
+def _seg_edges(k2, ns):
+    """Per-seg boundaries of the sorted seg<<11|v key: edge[j] = first
+    lane of seg j; e2[j] = first lane of seg j with v >= 2 (count>0)."""
+    sj = (jnp.arange(ns + 1, dtype=jnp.uint32) << jnp.uint32(11))
+    ej = jnp.searchsorted(k2, sj).astype(jnp.int32)
+    e2 = jnp.searchsorted(
+        k2, sj[:-1] | jnp.uint32(2)).astype(jnp.int32)
+    return ej, e2
+
+
+def _seg_hist(k2, ej, j, n_bins=1024):
+    """Occurrence histogram of ONE segment from the sorted key: bin 0
+    counts v in {0,1} (absent and count-0, qv.c's max(cnt,0) clamp),
+    bin t counts v == t+1."""
+    base = (j.astype(jnp.uint32) << jnp.uint32(11))
+    probes = base + jnp.arange(2, n_bins + 2, dtype=jnp.uint32)
+    edges = jnp.searchsorted(k2, probes).astype(jnp.int64)
+    start = ej[j].astype(jnp.int64)
+    return jnp.diff(jnp.concatenate([start.reshape(1), edges]))
+
+
+@lru_cache(maxsize=None)
+def get_qv_join_post_seg(k, ns, M, min_frac=0.5):
+    """Pallas-join qv phase 3, seg-payload variant: per-seg totals and
+    the three region histograms via searchsorted probes over the sorted
+    seg<<11|v key + ONE i32 sort for the gated global histogram —
+    replaces the u64 order restore + 2^23-lane cumsum reduction
+    (same outputs as get_qv_join_post without emit_ek)."""
+
+    @jax.jit
+    def post(ov, pay, meta, cnt, c_tot, c_non0, c_hist):
+        k2 = _seg_sorted_vals(ov, pay, M)
+        ej, e2 = _seg_edges(k2, ns)
+        tot = ej[1:] - ej[:-1]
+        non0 = ej[1:] - e2
+        elig = meta[ns + 1:2 * ns + 1] != 0
+        head_end = meta[2 * ns + 1]
+        inc_start = meta[2 * ns + 2]
+        j_inc = meta[2 * ns + 3]
+        gate = (non0.astype(jnp.float64)
+                >= tot.astype(jnp.float64) * min_frac) & elig
+        # region semantics of the fused step's lane coding: the head
+        # region [0, head_end) is exactly seg 0 (head_end = bounds[1]),
+        # the tail region [inc_start, M) exactly seg j_inc
+        has_head = head_end > 0
+        has_inc = inc_start < M
+        hh = jnp.where(has_head, _seg_hist(k2, ej, jnp.int32(0)), 0)
+        hi_ = jnp.where(has_inc, _seg_hist(k2, ej, j_inc), 0)
+        # gated-complete segs exclude the head and tail regions
+        ji = jnp.arange(ns, dtype=jnp.int32)
+        g_hg = gate & ~(has_head & (ji == 0)) & ~(has_inc & (ji == j_inc))
+        # expand to lanes of the SORTED stream: gate deltas at the seg
+        # start offsets (the trailing delta closes the last seg so the
+        # invalid-sentinel tail stays ungated), running sum, histogram
+        # via one narrow i32 sort
+        gi = jnp.concatenate([g_hg.astype(jnp.int32),
+                              jnp.zeros(1, jnp.int32)])
+        gd = gi - jnp.concatenate([jnp.zeros(1, jnp.int32), gi[:-1]])
+        d = jnp.zeros(M + 1, jnp.int32).at[ej].add(gd)
+        glx = jnp.cumsum(d[:M]) > 0
+        v1 = (k2 & jnp.uint32(0x7FF)).astype(jnp.int32)
+        k3 = jnp.where(glx, v1, 2048)
+        k3 = jnp.sort(k3)
+        hedges = jnp.searchsorted(k3, jnp.arange(2, 1026, dtype=jnp.int32))
+        hg = jnp.diff(jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), hedges.astype(jnp.int64)]))
+        cnt, c_tot, c_non0, c_hist = _qv_fold_step(
+            (cnt, c_tot, c_non0, c_hist), meta, hg, hi_, hh, tot, non0,
+            ns, min_frac)
+        return cnt, c_tot, c_non0, c_hist, tot, non0
+
+    return post
+
+
 def join_enabled(k):
     """Shared gate for the Pallas merge-JOIN lookup engine (table
     streamed once per chunk instead of re-sorted with the batch):
