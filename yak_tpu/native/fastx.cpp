@@ -82,29 +82,46 @@ class LineReader {
   public:
     explicit LineReader(gzFile f) : f_(f), buf_(1 << 20) {}
 
-    // Appends one line (without trailing \r?\n) to `out`; false at EOF
-    // when nothing was appended.
+    // Reads one line (without trailing \r?\n) into `out`; false at EOF
+    // when nothing was read.
     bool getline(std::string &out) {
         out.clear();
-        bool any = false;
+        return getline_append(out);
+    }
+
+    // Appends one line to `dst` WITHOUT clearing (the parser's sequence
+    // accumulator path: gz buffer -> dst directly, no intermediate line
+    // string).  Returns false at EOF when nothing was appended.
+    bool getline_append(std::string &dst) {
+        const size_t mark = dst.size();
         for (;;) {
             if (p_ == n_) {
                 n_ = gzread(f_, buf_.data(), (unsigned)buf_.size());
                 p_ = 0;
-                if (n_ <= 0) return any;
+                if (n_ <= 0) return dst.size() > mark;
             }
             char *nl = (char *)memchr(buf_.data() + p_, '\n', n_ - p_);
             if (nl) {
                 long len = nl - (buf_.data() + p_);
-                out.append(buf_.data() + p_, len);
+                dst.append(buf_.data() + p_, len);
                 p_ += len + 1;
-                if (!out.empty() && out.back() == '\r') out.pop_back();
+                if (dst.size() > mark && dst.back() == '\r')
+                    dst.pop_back();
                 return true;
             }
-            out.append(buf_.data() + p_, n_ - p_);
+            dst.append(buf_.data() + p_, n_ - p_);
             p_ = n_;
-            any = true;
         }
+    }
+
+    // First char of the next line without consuming it; -1 at EOF.
+    int peek() {
+        if (p_ == n_) {
+            n_ = gzread(f_, buf_.data(), (unsigned)buf_.size());
+            p_ = 0;
+            if (n_ <= 0) return -1;
+        }
+        return (unsigned char)buf_[p_];
     }
 
   private:
@@ -126,9 +143,10 @@ class FastxParser {
     FastxParser(gzFile f) : lr_(f) {}
 
     bool next(Record &rec) {
-        std::string line;
+        std::string &line = line_;   // member: capacity reused per record
         if (!pending_.empty()) {
             line.swap(pending_);
+            pending_.clear();  // line_ is reused; drop its old contents
         } else {
             for (;;) {
                 if (!lr_.getline(line)) return false;
@@ -138,21 +156,35 @@ class FastxParser {
         }
         bool is_fq = line[0] == '@';
         size_t sp = line.find_first_of(" \t");
-        rec.name = line.substr(1, sp == std::string::npos ? std::string::npos
-                                                          : sp - 1);
+        rec.name.assign(line, 1, (sp == std::string::npos ? line.size()
+                                                          : sp) - 1);
         rec.seq.clear();
+        // Sequence lines append straight from the gz buffer into
+        // rec.seq (one copy, no intermediate line string); peek() on
+        // the first byte classifies header/'+' lines before consuming.
         if (!is_fq) {
-            while (lr_.getline(line)) {
-                if (!line.empty() && (line[0] == '>' || line[0] == '@')) {
-                    pending_.swap(line);
+            for (;;) {
+                int c0 = lr_.peek();
+                if (c0 < 0) break;
+                if (c0 == '>' || c0 == '@') {
+                    lr_.getline(pending_);
                     break;
                 }
-                strip_append(rec.seq, line);
+                size_t mark = rec.seq.size();
+                lr_.getline_append(rec.seq);
+                strip_region(rec.seq, mark);
             }
         } else {
-            while (lr_.getline(line)) {
-                if (!line.empty() && line[0] == '+') break;
-                strip_append(rec.seq, line);
+            for (;;) {
+                int c0 = lr_.peek();
+                if (c0 < 0) break;
+                if (c0 == '+') {
+                    lr_.getline(line);
+                    break;
+                }
+                size_t mark = rec.seq.size();
+                lr_.getline_append(rec.seq);
+                strip_region(rec.seq, mark);
             }
             size_t qlen = 0;
             while (qlen < rec.seq.size()) {
@@ -164,11 +196,17 @@ class FastxParser {
     }
 
   private:
-    static void strip_append(std::string &dst, const std::string &line) {
-        size_t b = 0, e = line.size();
-        while (b < e && isspace((unsigned char)line[b])) b++;
-        while (e > b && isspace((unsigned char)line[e - 1])) e--;
-        dst.append(line, b, e - b);
+    // Trim whitespace at both ends of the just-appended region
+    // [mark, size) — same effect as the old per-line strip_append
+    // (lines already lack \r\n; interior whitespace is untouched in
+    // both versions since trimming is end-anchored per line).
+    static void strip_region(std::string &dst, size_t mark) {
+        size_t e = dst.size();
+        while (e > mark && isspace((unsigned char)dst[e - 1])) e--;
+        dst.resize(e);
+        size_t b = mark;
+        while (b < e && isspace((unsigned char)dst[b])) b++;
+        if (b > mark) dst.erase(mark, b - mark);
     }
     static size_t stripped_len(const std::string &line) {
         size_t b = 0, e = line.size();
@@ -177,7 +215,7 @@ class FastxParser {
         return e - b;
     }
     LineReader lr_;
-    std::string pending_;
+    std::string pending_, line_;
 };
 
 class Stream {
