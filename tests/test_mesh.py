@@ -341,3 +341,56 @@ def test_mesh_trioeval_sexchr_chkerr_match_single(data, tmp_path):
     main_sexchr(o, single, [str(tmp_path / "asm.fa")], out=a)
     main_sexchr(o, sharded, [str(tmp_path / "asm.fa")], out=b)
     assert a.getvalue() == b.getvalue()
+
+
+def test_mesh_triobin_diff_overflow_fallback(data, tmp_path):
+    """-p D-marker budget overflow on a mesh degrades to the
+    per-lane-values host fallback for the chunk (advisor r2: it used to
+    hard-fail with RuntimeError), with identical output."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from yak_tpu.models.trio import TrioOpts, main_triobin
+    from yak_tpu.ops import countstep
+    from yak_tpu.ops.kmers import extract_kmer_hashes
+    from yak_tpu.parallel.mesh import MeshTable
+    from yak_tpu.table import KmerTable
+    import jax.numpy as jnp
+    import io as _io
+
+    rng = np.random.default_rng(77)
+    base = util.make_genome(rng, 12_000)
+    pat, mat = base.copy(), base.copy()
+    for hap in (pat, mat):
+        idx = rng.choice(len(base), 60, replace=False)
+        hap[idx] = (hap[idx] + rng.integers(1, 4, 60)) % 4
+    util.to_fasta(tmp_path / "c2.fa", [pat[:6000], mat[6000:]],
+                  names=["cP", "cM"])
+    single = KmerTable(17)
+    hp, _ = extract_kmer_hashes(jnp.asarray(pat[None, :], jnp.uint8), 17)
+    hm, _ = extract_kmer_hashes(jnp.asarray(mat[None, :], jnp.uint8), 17)
+    flags = {}
+    for h in np.asarray(hp).reshape(-1):
+        flags[int(h)] = flags.get(int(h), 0) | 2
+    for h in np.asarray(hm).reshape(-1):
+        flags[int(h)] = flags.get(int(h), 0) | 8
+    h_np = np.fromiter(flags.keys(), np.uint64, len(flags))
+    c_np = np.fromiter(flags.values(), np.int64, len(flags))
+    o = np.argsort(h_np)
+    single._set_pairs(h_np[o], c_np[o].astype(np.int32))
+    mesh = make_mesh(4)
+    sharded = MeshTable.from_items(mesh, 17, 10, h_np[o], c_np[o])
+
+    opt = TrioOpts(print_diff=True)
+    a = _io.StringIO()
+    main_triobin(opt, single, str(tmp_path / "c2.fa"), out=a,
+                 chunk_cap=1 << 14)
+    orig = countstep.TRIOBIN_MAX_DIFF
+    try:
+        countstep.TRIOBIN_MAX_DIFF = 1    # force overflow in the reducer
+        b = _io.StringIO()
+        main_triobin(opt, sharded, str(tmp_path / "c2.fa"), out=b,
+                     chunk_cap=1 << 14)
+    finally:
+        countstep.TRIOBIN_MAX_DIFF = orig
+    assert a.getvalue() == b.getvalue()
+    assert "D\t" in a.getvalue()

@@ -420,3 +420,30 @@ def test_join_folds_interpret(trio, tmp_path, monkeypatch):
     ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
     assert ours(["chkerr", "-K16384", trio / "pat.yak",
                  trio / "child.fa"]) == ref
+
+
+def test_inspect_two_table_join_interpret(trio, monkeypatch):
+    """Two-table inspect now shares countstep.join_enabled (default-on
+    JOIN on TPU; interpret hook exercises the kernel path on CPU)."""
+    if not os.path.exists(FIXED_ORACLE):
+        pytest.skip("patched oracle not built")
+    monkeypatch.setenv("YAK_TPU_JOIN_INTERPRET", "1")
+    r = subprocess.run([FIXED_ORACLE, "inspect", str(trio / "pat.yak"),
+                        str(trio / "mat.yak")], capture_output=True,
+                       check=True)
+    assert ours(["inspect", trio / "pat.yak", trio / "mat.yak"]) == \
+        r.stdout.decode()
+
+
+def test_cntasm_pre_resize_flag(trio, tmp_path):
+    """-r (pre-resize before merging, main.c:98): accepted, and the
+    merged table is identical — capacity reservation is inherent to the
+    sorted-array merge (table.merge's _ensure_capacity)."""
+    from util import oracle_print_counts
+    run_oracle(["cntasm", "-k21", "-r", "-K2000000", "-o",
+                tmp_path / "r_ref.yak",
+                trio / "pat_reads.fa", trio / "mat_reads.fa"])
+    ours(["cntasm", "-k21", "-r", "-K2000000", "-o", tmp_path / "r_our.yak",
+          trio / "pat_reads.fa", trio / "mat_reads.fa"])
+    assert (oracle_print_counts(str(tmp_path / "r_ref.yak"))
+            == oracle_print_counts(str(tmp_path / "r_our.yak")))

@@ -115,14 +115,36 @@ def main_cntasm(argv):
     if "p" in o: opt.pre = int(o["p"])
     if "K" in o: opt.chunk_size = _parse_num(o["K"])
     if "t" in o: opt.n_thread = int(o["t"])
+    # -r (pre-resize before merging, main.c:98 / htab.c:253-257) asks
+    # the destination hash to reserve union capacity before the merge
+    # walk.  The sorted-array engine ALWAYS does this
+    # (table.merge's _ensure_capacity must hold the union before
+    # merge_batch runs), so -r is accepted and inherently on.
     if not pos:
-        return _usage(["Usage: yak_tpu cntasm [options] <in1.fa> [in2.fa [...]]"])
+        return _usage(["Usage: yak_tpu cntasm [options] <in1.fa> [in2.fa [...]]",
+                       "Options:",
+                       f"  -k INT     k-mer size [{opt.k}]",
+                       f"  -c INT     min count [{min_cnt}]",
+                       f"  -x INT     max count [{max_cnt}]",
+                       f"  -p INT     prefix length [{opt.pre}]",
+                       "  -r         resize before merging; use if merging is slow",
+                       f"  -t INT     number of worker threads [{opt.n_thread}]",
+                       f"  -e INT     exclude a k-mer if absent from INT samples [{max_out}]",
+                       f"  -s INT     shrink the hash table every INT samples [{check_n}]",
+                       "  -K INT     chunk size [1.9g]",
+                       "  -i FILE    input k-mer dump []",
+                       "  -o FILE    output k-mer dump []",
+                       "Note: if input and output file names are identical, input is overwritten"])
     if opt.k >= 32:
         print("ERROR: -k must be <=31", file=sys.stderr)
         return 1
     h = None
     if "i" in o:
-        h = KmerTable.restore(o["i"])
+        try:
+            h = KmerTable.restore(o["i"])
+        except (OSError, ValueError):
+            print(f"WARNING: failed to read {o['i']}. Continue anyway",
+                  file=sys.stderr)
     for i, fn in enumerate(pos):
         h1 = count_file(fn, opt)
         if h is None:
@@ -321,8 +343,20 @@ def main(argv=None):
         print(f"[E::main] unknown command", file=sys.stderr)
         return 1
     from yak_tpu.utils import maybe_profile
-    with maybe_profile():
-        ret = _COMMANDS[cmd](argv[1:])
+    try:
+        with maybe_profile():
+            ret = _COMMANDS[cmd](argv[1:])
+    except FileNotFoundError as e:
+        # reference-style clean failure (main.c:82,267: "ERROR: failed
+        # to load ..."), not a Python traceback
+        print(f"ERROR: failed to open file "
+              f"'{e.filename or e}'", file=sys.stderr)
+        return 1
+    except (OSError, ValueError) as e:
+        # bad magic / truncated dump / wrong counter bits
+        # (htab.c:424-434 prints and returns 0; callers exit 1)
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
     if ret == 0:
         ru = resource.getrusage(resource.RUSAGE_SELF)
         cpu = ru.ru_utime + ru.ru_stime

@@ -101,7 +101,13 @@ def detect_periodic_meta(packed):
     would be wrong for N-bearing records, hence the pnn probe below."""
     rl, rs, rt = packed.rec_len, packed.rec_start, packed.rec_take
     m = len(rl)
-    if m == 0:
+    if m <= 1:
+        # A single record trivially satisfies the layout test with
+        # R = its full length, so every N-free contig starting at a
+        # chunk boundary would key a FRESH ('periodic', L, R) compile
+        # of the big fused step (minutes each through the tunnel).
+        # Periodicity buys nothing without separators; use the general
+        # 3-plane path.
         return None
     R = int(rl[0])
     if R < 1:

@@ -16,7 +16,6 @@ size; only the second table is device-resident.  Batches are padded to
 one fixed shape so the sorted-join lookup compiles once.
 """
 
-import os
 import sys
 
 import jax.numpy as jnp
@@ -51,15 +50,11 @@ def main_inspect(fn1, fn2=None, max_cnt=20, fpr=0.00004, out=None,
     hist = ch.hist()
     ch.flush()
     # Pallas merge-JOIN on TPU (table streamed once per batch, only the
-    # batch sorted) behind the same gate as the qv join; XLA sorted join
-    # otherwise.
-    use_join = False
-    if ch.k <= 31 and os.environ.get("YAK_TPU_JOIN", "0") == "1":
-        import jax
-
-        from yak_tpu.ops import pallas_compact
-        use_join = (pallas_compact.enabled()
-                    and jax.default_backend() == "tpu")
+    # batch sorted) behind the same gate as every other workload
+    # (default ON on TPU; YAK_TPU_JOIN=0 disables,
+    # YAK_TPU_JOIN_INTERPRET=1 exercises it on CPU).
+    from yak_tpu.ops.countstep import join_enabled
+    use_join, join_interp = join_enabled(ch.k)
 
     tot = np.zeros(YAK_N_COUNTS, np.int64)
     cnt = np.zeros((YAK_N_COUNTS, YAK_N_COUNTS), np.int64)
@@ -74,7 +69,8 @@ def main_inspect(fn1, fn2=None, max_cnt=20, fpr=0.00004, out=None,
         if use_join:
             from yak_tpu.ops.countstep import lookup_pallas
             r = np.asarray(lookup_pallas(ch.keys, ch.cnt, ch.size,
-                                         h, valid))[:n]
+                                         h, valid,
+                                         interpret=join_interp))[:n]
         else:
             r = np.asarray(ch.lookup_hashes(h, valid))[:n]
         c1 = np.maximum(r, 0)

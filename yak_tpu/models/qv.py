@@ -14,6 +14,7 @@ import numpy as np
 
 from yak_tpu import YAK_N_COUNTS
 from yak_tpu.models.scan import scan_file, NO_KMER
+from yak_tpu.utils import retry_transient
 
 _Q = 4.3429448190325175  # 10 / ln 10
 
@@ -391,56 +392,76 @@ def _run_qv_fused(opt, fn, table, out):
         # passes, not the u64 restore sort — so default OFF; kept as a
         # correctness-tested alternative for future post work.
         use_seg = os.environ.get("YAK_TPU_QV_SEG", "0") == "1"
-        if use_join and use_seg and not want_ek:
-            from yak_tpu.ops.countstep import (get_qv_join_post_seg,
-                                               get_qv_join_pre_seg)
-            Mw = chunk - k + 1
-            meta_j = jnp.asarray(meta)
-            pre = get_qv_join_pre_seg(k, planes_key, ns)
-            *args8, pay = pre(arg, meta_j, table.keys, table.cnt,
-                              table.size)
-            kout = pallas_merge.merge_reduce(
-                *args8, Na=table.cap, Nb=Mw, lookup=True,
-                interpret=join_interp)
-            post = get_qv_join_post_seg(k, ns, Mw,
-                                        min_frac=float(opt.min_frac))
-            outs = post(kout[2], pay, meta_j,
-                        cnt_d, c_tot, c_non0, c_hist)
-        elif use_join:
-            Mw = chunk - k + 1
-            pre = get_qv_join_pre(k, planes_key)
-            *args8, pay, vflat = pre(arg, table.keys, table.cnt,
-                                     table.size)
-            kout = pallas_merge.merge_reduce(
-                *args8, Na=table.cap, Nb=Mw, lookup=True,
-                interpret=join_interp)
-            post = get_qv_join_post(k, ns, Mw,
-                                    min_frac=float(opt.min_frac),
-                                    emit_ek=want_ek)
-            outs = post(kout[2], pay, vflat, jnp.asarray(meta),
-                        cnt_d, c_tot, c_non0, c_hist)
-        else:
-            step = get_qv_step(k, ns, planes_L=planes_key,
-                               min_frac=float(opt.min_frac),
-                               emit_ek=want_ek)
-            outs = step(arg, jnp.asarray(meta),
-                        cnt_d, c_tot, c_non0, c_hist,
-                        table.keys, table.cnt, table.size)
+        # dispatch closes over the PRE-step fold state, so a transient
+        # device fault at any of the per-chunk d2h fetches below can
+        # re-dispatch and retry (retry_transient; the fold rebinds only
+        # after the fetches succeed)
+        st = (cnt_d, c_tot, c_non0, c_hist)
+        h = {}
+
+        def dispatch():
+            if use_join and use_seg and not want_ek:
+                from yak_tpu.ops.countstep import (get_qv_join_post_seg,
+                                                   get_qv_join_pre_seg)
+                Mw = chunk - k + 1
+                meta_j = jnp.asarray(meta)
+                pre = get_qv_join_pre_seg(k, planes_key, ns)
+                *args8, pay = pre(arg, meta_j, table.keys, table.cnt,
+                                  table.size)
+                kout = pallas_merge.merge_reduce(
+                    *args8, Na=table.cap, Nb=Mw, lookup=True,
+                    interpret=join_interp)
+                post = get_qv_join_post_seg(k, ns, Mw,
+                                            min_frac=float(opt.min_frac))
+                h["o"] = post(kout[2], pay, meta_j, *st)
+            elif use_join:
+                Mw = chunk - k + 1
+                pre = get_qv_join_pre(k, planes_key)
+                *args8, pay, vflat = pre(arg, table.keys, table.cnt,
+                                         table.size)
+                kout = pallas_merge.merge_reduce(
+                    *args8, Na=table.cap, Nb=Mw, lookup=True,
+                    interpret=join_interp)
+                post = get_qv_join_post(k, ns, Mw,
+                                        min_frac=float(opt.min_frac),
+                                        emit_ek=want_ek)
+                h["o"] = post(kout[2], pay, vflat, jnp.asarray(meta),
+                              *st)
+            else:
+                step = get_qv_step(k, ns, planes_L=planes_key,
+                                   min_frac=float(opt.min_frac),
+                                   emit_ek=want_ek)
+                outs = step(arg, jnp.asarray(meta), *st,
+                            table.keys, table.cnt, table.size)
+                h["o"] = outs
+
+        dispatch()
+        if opt.print_each or want_ek:
+            def fetch():
+                o = h["o"]
+                r = [np.asarray(o[4]), np.asarray(o[5])]
+                if want_ek:
+                    r += [int(np.asarray(o[7])), np.asarray(o[6])]
+                return r
+
+            fetched = retry_transient(fetch, redo=dispatch)
+        outs = h["o"]
         cnt_d, c_tot, c_non0, c_hist, tot_d, non0_d = outs[:6]
 
         ek_txt = None
         if want_ek:
             # sparse 0-count markers -> per-seq EK rows (qv.c:62-64)
             from yak_tpu.ops.countstep import QV_MAX_EK, get_scan_step
-            nz = int(outs[7])
+            nz = fetched[2]
             if nz > QV_MAX_EK:
                 sstep = get_scan_step(k, planes_L=planes_key)
-                vals = np.asarray(sstep(arg, table.keys, table.cnt,
-                                        table.size)).reshape(-1)
+                vals = retry_transient(
+                    lambda: np.asarray(sstep(arg, table.keys, table.cnt,
+                                             table.size))).reshape(-1)
                 zl = np.flatnonzero((vals != -2) & (vals <= 0)
                                     ).astype(np.int64)
             else:
-                zl = np.asarray(outs[6])[:nz].astype(np.int64)
+                zl = fetched[3][:nz].astype(np.int64)
             starts_np = np.minimum(packed.rec_start, M)
             zseg = np.searchsorted(starts_np, zl, side="right") - 1
             zb = np.concatenate(
@@ -456,10 +477,10 @@ def _run_qv_fused(opt, fn, table, out):
 
         if opt.print_each or want_ek:
             # host mirror of totals (sync per chunk; -p/-E modes only)
-            _qv_out_update(packed, info, np.asarray(tot_d),
-                           np.asarray(non0_d), h_carry, blocks,
-                           opt.min_len, k, opt.print_each,
-                           ek_txt=ek_txt, carry_ek=carry_ek)
+            _qv_out_update(packed, info, fetched[0], fetched[1],
+                           h_carry, blocks, opt.min_len, k,
+                           opt.print_each, ek_txt=ek_txt,
+                           carry_ek=carry_ek)
 
         # per-chunk progress in the reference shape (qv.c:104-106)
         prog.line(f"processed {nseq} sequences")

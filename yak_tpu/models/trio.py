@@ -309,15 +309,22 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     def consume(item):
         packed, arg, planes_key, h, dispatch = item
         nseq = len(packed.rec_gid)
-        # stateless per-chunk read: transient faults re-dispatch
-        S, sc_np = retry_transient(
-            lambda: (np.asarray(h["o"][0]), np.asarray(h["o"][1])),
-            redo=dispatch)
-        outs = h["o"]
+        # stateless per-chunk read: transient faults re-dispatch.  ALL
+        # d2h fetches happen inside the retry closure — a fault at the
+        # diff-marker read must re-dispatch too.
+        def fetch():
+            o = h["o"]
+            r = [np.asarray(o[0]), np.asarray(o[1])]
+            if emit_diff:
+                r += [int(np.asarray(o[3])), np.asarray(o[2])]
+            return r
+
+        fetched = retry_transient(fetch, redo=dispatch)
+        S, sc_np = fetched[0], fetched[1]
         S = S[:, :nseq].T.astype(np.int64)
         d_txt = [""] * nseq
         if emit_diff:
-            nd = int(outs[3])
+            nd = fetched[2]
             if nd > TRIOBIN_MAX_DIFF:
                 # marker overflow: per-position fallback for this chunk
                 from yak_tpu.ops.countstep import get_scan_step
@@ -329,7 +336,7 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
                 dlanes = np.flatnonzero(dm).astype(np.int64)
                 dflag = (flag2[dm] & 15).astype(np.int64)
             else:
-                dk = np.asarray(outs[2])[:nd]
+                dk = fetched[3][:nd]
                 dlanes = (dk >> np.uint64(4)).astype(np.int64)
                 dflag = (dk & np.uint64(15)).astype(np.int64)
             d_txt = fold.build_d_txt(packed, dlanes, dflag, M)
@@ -433,12 +440,22 @@ def _main_triobin_fused_mesh(opt, ch, seq_fn, out, chunk_cap,
             if emit_diff:
                 nd = int(dn_np[i])
                 if nd > len(dk_np[i]):
-                    raise RuntimeError(
-                        "mesh triobin -p marker overflow; lower -K")
-                dk = dk_np[i][:nd]
-                d_txt = fold.build_d_txt(
-                    pck, (dk >> np.uint64(4)).astype(np.int64),
-                    (dk & np.uint64(15)).astype(np.int64), M)
+                    # marker-budget overflow: recompute this chunk's
+                    # diff rows from the full per-lane values (already
+                    # on device from the routed lookup), mirroring the
+                    # single-chip per-position fallback above
+                    v_np = np.asarray(vals[i]).reshape(-1)[:M]
+                    h_np = np.asarray(hasw[i]).reshape(-1)[:M]
+                    fl = np.where(h_np, np.maximum(v_np, 0),
+                                  0).astype(np.int32)
+                    dm = h_np.astype(bool) & ((fl & 3) != ((fl >> 2) & 3))
+                    dlanes = np.flatnonzero(dm).astype(np.int64)
+                    dflag = (fl[dm] & 15).astype(np.int64)
+                else:
+                    dk = dk_np[i][:nd]
+                    dlanes = (dk >> np.uint64(4)).astype(np.int64)
+                    dflag = (dk & np.uint64(15)).astype(np.int64)
+                d_txt = fold.build_d_txt(pck, dlanes, dflag, M)
             fold.chunk(pck, S, sc_np[i], d_txt, M)
 
     group = []
