@@ -119,3 +119,29 @@ def test_pmerge_overflow_replay_keeps_cap(monkeypatch):
     assert len(h) == len(href) > (1 << 14)
     np.testing.assert_array_equal(h, href)
     np.testing.assert_array_equal(cnt, cref)
+
+
+def test_psort_engine_parity_and_replay(monkeypatch):
+    """The psort engine (Pallas bitonic batch sort + in-dispatch
+    merge-path search + merge-reduce, table._run_step's 4-dispatch
+    split) produces the identical table to the XLA engine, including
+    an overflow replay through the u64 twin step.  Interpret mode on
+    CPU."""
+    rng = np.random.default_rng(77)
+    k = 21
+    chunks = [rng.integers(0, 4, size=8192).astype(np.uint8)
+              for _ in range(3)]
+
+    t_ref = KmerTable(k, cap_log2=14, cap_hinted=True, flush_lanes=8192)
+    for c in chunks:
+        t_ref.insert_codes(c)
+    href, cref = t_ref.items()
+
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    t = KmerTable(k, cap_log2=14, cap_hinted=True, flush_lanes=8192)
+    for c in chunks:
+        t.insert_codes(c)
+    h, cnt = t.items()
+    assert t.cap > (1 << 14)        # the replay really grew
+    np.testing.assert_array_equal(h, href)
+    np.testing.assert_array_equal(cnt, cref)

@@ -307,6 +307,87 @@ def get_count_step_pmerge_planes(k, cap, bloom_cfg=None, planes_L=None):
     return step_bf
 
 
+def _xs_planes(h, valid, lookup=False):
+    """Complement-packed sort keys as UNSORTED u32 planes for the Pallas
+    bitonic sort (ops/pallas_sort): same packed total order as
+    _pmerge_prep_core's xs, padded to a power of two (>= 2^14, the merge
+    kernel's minimum physical window).  Pads are 0x..00, which sort to
+    the ascending front = the descending E's INF front pads after the
+    sort's final complement (neg_keys=True)."""
+    B = h.shape[0]
+    inval = jnp.uint64(2) if lookup else jnp.uint64(0)
+    xs = jnp.where(valid, ~((h << jnp.uint64(1)) | jnp.uint64(1)),
+                   inval)
+    Bpad = max(1 << 14, 1 << max(B - 1, 1).bit_length())
+    if Bpad != B:
+        xs = jnp.concatenate([xs, jnp.zeros(Bpad - B, jnp.uint64)])
+    return ((xs >> jnp.uint64(32)).astype(jnp.uint32),
+            (xs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+
+
+@lru_cache(maxsize=None)
+def get_count_presort_step(k, planes_L=None):
+    """Pre-jit of the psort engine (u64 table): fused extract +
+    complement-pack; the batch sort itself runs in the Pallas bitonic
+    kernels (ops/pallas_sort) and the merge-path search moves into the
+    merge dispatch (pallas_merge.merge_reduce_presorted), so this jit
+    has no lax.sort at all."""
+    assert k <= 31
+    ext = _extractor(k, planes_L, rmajor=True)
+
+    @jax.jit
+    def step(codes, tkeys, tcnt, size):
+        h, valid = ext(codes)
+        xhi, xlo = _xs_planes(h.reshape(-1), valid.reshape(-1))
+        shifted = tkeys << jnp.uint64(1)
+        thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        size_s = jnp.minimum(size, tkeys.shape[0]).reshape(1).astype(
+            jnp.int32)
+        return xhi, xlo, thi, tlo, tcnt, size_s
+
+    _STEP_CFG[step] = (k, None, planes_L)
+    return step
+
+
+@lru_cache(maxsize=None)
+def get_count_presort_step_planes(k, cap, planes_L=None):
+    """get_count_presort_step against a plane-resident table (previous
+    fold's raw merge-reduce outputs pass through untouched; the kernel
+    and the in-dispatch search both clear the stream bit)."""
+    assert k <= 31
+    ext = _extractor(k, planes_L, rmajor=True)
+
+    @jax.jit
+    def step(codes, ohi, olo, ov, size11):
+        h, valid = ext(codes)
+        xhi, xlo = _xs_planes(h.reshape(-1), valid.reshape(-1))
+        size_s = jnp.minimum(size11[0, 0], cap).reshape(1).astype(
+            jnp.int32)
+        return xhi, xlo, ohi, olo, ov, size_s
+
+    _STEP_CFG[step] = (k, None, planes_L)
+    return step
+
+
+def psort_enabled(packable):
+    """Gate for the Pallas bitonic-sort count engine: default ON on TPU
+    (YAK_TPU_PSORT=0 disables); YAK_TPU_PSORT_INTERPRET=1 runs the sort
+    and merge kernels in interpret mode (CPU tests)."""
+    import os
+
+    if not packable:
+        return False, False
+    if os.environ.get("YAK_TPU_PSORT_INTERPRET", "0") == "1":
+        return True, True
+    if os.environ.get("YAK_TPU_PSORT", "1") == "0":
+        return False, False
+    from yak_tpu.ops import pallas_compact
+
+    return (pallas_compact.enabled()
+            and jax.default_backend() == "tpu"), False
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def pmerge_overflow(size11, cap):
     """Tiny fused check: did the last merge exceed the table capacity."""

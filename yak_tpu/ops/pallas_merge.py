@@ -422,6 +422,84 @@ def _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create, unit,
     return jax.jit(fn)
 
 
+def _search32(thi_f, tlo_f, size, cap, Ehi, Elo, B, Bpad):
+    """The merge-path diagonal search of countstep._pmerge_prep_core in
+    pure u32-pair arithmetic, so it can run INSIDE the x64-disabled
+    merge dispatch against already-sorted E planes (the Pallas bitonic
+    sort emits them).  Table lanes are raw packed (hash<<1|stream):
+    bit 0 of the lo plane is cleared unconditionally (u64-table preps
+    emit stream=0 anyway)."""
+    grid = (cap + B) // T + 1
+    D = jnp.minimum(jnp.arange(grid, dtype=jnp.int32) * T, cap + B)
+    lo_b = jnp.maximum(jnp.int32(0), D - B)
+    hi_b = jnp.minimum(D, jnp.int32(cap))
+    iters = max(cap, 1).bit_length() + 1
+    inf = jnp.uint32(0xFFFFFFFF)
+    for _ in range(iters):
+        m = (lo_b + hi_b) // 2
+        mc = jnp.clip(m, 0, cap - 1)
+        oob_a = m >= size
+        Ah = jnp.where(oob_a, inf, thi_f[mc])
+        Al = jnp.where(oob_a, inf,
+                       tlo_f[mc] & jnp.uint32(0xFFFFFFFE))
+        Bj = D - m - 1
+        idx = jnp.clip(Bpad - 1 - Bj, 0, Bpad - 1)
+        under = Bj < 0
+        over = Bj >= B
+        Bh = jnp.where(under, jnp.uint32(0),
+                       jnp.where(over, inf, Ehi[idx]))
+        Bl = jnp.where(under, jnp.uint32(0),
+                       jnp.where(over, inf, Elo[idx]))
+        pred = _less(Ah, Al, Bh, Bl)
+        active = lo_b < hi_b
+        lo_b = jnp.where(active & pred, m + 1, lo_b)
+        hi_b = jnp.where(active & ~pred, m, hi_b)
+    return lo_b
+
+
+@lru_cache(maxsize=None)
+def _merge_call_presorted(Na, Nb_real, Nb_pad, a_rows, b_rows, create,
+                          unit, interpret, lookup):
+    inner = _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create,
+                        unit, interpret, lookup=lookup)
+
+    def fn(size_s, thi, tlo, tw, bhi, blo, bw=None):
+        a_starts = _search32(thi.reshape(-1), tlo.reshape(-1),
+                             size_s[0], Na, bhi.reshape(-1),
+                             blo.reshape(-1), Nb_real, Nb_pad)
+        args = (a_starts, size_s, thi, tlo, tw, bhi, blo)
+        if not unit:
+            args += (bw,)
+        return inner(*args)
+
+    return jax.jit(fn)
+
+
+def merge_reduce_presorted(size_s, thi, tlo, tw, bhi, blo, bw=None,
+                           Na=None, Nb=None, create=True,
+                           interpret=False, lookup=False):
+    """merge_reduce for a batch ALREADY in descending-E plane form
+    (pallas_sort.sort_planes(..., neg_keys=True)): computes the
+    merge-path diagonal splits in-dispatch (u32 pairs, no x64) and runs
+    the kernel.  Must be called OUTSIDE jit (flips the x64 flag)."""
+    def rows(x):
+        n = x.shape[0] * x.shape[1] if x.ndim == 2 else x.shape[0]
+        return n // 128
+    a_rows, b_rows = rows(thi), rows(bhi)
+    unit = bw is None
+    x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        call = _merge_call_presorted(Na, Nb, b_rows * 128, a_rows,
+                                     b_rows, create, unit, interpret,
+                                     lookup)
+        if unit:
+            return call(size_s, thi, tlo, tw, bhi, blo)
+        return call(size_s, thi, tlo, tw, bhi, blo, bw)
+    finally:
+        jax.config.update("jax_enable_x64", x64)
+
+
 def merge_reduce(a_starts, size_s, thi, tlo, tw, bhi, blo, bw, Na,
                  Nb, create=True, interpret=False, lookup=False):
     """Run the merge-reduce kernel on prepped planes

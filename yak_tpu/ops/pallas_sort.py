@@ -1,0 +1,252 @@
+"""Pallas hierarchical bitonic sort: the batch sort, off the HBM wall.
+
+XLA's `lax.sort` on TPU is a bitonic network that runs EVERY
+compare-exchange stage as its own HBM pass: for the count path's
+2^23-lane u64 batch that is ~276 passes x 128MB r+w = ~35GB, i.e. the
+measured ~45ms at v5e HBM speed (~60% of count device time, CLAUDE.md).
+The network's arithmetic is trivial -- the cost is memory traffic.
+
+This kernel keeps every stage whose exchange distance fits inside a
+VMEM window ON CHIP: lanes are tiled into windows of W = 2^17; one
+windowed pass loads a window once and runs ALL of its in-window stages
+back-to-back (the initial pass runs the full local network, levels
+1..log2 W = 153 stages in one load/store).  Only stages with distance
+>= W touch HBM individually, and those are rare: for n = 2^23 there are
+just 21 cross-window exchange passes + 6 windowed tail passes + 1 local
+pass = 28 HBM round trips instead of ~276.  The VPU work is unchanged
+(the bitonic network is what it is) but it runs from VMEM, so the sort
+drops from HBM-bound ~45ms toward the ~10ms VPU floor.
+
+Layout contract (shared with ops/pallas_merge): no 64-bit vectors in
+Mosaic, so keys travel as hi/lo u32 planes; any extra planes (payloads,
+add weights) ride along under the same take masks.  All window blocks
+are 128-row aligned and each program writes only its own block, so none
+of pallas_compact's pending-block/alignment machinery is needed --
+plain BlockSpec pipelining does the DMA.
+
+Bitonic indexing: level k (block size 2^k pairs of sorted runs), stage
+j (exchange distance d = 2^j), partner of lane i is i ^ d, direction of
+lane i is bit k of its GLOBAL index (ascending iff clear) -- all masks
+fall out of one global flat iota, valid for windowed and cross-window
+passes alike because window bases are W-aligned.
+
+The caller pads lanes to a power of two with 0x...00 keys; zeros sort
+to the FRONT ascending, which after the optional final complement
+(negate_keys) is exactly the merge kernel's "descending E with INF
+front pads" contract (ops/pallas_merge.py docstring).
+
+Grids MIS-LOWER under jax_enable_x64 on this toolchain (CLAUDE.md), so
+`sort_planes` flips the flag around the whole jitted pass chain, like
+pallas_merge.merge_reduce.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = np.uint32(0xFFFFFFFF)
+
+W_LANES = 1 << 17       # window lanes: levels 1..17 run in one VMEM pass
+
+
+def _flat_iota(shape):
+    return (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * shape[1]
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+
+
+def _less(h1, l1, h2, l2):
+    return (h1 < h2) | ((h1 == h2) & (l1 < l2))
+
+
+def _xroll(x, d):
+    """y[f] = x[f ^ d] over the flat index of an (R, 128) tile, for a
+    static power-of-two d.  XOR never carries, so d < 128 stays within
+    a row (lane roll) and d >= 128 is a pure row roll; the circular
+    wrap of each roll is only ever read by lanes whose partner is
+    in-range, so no masking is needed."""
+    R = x.shape[0]
+    if d < 128:
+        cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        fwd = pltpu.roll(x, 128 - d, axis=1)    # y[c] = x[c + d]
+        bwd = pltpu.roll(x, d, axis=1)          # y[c] = x[c - d]
+        return jnp.where((cols & d) == 0, fwd, bwd)
+    q = d // 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    fwd = pltpu.roll(x, R - q, axis=0)          # y[r] = x[r + q]
+    bwd = pltpu.roll(x, q, axis=0)              # y[r] = x[r - q]
+    return jnp.where((rows & q) == 0, fwd, bwd)
+
+
+def _stage(planes, d, dirm, gf):
+    """One compare-exchange stage at distance d.  dirm: descending-block
+    mask (bit k of global index set); gf: global flat index tile."""
+    h, lo = planes[0], planes[1]
+    partners = [_xroll(p, d) for p in planes]
+    ph, plo = partners[0], partners[1]
+    less_po = _less(ph, plo, h, lo)       # partner < own
+    less_op = _less(h, lo, ph, plo)
+    bitset = (gf & d) != 0
+    # the low lane of a pair keeps the min in an ascending block; ties
+    # keep self (both strict compares false) -- consistent everywhere
+    want_min = ~(bitset ^ dirm)
+    take = (want_min & less_po) | (~want_min & less_op)
+    return [jnp.where(take, pp, p) for p, pp in zip(planes, partners)]
+
+
+def _windowed_kernel(nplanes, W, levels, neg_keys):
+    """Kernel running, per window block, the stage list
+    `levels = [(k, j_hi), ...]` (stages j_hi..0 of each level k);
+    neg_keys complements the two key planes on the final write (turning
+    ascending xs into the merge kernel's descending E for free)."""
+    WR = W // 128
+
+    def kernel(*refs):
+        ins, outs = refs[:nplanes], refs[nplanes:]
+        w = pl.program_id(0)
+        base = w * W
+        fi = _flat_iota((WR, 128))
+        gf = fi + base
+        planes = [r[:] for r in ins]
+        for (k, j_hi) in levels:
+            dirm = (gf & (1 << k)) != 0
+            for j in range(j_hi, -1, -1):
+                planes = _stage(planes, 1 << j, dirm, gf)
+        for idx in range(nplanes):
+            val = planes[idx]
+            if neg_keys and idx < 2:
+                val = ~val
+            outs[idx][:] = val
+
+    return kernel
+
+
+def _exchange_kernel(nplanes, W, k, j):
+    """One cross-window stage (d = 2^j >= W): program w exchanges its
+    window elementwise with window w ^ (d // W) and writes only its own
+    block (both sides read both blocks; no aliasing, no races)."""
+    WR = W // 128
+    d = 1 << j
+
+    def kernel(*refs):
+        mine = refs[:nplanes]
+        other = refs[nplanes:2 * nplanes]
+        outs = refs[2 * nplanes:]
+        w = pl.program_id(0)
+        base = w * W
+        gf = _flat_iota((WR, 128)) + base
+        dirm = (gf & (1 << k)) != 0
+        bitset = (gf & d) != 0
+        want_min = ~(bitset ^ dirm)
+        h, lo = mine[0][:], mine[1][:]
+        oh, olo = other[0][:], other[1][:]
+        less_po = _less(oh, olo, h, lo)
+        less_op = _less(h, lo, oh, olo)
+        take = (want_min & less_po) | (~want_min & less_op)
+        for idx in range(nplanes):
+            outs[idx][:] = jnp.where(take, other[idx][:], mine[idx][:])
+
+    return kernel
+
+
+def _win_call(nplanes, dtypes, W, nwin, levels, neg_keys, interpret):
+    WR = W // 128
+    spec = pl.BlockSpec((WR, 128), lambda w: (w, 0),
+                        memory_space=pltpu.VMEM)
+
+    def fn(planes):
+        return pl.pallas_call(
+            _windowed_kernel(nplanes, W, levels, neg_keys),
+            grid=(nwin,),
+            in_specs=[spec] * nplanes,
+            out_specs=[spec] * nplanes,
+            out_shape=[jax.ShapeDtypeStruct((nwin * WR, 128), dt)
+                       for dt in dtypes],
+            interpret=interpret,
+        )(*planes)
+
+    return fn
+
+
+def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret):
+    WR = W // 128
+    m = (1 << j) // W
+    own = pl.BlockSpec((WR, 128), lambda w: (w, 0),
+                       memory_space=pltpu.VMEM)
+    par = pl.BlockSpec((WR, 128), lambda w: (w ^ m, 0),
+                       memory_space=pltpu.VMEM)
+
+    def fn(planes):
+        return pl.pallas_call(
+            _exchange_kernel(nplanes, W, k, j),
+            grid=(nwin,),
+            in_specs=[own] * nplanes + [par] * nplanes,
+            out_specs=[own] * nplanes,
+            out_shape=[jax.ShapeDtypeStruct((nwin * WR, 128), dt)
+                       for dt in dtypes],
+            interpret=interpret,
+        )(*planes, *planes)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret):
+    """Jitted pass chain for a static padded lane count (power of two,
+    >= 1024)."""
+    W = min(window, Bpad)
+    nwin = Bpad // W
+    wlog = W.bit_length() - 1
+    blog = Bpad.bit_length() - 1
+
+    passes = []
+    # local pass: the full in-window network, levels 1..wlog
+    local_levels = tuple((k, k - 1) for k in range(1, wlog + 1))
+    passes.append(("win", local_levels, blog == wlog))
+    for k in range(wlog + 1, blog + 1):
+        for j in range(k - 1, wlog - 1, -1):
+            passes.append(("ex", k, j))
+        passes.append(("win", ((k, wlog - 1),), k == blog))
+
+    calls = []
+    for p in passes:
+        if p[0] == "win":
+            calls.append(_win_call(nplanes, dtypes, W, nwin, p[1],
+                                   neg_keys and p[2], interpret))
+        else:
+            calls.append(_ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
+                                  interpret))
+
+    def fn(*planes):
+        ps = [x.reshape(Bpad // 128, 128) for x in planes]
+        for call in calls:
+            ps = call(ps)
+        return tuple(x.reshape(-1) for x in ps)
+
+    return jax.jit(fn)
+
+
+def sort_planes(hi, lo, *extra, neg_keys=False, window=W_LANES,
+                interpret=False):
+    """Sort B lanes of u64 keys given as u32 hi/lo planes ascending;
+    `extra` planes ride along.  The input length must be a power of two
+    >= 1024 (callers pad with 0x..00 keys, which sort to the front --
+    see module docstring).  neg_keys=True complements the key planes on
+    the final pass, returning the DESCENDING complement order
+    (ops/pallas_merge's E contract) at no extra cost.  Must be called
+    OUTSIDE jit (flips the x64 flag)."""
+    planes = (hi, lo) + tuple(extra)
+    B = hi.shape[0]
+    assert B >= 1024 and (B & (B - 1)) == 0, B
+    dtypes = tuple(p.dtype.name for p in planes)
+    x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        fn = _sort_fn(B, len(planes), dtypes, neg_keys, window,
+                      interpret)
+        return fn(*planes)
+    finally:
+        jax.config.update("jax_enable_x64", x64)

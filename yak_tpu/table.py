@@ -204,7 +204,15 @@ class KmerTable:
         if use_bf:
             bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
         mode = self._pallas_mode(use_bf)
-        if mode == "pmerge":
+        if mode == "psort":
+            from yak_tpu.ops.countstep import (
+                get_count_presort_step, get_count_presort_step_planes)
+            if self._plane_state is not None:
+                step = get_count_presort_step_planes(
+                    self.k, self.cap, planes_L=planes_L)
+            else:
+                step = get_count_presort_step(self.k, planes_L=planes_L)
+        elif mode == "pmerge":
             if self._plane_state is not None:
                 step = get_count_step_pmerge_planes(
                     self.k, self.cap, bloom_cfg, planes_L=planes_L)
@@ -226,15 +234,22 @@ class KmerTable:
     def _pallas_mode(self, use_bf):
         """Pick the merge engine for this fold.
 
-        "pmerge": Pallas merge-reduce (ops/pallas_merge) — batch-only
-          sort + one streaming kernel; the non-Bloom create/update hot
-          path on real TPUs.
+        "psort": Pallas bitonic batch sort (ops/pallas_sort) + in-
+          dispatch merge-path search + Pallas merge-reduce — NO XLA
+          sort anywhere in the fold; the non-Bloom hot path on TPU.
+        "pmerge": XLA batch sort + Pallas merge-reduce (the Bloom
+          pmerge path, and YAK_TPU_PSORT=0).
         "compact": XLA merge sort + Pallas streaming compactor — the
           Bloom path (dedup/gate reshape the batch inside the step).
         "xla": pure XLA (CPU tests, k >= 32 full-width hashes).
         """
         import os
 
+        if (os.environ.get("YAK_TPU_PSORT_INTERPRET", "0") == "1"
+                and self._packable and not use_bf):
+            # test hook: bitonic sort + merge kernels in interpret mode
+            self._interp = True
+            return "psort"
         if (os.environ.get("YAK_TPU_PMERGE_INTERPRET", "0") == "1"
                 and self._packable):
             # test hook: run the full pmerge path with the Pallas kernel
@@ -250,8 +265,10 @@ class KmerTable:
 
         if jax.default_backend() != "tpu":
             return "xla"
-        if forced in ("pmerge", "compact"):
+        if forced in ("pmerge", "compact", "psort"):
             return forced
+        if not use_bf and os.environ.get("YAK_TPU_PSORT", "1") != "0":
+            return "psort"
         return "pmerge"
 
     def _run_step(self, step, codes, state, use_bf, mode):
@@ -271,17 +288,30 @@ class KmerTable:
             G = carg[0].shape[0]
         else:
             carg, (G, L) = codes, codes.shape
-        if mode == "pmerge":
-            if use_bf:
-                *prep, self.bf = step(carg, *targs, bf)
-            else:
-                prep = step(carg, *targs)
+        if mode in ("pmerge", "psort"):
             from yak_tpu.ops.kmers import rmajor_lanes
             B = G * (rmajor_lanes(L) if isinstance(codes, tuple)
                      else L - self.k + 1)
-            out = pallas_merge.merge_reduce(
-                *prep, Na=cap, Nb=B, create=self._pend_create,
-                interpret=getattr(self, "_interp", False))
+            interp = getattr(self, "_interp", False)
+            if mode == "psort":
+                # 4-dispatch split: extract pre-jit -> Pallas bitonic
+                # sort (descending E out) -> in-dispatch diagonal
+                # search + merge-reduce kernel -> (lazy) finalize
+                from yak_tpu.ops import pallas_sort
+                xhi, xlo, thi, tlo, tw, size_s = step(carg, *targs)
+                Ehi, Elo = pallas_sort.sort_planes(
+                    xhi, xlo, neg_keys=True, interpret=interp)
+                out = pallas_merge.merge_reduce_presorted(
+                    size_s, thi, tlo, tw, Ehi, Elo, Na=cap, Nb=B,
+                    create=self._pend_create, interpret=interp)
+            else:
+                if use_bf:
+                    *prep, self.bf = step(carg, *targs, bf)
+                else:
+                    prep = step(carg, *targs)
+                out = pallas_merge.merge_reduce(
+                    *prep, Na=cap, Nb=B, create=self._pend_create,
+                    interpret=interp)
             self._plane_state = out
             return pmerge_overflow(out[3], cap)
         args = (carg,) + targs + ((bf,) if use_bf else ())
@@ -343,9 +373,12 @@ class KmerTable:
 
     def _u64_twin_step(self, step, use_bf, mode):
         """The u64-table variant of a cached plane-table pmerge step."""
-        from yak_tpu.ops.countstep import _STEP_CFG
+        from yak_tpu.ops.countstep import (_STEP_CFG,
+                                           get_count_presort_step)
 
         k, bloom_cfg, planes_L = _STEP_CFG[step]
+        if mode == "psort":
+            return get_count_presort_step(k, planes_L=planes_L)
         return get_count_step_pmerge(k, bloom_cfg, planes_L=planes_L)
 
     def insert_hashes(self, h, valid, create_new=True):
