@@ -447,3 +447,22 @@ def test_cntasm_pre_resize_flag(trio, tmp_path):
           trio / "pat_reads.fa", trio / "mat_reads.fa"])
     assert (oracle_print_counts(str(tmp_path / "r_ref.yak"))
             == oracle_print_counts(str(tmp_path / "r_our.yak")))
+
+
+def test_join_folds_psort_interpret(trio, monkeypatch):
+    """The presorted JOIN (Pallas bitonic query sort + in-dispatch
+    diagonal search) through qv/triobin/chkerr + lookup_pallas:
+    identical stdout to the oracle, interpret mode on CPU."""
+    monkeypatch.setenv("YAK_TPU_JOIN_INTERPRET", "1")
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    ref = run_oracle(["qv", "-t1", "-p", trio / "pat.yak",
+                      trio / "child.fa"])
+    assert ours(["qv", "-p", "-K16000", trio / "pat.yak",
+                 trio / "child.fa"]) == ref
+    ref = run_oracle(["triobin", "-t1", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    assert ours(["triobin", "-K16000", trio / "pat.yak", trio / "mat.yak",
+                 trio / "child.fa"]) == ref
+    ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
+    assert ours(["chkerr", "-K16384", trio / "pat.yak",
+                 trio / "child.fa"]) == ref

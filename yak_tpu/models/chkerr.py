@@ -37,8 +37,7 @@ def main_chkerr(opt, table, seq_fn, out=None):
     from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops.countstep import (CHKERR_MAX_RUNS, get_chkerr_step,
                                        get_chkerr_join_post,
-                                       get_qv_join_pre, join_enabled,
-                                       run_join_lookup)
+                                       join_enabled, run_join_lookup)
 
     out = out or sys.stdout
     k = table.k
@@ -63,8 +62,7 @@ def main_chkerr(opt, table, seq_fn, out=None):
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
-                    table, get_qv_join_pre(k, planes_key), arg, M,
-                    interpret=jinterp)
+                    table, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = get_chkerr_join_post(
                     k, int(opt.min_cnt), M)(ov, pay, vflat)
             else:

@@ -326,8 +326,7 @@ def _run_qv_fused(opt, fn, table, out):
     from yak_tpu.io.chunks import ChunkSource
     from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops import pallas_compact, pallas_merge
-    from yak_tpu.ops.countstep import (get_qv_join_post, get_qv_join_pre,
-                                       get_qv_step)
+    from yak_tpu.ops.countstep import get_qv_join_post, get_qv_step
 
     import os
     import time as _time
@@ -416,17 +415,14 @@ def _run_qv_fused(opt, fn, table, out):
                 h["o"] = post(kout[2], pay, meta_j, *st)
             elif use_join:
                 Mw = chunk - k + 1
-                pre = get_qv_join_pre(k, planes_key)
-                *args8, pay, vflat = pre(arg, table.keys, table.cnt,
-                                         table.size)
-                kout = pallas_merge.merge_reduce(
-                    *args8, Na=table.cap, Nb=Mw, lookup=True,
+                from yak_tpu.ops.countstep import run_join_lookup
+                ov, pay, vflat = run_join_lookup(
+                    table, k, planes_key, arg, Mw,
                     interpret=join_interp)
                 post = get_qv_join_post(k, ns, Mw,
                                         min_frac=float(opt.min_frac),
                                         emit_ek=want_ek)
-                h["o"] = post(kout[2], pay, vflat, jnp.asarray(meta),
-                              *st)
+                h["o"] = post(ov, pay, vflat, jnp.asarray(meta), *st)
             else:
                 step = get_qv_step(k, ns, planes_L=planes_key,
                                    min_frac=float(opt.min_frac),

@@ -93,8 +93,7 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
     import jax.numpy as jnp
 
     from yak_tpu.io.pack import pack_chunk_planes
-    from yak_tpu.ops.countstep import (get_qv_join_pre, join_enabled,
-                                       run_join_lookup)
+    from yak_tpu.ops.countstep import join_enabled, run_join_lookup
 
     from yak_tpu.utils import retry_transient
 
@@ -110,8 +109,7 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
-                    table, get_qv_join_pre(k, planes_key), arg, M,
-                    interpret=jinterp)
+                    table, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = join_post_builder(k, ns, M)(
                     ov, pay, vflat, jnp.asarray(bounds), *extra_args)
             else:

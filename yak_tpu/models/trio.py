@@ -270,7 +270,6 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     from yak_tpu.io.chunks import ChunkSource
     from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops.countstep import (TRIOBIN_MAX_DIFF,
-                                       get_qv_join_pre,
                                        get_triobin_join_post,
                                        get_triobin_step, join_enabled,
                                        run_join_lookup)
@@ -294,8 +293,7 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
-                    ch, get_qv_join_pre(k, planes_key), arg, M,
-                    interpret=jinterp)
+                    ch, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = get_triobin_join_post(
                     k, ns, M, emit_diff=emit_diff)(
                     ov, pay, vflat, jnp.asarray(meta))
@@ -587,7 +585,6 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
     from yak_tpu.io.chunks import ChunkSource
     from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops.countstep import (TRIOEVAL_MAX_RUNS,
-                                       get_qv_join_pre,
                                        get_trioeval_join_post,
                                        get_trioeval_step, join_enabled,
                                        run_join_lookup)
@@ -604,8 +601,7 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
         def dispatch():
             if use_join:
                 ov, pay, vflat = run_join_lookup(
-                    ch, get_qv_join_pre(k, planes_key), arg, M,
-                    interpret=jinterp)
+                    ch, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = get_trioeval_join_post(
                     k, int(opt.min_n), M)(
                     ov, pay, vflat, jnp.asarray([we], np.int32))

@@ -446,6 +446,40 @@ def plookup_post(ov, pay, B):
     return (rk & jnp.uint64(0x7FF)).astype(jnp.int32) - 1
 
 
+@jax.jit
+def plookup_presort(tkeys, tcnt, size, h, valid):
+    """plookup_prep for the Pallas bitonic sort path: UNSORTED query
+    planes + payload plane (original lane index; pads = -1 sort to the
+    ascending front with their 0x..00 keys) + raw table planes."""
+    cap = tkeys.shape[0]
+    shifted = tkeys << jnp.uint64(1)
+    thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    xhi, xlo = _xs_planes(h, valid, lookup=True)
+    B = h.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+    pay = jnp.concatenate(
+        [idx, jnp.full(xhi.shape[0] - B, -1, jnp.int32)])
+    size_s = jnp.minimum(size, cap).reshape(1).astype(jnp.int32)
+    return xhi, xlo, pay, thi, tlo, tcnt, size_s
+
+
+def _join_psort_dispatch(prep_out, cap, Mw, interpret):
+    """Shared sort+kernel phases of the presorted JOIN: bitonic-sort the
+    query planes (payload riding along), then the merge-path kernel
+    with the in-dispatch diagonal search."""
+    from yak_tpu.ops import pallas_merge, pallas_sort
+
+    xhi, xlo, pay0, thi, tlo, tw, size_s = prep_out
+    Ehi, Elo, pay = pallas_sort.sort_planes(xhi, xlo, pay0,
+                                            neg_keys=True,
+                                            interpret=interpret)
+    out = pallas_merge.merge_reduce_presorted(
+        size_s, thi, tlo, tw, Ehi, Elo, Na=cap, Nb=Mw, lookup=True,
+        interpret=interpret)
+    return out[2], pay
+
+
 def lookup_pallas(tkeys, tcnt, size, h, valid, interpret=False):
     """Per-lane table lookup via the Pallas merge-path JOIN: the sorted
     table is streamed ONCE against the sorted queries (no concat
@@ -456,6 +490,12 @@ def lookup_pallas(tkeys, tcnt, size, h, valid, interpret=False):
 
     B = h.shape[0]
     cap = tkeys.shape[0]
+    use_ps, ps_interp = psort_enabled(True)
+    if use_ps or ps_interp:
+        prep = plookup_presort(tkeys, tcnt, size, h, valid)
+        ov, pay = _join_psort_dispatch(prep, cap, B,
+                                       interpret or ps_interp)
+        return plookup_post(ov, pay, B)
     *args8, pay = plookup_prep(tkeys, tcnt, size, h, valid)
     out = pallas_merge.merge_reduce(*args8, Na=cap, Nb=B,
                                     interpret=interpret, lookup=True)
@@ -813,12 +853,40 @@ def join_enabled(k):
     return use, False
 
 
-def run_join_lookup(table, pre, arg, Mw, interpret=False):
-    """Drive the 3-dispatch join: pre-jit (extract + prep) -> Pallas
-    merge-path JOIN kernel -> returns (ov, pay, vflat) for a
-    workload-specific post-jit (plookup_post + reduce)."""
+@lru_cache(maxsize=None)
+def get_qv_join_presort(k, planes_L):
+    """get_qv_join_pre for the Pallas bitonic sort path: extract +
+    unsorted query/payload planes + raw table planes (the sort and the
+    diagonal search run in the later dispatches)."""
+    ext = _extractor(k, planes_L)
+
+    @jax.jit
+    def pre(codes, tkeys, tcnt, size):
+        h, valid = ext((codes[0], codes[1], codes[2]))
+        hflat, vflat = h.reshape(-1), valid.reshape(-1)
+        prep = plookup_presort(tkeys, tcnt, size, hflat, vflat)
+        return prep + (vflat,)
+
+    return pre
+
+
+def run_join_lookup(table, k, planes_key, arg, Mw, interpret=False):
+    """Drive the split-dispatch join: pre-jit (extract + prep) ->
+    [Pallas bitonic query sort ->] Pallas merge-path JOIN kernel ->
+    returns (ov, pay, vflat) for a workload-specific post-jit
+    (plookup_post + reduce).  The query sort runs in the bitonic
+    kernels (ops/pallas_sort) when the psort engine is enabled
+    (default on TPU; YAK_TPU_PSORT=0 reverts to the XLA sort)."""
     from yak_tpu.ops import pallas_merge
 
+    use_ps, ps_interp = psort_enabled(k <= 31)
+    if use_ps or ps_interp:
+        pre = get_qv_join_presort(k, planes_key)
+        *prep, vflat = pre(arg, table.keys, table.cnt, table.size)
+        ov, pay = _join_psort_dispatch(tuple(prep), table.cap, Mw,
+                                       interpret or ps_interp)
+        return ov, pay, vflat
+    pre = get_qv_join_pre(k, planes_key)
     *args8, pay, vflat = pre(arg, table.keys, table.cnt, table.size)
     out = pallas_merge.merge_reduce(*args8, Na=table.cap, Nb=Mw,
                                     lookup=True, interpret=interpret)
