@@ -210,16 +210,20 @@ def bench_count_device(out_times):
     import jax.numpy as jnp
 
     from yak_tpu.io.pack import pack_planes2
-    from yak_tpu.ops import pallas_compact, pallas_merge
+    from yak_tpu.ops import pallas_compact, pallas_merge, pallas_sort
     from yak_tpu.ops import sorttable as st
     from yak_tpu.ops.countstep import (finalize_pmerge,
+                                       get_count_presort_step,
+                                       get_count_presort_step_planes,
                                        get_count_step_pmerge,
-                                       get_count_step_pmerge_planes)
+                                       get_count_step_pmerge_planes,
+                                       psort_enabled)
     from yak_tpu.ops.kmers import rmajor_lanes
 
     if not (pallas_compact.enabled()
             and jax.default_backend() == "tpu"):
         return None
+    use_ps, _ = psort_enabled(True)
     n_kmers = N_READS * (READ_LEN - K + 1)
     R = READ_LEN
     CAP = 1 << 23
@@ -253,15 +257,32 @@ def bench_count_device(out_times):
         planes_L = ("periodic", L, R)
         ps = None
         for arg, _L in groups:
-            if ps is None:
-                prep = get_count_step_pmerge(K, planes_L=planes_L)(
-                    arg, keys, cnt, size)
-            else:
-                prep = get_count_step_pmerge_planes(
-                    K, CAP, planes_L=planes_L)(arg, *ps[:4])
             B = arg[0].shape[0] * rmajor_lanes(L)
-            ps = pallas_merge.merge_reduce(*prep, Na=CAP, Nb=B,
-                                           create=True)
+            if use_ps:
+                # the psort engine (table._run_step's default TPU path):
+                # extract pre-jit -> Pallas bitonic sort -> in-dispatch
+                # search + merge-reduce
+                if ps is None:
+                    pre = get_count_presort_step(K, planes_L=planes_L)(
+                        arg, keys, cnt, size)
+                else:
+                    pre = get_count_presort_step_planes(
+                        K, CAP, planes_L=planes_L)(arg, *ps[:4])
+                xhi, xlo, thi, tlo, tw, size_s = pre
+                Ehi, Elo = pallas_sort.sort_planes(xhi, xlo,
+                                                   neg_keys=True)
+                ps = pallas_merge.merge_reduce_presorted(
+                    size_s, thi, tlo, tw, Ehi, Elo, Na=CAP, Nb=B,
+                    create=True)
+            else:
+                if ps is None:
+                    prep = get_count_step_pmerge(K, planes_L=planes_L)(
+                        arg, keys, cnt, size)
+                else:
+                    prep = get_count_step_pmerge_planes(
+                        K, CAP, planes_L=planes_L)(arg, *ps[:4])
+                ps = pallas_merge.merge_reduce(*prep, Na=CAP, Nb=B,
+                                               create=True)
         keys2, cnt2, sz, _n, _o = finalize_pmerge(*ps, cap=CAP)
         return int(sz)
 
@@ -280,6 +301,162 @@ def bench_count_device(out_times):
                   file=sys.stderr)
         best = min(best, dt)
     out_times["count_device"] = best
+    return n_kmers / best
+
+
+TE_DIGEST = {17: None, 18: None}
+
+
+def bench_trioeval(table, genome, out_times):
+    """trioeval throughput on the same synthetic flag table as triobin
+    (VERDICT r2: the weakest workload was not machine-recorded)."""
+    import hashlib
+
+    from yak_tpu.models.trio import TrioOpts, main_trioeval
+    from yak_tpu.table import KmerTable
+
+    h, _c = table.items()
+    flags = ((h >> np.uint64(7)) % np.uint64(15) + np.uint64(1)
+             ).astype(np.int32)
+    tb = KmerTable(K)
+    tb._set_pairs(h, flags)
+    n_ctg, ctg_len = 24, GENOME_LEN
+    npos = n_ctg * (ctg_len - K + 1)
+
+    def write_set(seed, path):
+        rng = np.random.default_rng(seed)
+        _write_fasta(path, [np.roll(genome, int(r))
+                            for r in rng.integers(0, GENOME_LEN, n_ctg)])
+
+    opt = TrioOpts()
+    write_set(16, "/tmp/yakbench_te_warm.fa")
+    main_trioeval(opt, tb, "/tmp/yakbench_te_warm.fa", out=io.StringIO())
+    best = float("inf")
+    for seed in (17, 18):
+        fn = f"/tmp/yakbench_te_{seed}.fa"
+        write_set(seed, fn)
+        try:
+            buf = io.StringIO()
+            t0 = time.time()
+            main_trioeval(opt, tb, fn, out=buf)
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"[bench] trioeval set failed ({type(e).__name__})",
+                  file=sys.stderr)
+            continue
+        dg = hashlib.md5(buf.getvalue().encode()).hexdigest()[:12]
+        if TE_DIGEST[seed] is not None:
+            assert dg == TE_DIGEST[seed], (seed, dg)
+        else:
+            print(f"[bench] trioeval digest[{seed}] = {dg}",
+                  file=sys.stderr)
+        best = min(best, dt)
+    out_times["trioeval"] = best
+    return npos / best
+
+
+BLOOM_DISTINCT = None      # distinct k-mers after the >=2 shrink
+BLOOM_HIST_DIGEST = None
+BASELINE_BLOOM_PER_S = 22.7e6   # BASELINE.md: count -b24 two-stream
+
+
+def bench_count_bloom(out_times):
+    """The author-recommended -b Bloom two-pass protocol (main.c:53-60),
+    end-to-end with FASTA ingest of both streams; throughput counts both
+    passes' extractions like the 22.7M/s reference baseline."""
+    import hashlib
+
+    from yak_tpu.models.count import count, CountOpts
+
+    fn = "/tmp/yakbench_reads.fa"
+    reads = make_reads()
+    _write_fasta(fn, list(reads))
+    n_extract = 2 * N_READS * (READ_LEN - K + 1)
+    opt = CountOpts(k=K, bf_shift=24, cap_log2=23,
+                    chunk_size=1 << 23)
+    count([fn, fn], opt)                     # warm-up (compiles)
+    best = float("inf")
+    tot = hd = None
+    for _ in range(2):
+        try:
+            t0 = time.time()
+            t = count([fn, fn], opt)
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"[bench] bloom pass failed ({type(e).__name__})",
+                  file=sys.stderr)
+            continue
+        tot = t.tot
+        hd = hashlib.md5(np.ascontiguousarray(t.hist(), np.int64)
+                        .tobytes()).hexdigest()[:12]
+        best = min(best, dt)
+    if BLOOM_DISTINCT is not None:
+        assert tot == BLOOM_DISTINCT, tot
+        assert hd == BLOOM_HIST_DIGEST, hd
+    else:
+        print(f"[bench] bloom distinct = {tot} hist = {hd}",
+              file=sys.stderr)
+    out_times["bloom"] = best
+    return n_extract / best
+
+
+K33_DISTINCT = None
+K33_HIST_DIGEST = None
+# no recorded k=33 baseline in BASELINE.md; scale the recorded k=31
+# one by the locally measured reference ratio (k33/k31 = 1.87s/1.81s
+# on this VM, r3) to keep vs_baseline comparable across metrics
+BASELINE_K33_PER_S = BASELINE_KMERS_PER_S * (1.81 / 1.87)
+
+
+def bench_count_k33(out_times):
+    """k=33 count (the hash_long / full-width-sort path, yak-priv.h
+    k in [32,63]); in-memory reads like the headline count metric."""
+    import hashlib
+
+    from yak_tpu.table import KmerTable
+
+    reads = make_reads()
+    k33 = 33
+    n = len(reads)
+    flat = np.concatenate(
+        [reads, np.full((n, 1), 4, np.uint8)], axis=1).reshape(-1)
+    per = CHUNK_READS * (READ_LEN + 1)
+    chunks = [flat[o:o + per] if len(flat) - o >= per
+              else np.concatenate([flat[o:], np.full(per - (len(flat) - o),
+                                                     4, np.uint8)])
+              for o in range(0, len(flat), per)]
+    n_kmers = N_READS * (READ_LEN - k33 + 1)
+
+    def run():
+        t = KmerTable(k33, cap_log2=23, flush_lanes=4 * 4194281)
+        for c in chunks:
+            t.insert_codes(c)
+        t.flush()
+        return t
+
+    run()                                    # warm-up
+    best = float("inf")
+    tot = hd = None
+    for _ in range(2):
+        try:
+            t0 = time.time()
+            t = run()
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"[bench] k33 pass failed ({type(e).__name__})",
+                  file=sys.stderr)
+            continue
+        tot = t.tot
+        hd = hashlib.md5(np.ascontiguousarray(t.hist(), np.int64)
+                        .tobytes()).hexdigest()[:12]
+        best = min(best, dt)
+    if K33_DISTINCT is not None:
+        assert tot == K33_DISTINCT, tot
+        assert hd == K33_HIST_DIGEST, hd
+    else:
+        print(f"[bench] k33 distinct = {tot} hist = {hd}",
+              file=sys.stderr)
+    out_times["k33"] = best
     return n_kmers / best
 
 
@@ -367,6 +544,34 @@ def main():
               v, BASELINE_LOOKUPS_PER_S)
     except Exception as e:
         print(f"[bench] triobin bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        v = bench_trioeval(table, genome, times)
+        print(f"[bench] trioeval 48.0M positions, "
+              f"{times['trioeval']:.3f}s", file=sys.stderr)
+        _emit("trioeval k=31 position throughput (1 chip, FASTA ingest)",
+              v, BASELINE_LOOKUPS_PER_S)
+    except Exception as e:
+        print(f"[bench] trioeval bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        v = bench_count_bloom(times)
+        print(f"[bench] bloom two-pass 96.0M extractions, "
+              f"{times['bloom']:.3f}s", file=sys.stderr)
+        _emit("count k=31 -b24 Bloom two-pass throughput "
+              "(1 chip, FASTA ingest both passes)", v,
+              BASELINE_BLOOM_PER_S)
+    except Exception as e:
+        print(f"[bench] bloom bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        v = bench_count_k33(times)
+        print(f"[bench] k33 count 47.2M k-mers, "
+              f"{times['k33']:.3f}s", file=sys.stderr)
+        _emit("count k=33 insert throughput (1 chip, in-memory reads)",
+              v, BASELINE_K33_PER_S)
+    except Exception as e:
+        print(f"[bench] k33 bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
 

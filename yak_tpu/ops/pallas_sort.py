@@ -194,18 +194,30 @@ def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret):
 
 
 @lru_cache(maxsize=None)
-def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret):
-    """Jitted pass chain for a static padded lane count (power of two,
-    >= 1024)."""
+def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
+             max_levels_per_pass=6):
+    """Pass chain for a static padded lane count (power of two,
+    >= 1024).  Every pass is its OWN jit: the remote-compile tunnel
+    compiles Mosaic kernels serially and caches per-executable, so one
+    giant 28-kernel jit would compile for the better part of an hour
+    with nothing cached until the end; per-pass jits compile (and
+    cache, and recover from interrupted runs) incrementally.  The local
+    window sort is likewise split into groups of `max_levels_per_pass`
+    levels to bound single-kernel program size (the full levels-1..17
+    network is ~150 unrolled stages)."""
     W = min(window, Bpad)
     nwin = Bpad // W
     wlog = W.bit_length() - 1
     blog = Bpad.bit_length() - 1
 
     passes = []
-    # local pass: the full in-window network, levels 1..wlog
-    local_levels = tuple((k, k - 1) for k in range(1, wlog + 1))
-    passes.append(("win", local_levels, blog == wlog))
+    # local sort: the in-window network, levels 1..wlog, split into
+    # level groups to keep each Mosaic program moderate
+    ks = list(range(1, wlog + 1))
+    for g0 in range(0, len(ks), max_levels_per_pass):
+        grp = ks[g0:g0 + max_levels_per_pass]
+        levels = tuple((k, k - 1) for k in grp)
+        passes.append(("win", levels, blog == wlog and grp[-1] == wlog))
     for k in range(wlog + 1, blog + 1):
         for j in range(k - 1, wlog - 1, -1):
             passes.append(("ex", k, j))
@@ -214,11 +226,12 @@ def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret):
     calls = []
     for p in passes:
         if p[0] == "win":
-            calls.append(_win_call(nplanes, dtypes, W, nwin, p[1],
-                                   neg_keys and p[2], interpret))
+            call = _win_call(nplanes, dtypes, W, nwin, p[1],
+                             neg_keys and p[2], interpret)
         else:
-            calls.append(_ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
-                                  interpret))
+            call = _ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
+                            interpret)
+        calls.append(jax.jit(call))
 
     def fn(*planes):
         ps = [x.reshape(Bpad // 128, 128) for x in planes]
@@ -226,7 +239,7 @@ def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret):
             ps = call(ps)
         return tuple(x.reshape(-1) for x in ps)
 
-    return jax.jit(fn)
+    return fn
 
 
 def sort_planes(hi, lo, *extra, neg_keys=False, window=W_LANES,
