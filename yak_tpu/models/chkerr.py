@@ -15,7 +15,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from yak_tpu.models.scan import scan_file, NO_KMER
 
 
 @dataclass
@@ -49,12 +48,7 @@ def main_chkerr(opt, table, seq_fn, out=None):
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     M = chunk - k + 1
-    carry = None       # (gi, streak, end_pos) open run at a piece end
-
-    def emit(name, streak, endpos):
-        if streak > opt.min_streak:
-            out.write(f"{name}\t{endpos + 1 - k - (streak - 1)}\t"
-                      f"{endpos + 1}\t{streak}\n")
+    fold = _ChkerrFold(opt, k, out)
 
     from yak_tpu.utils import retry_transient
 
@@ -100,19 +94,44 @@ def main_chkerr(opt, table, seq_fn, out=None):
             sstep = get_scan_step(k, planes_L=planes_key)
             vals = np.asarray(sstep(arg, table.keys, table.cnt,
                                     table.size)).reshape(-1)
-            low = (vals > -2) & (vals < opt.min_cnt)
-            lane = np.arange(len(low), dtype=np.int64)
-            last_high = np.maximum.accumulate(np.where(low, -1, lane))
-            is_end = low & ~np.append(low[1:], False)
-            lanes = lane[is_end]
-            lens = lanes - last_high[is_end]
-            n = len(lanes)
+            lanes, lens = _host_low_runs(
+                (vals > -2) & (vals < opt.min_cnt))
         else:
             keys = np.asarray(key_d)[:n]
             lanes = (keys >> np.uint64(24)).astype(np.int64)
             lens = (keys & np.uint64((1 << 24) - 1)).astype(np.int64)
-            n = len(keys)
 
+        fold.chunk(packed, lanes, lens, M)
+    fold.finish()
+
+
+def _host_low_runs(vals_low):
+    """(lane, len) ends of low-count runs from a per-lane low mask —
+    the host marker fallback when the sparse budget overflows."""
+    lane = np.arange(len(vals_low), dtype=np.int64)
+    last_high = np.maximum.accumulate(np.where(vals_low, -1, lane))
+    is_end = vals_low & ~np.append(vals_low[1:], False)
+    return lane[is_end], lane[is_end] - last_high[is_end]
+
+
+class _ChkerrFold:
+    """Host side of the chkerr device fold: maps marker lanes to
+    sequence positions and merges runs spanning chunk boundaries;
+    shared by the single-chip and mesh drivers (chkerr.c:55-68)."""
+
+    def __init__(self, opt, k, out):
+        self.opt, self.k, self.out = opt, k, out
+        self.carry = None   # (name, gi, streak, end_pos) open run
+
+    def emit(self, name, streak, endpos):
+        if streak > self.opt.min_streak:
+            k = self.k
+            self.out.write(f"{name}\t{endpos + 1 - k - (streak - 1)}\t"
+                           f"{endpos + 1}\t{streak}\n")
+
+    def chunk(self, packed, lanes, lens, M):
+        nseq = len(packed.rec_gid)
+        n = len(lanes)
         starts = np.minimum(packed.rec_start, M)
         seg_of = np.searchsorted(starts, lanes, side="right") - 1
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
@@ -120,50 +139,69 @@ def main_chkerr(opt, table, seq_fn, out=None):
         ws0 = int(starts[0])
         # last window lane of the final piece (piece windows are
         # [start, start + take - k] inclusive)
-        we = int(packed.rec_start[-1] + packed.rec_take[-1] - k)
+        we = int(packed.rec_start[-1] + packed.rec_take[-1] - self.k)
 
-        if carry is not None:
-            name_c, gi_c, streak_c, end_c = carry
-            carry = None
+        if self.carry is not None:
+            name_c, gi_c, streak_c, end_c = self.carry
+            self.carry = None
             if (n > 0 and int(seg_of[0]) == 0
                     and int(lanes[0] - lens[0] + 1) == ws0
                     and int(packed.rec_gid[0]) == gi_c):
-                lens[0] += streak_c     # merged across the chunk boundary
+                lens[0] += streak_c   # merged across the chunk boundary
             else:
-                emit(name_c, streak_c, end_c)
+                self.emit(name_c, streak_c, end_c)
 
         for i in range(n):
             j = int(seg_of[i])
             gi = int(packed.rec_gid[j])
             endpos = (int(lanes[i]) - int(starts[j])
-                      + int(packed.rec_off0[j]) + k - 1)
+                      + int(packed.rec_off0[j]) + self.k - 1)
             streak = int(lens[i])
             if continues and j == nseq - 1 and int(lanes[i]) == we:
-                carry = (packed.seq_names[gi], gi, streak, endpos)
+                self.carry = (packed.seq_names[gi], gi, streak, endpos)
             else:
-                emit(packed.seq_names[gi], streak, endpos)
-    if carry is not None:
-        name_c, _gi, streak_c, end_c = carry
-        emit(name_c, streak_c, end_c)
+                self.emit(packed.seq_names[gi], streak, endpos)
+
+    def finish(self):
+        if self.carry is not None:
+            name_c, _gi, streak_c, end_c = self.carry
+            self.emit(name_c, streak_c, end_c)
+            self.carry = None
 
 
 def _main_chkerr_mesh(opt, table, seq_fn, out):
-    """Mesh tables: routed per-position scan (scan_file_mesh) + the
-    host streak pass per sequence (chkerr.c:55-68 semantics)."""
-    from yak_tpu.models.scan import scan_file_mesh
+    """Mesh tables: fused group fold — routed group lookups + the
+    vmapped sparse-marker reduction (ops/countstep._chkerr_reduce) on
+    device, then the shared host streak fold.  Budget overflow for a
+    chunk recomputes markers from that chunk's per-lane values (already
+    device-resident from the routed lookup)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yak_tpu.ops.countstep import CHKERR_MAX_RUNS, _chkerr_reduce
+    from yak_tpu.parallel.mesh import mesh_routed_groups
 
     k = table.k
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
-    for name, L, vals in scan_file_mesh(seq_fn, table, chunk):
-        low = (vals != NO_KMER) & (vals < opt.min_cnt)
-        if not low.any():
-            continue
-        lane = np.arange(len(low), dtype=np.int64)
-        last_high = np.maximum.accumulate(np.where(low, -1, lane))
-        is_end = low & ~np.append(low[1:], False)
-        for endpos, streak in zip(lane[is_end],
-                                  lane[is_end] - last_high[is_end]):
-            if streak > opt.min_streak:
-                out.write(f"{name}\t{endpos + 1 - k - (streak - 1)}\t"
-                          f"{endpos + 1}\t{streak}\n")
+    M = chunk - k + 1
+    fold = _ChkerrFold(opt, k, out)
+    reducer = jax.jit(jax.vmap(
+        lambda v, hs: _chkerr_reduce(v, hs, int(opt.min_cnt), M)))
+
+    for group, vals, hasw in mesh_routed_groups(seq_fn, table, chunk):
+        keys_d, n_d = reducer(vals, hasw)
+        n_np = np.asarray(n_d)
+        keys_np = np.asarray(keys_d)
+        for i, packed in enumerate(group):
+            n = int(n_np[i])
+            if n > CHKERR_MAX_RUNS:
+                v = np.asarray(vals[i]).reshape(-1)[:M]
+                hs = np.asarray(hasw[i]).reshape(-1)[:M].astype(bool)
+                lanes, lens = _host_low_runs(hs & (v < opt.min_cnt))
+            else:
+                ks = keys_np[i][:n]
+                lanes = (ks >> np.uint64(24)).astype(np.int64)
+                lens = (ks & np.uint64((1 << 24) - 1)).astype(np.int64)
+            fold.chunk(packed, lanes, lens, M)
+    fold.finish()

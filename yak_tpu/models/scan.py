@@ -103,8 +103,6 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
     use_join = use_join and join_post_builder is not None
     chunk = -(-max(1 << 14, int(chunk_size)) // 1024) * 1024
     M = chunk - k + 1
-    carry = None    # [gi, sums list] for the chunk-spanning seq
-
     def make_dispatch(arg, planes_key, bounds, ns, h):
         def dispatch():
             if use_join:
@@ -137,11 +135,22 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
                 yield pending.pop(0)
         yield from pending
 
-    for packed, h, dispatch in produce():
+    yield from _fold_seg_sums(
+        (packed,
+         retry_transient(
+             lambda h=h, p=packed: [np.asarray(o)[:len(p.rec_gid)]
+                                    for o in h["o"][:n_out]],
+             redo=dispatch))
+        for packed, h, dispatch in produce())
+
+
+def _fold_seg_sums(stream):
+    """Fold (packed, per-seq sums arrays) pairs into
+    (name, seq_len, sums) rows, merging chunk-spanning pieces — shared
+    by the single-chip and mesh seg-sum drivers."""
+    carry = None
+    for packed, outs in stream:
         nseq = len(packed.rec_gid)
-        outs = retry_transient(
-            lambda: [np.asarray(o)[:nseq] for o in h["o"][:n_out]],
-            redo=dispatch)
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
                      < int(packed.rec_len[-1]))
         for j in range(nseq):
@@ -159,6 +168,45 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
                        tuple(sums))
     if carry is not None:
         yield (carry[2], carry[3], tuple(carry[1]))
+
+
+def scan_seg_sums_mesh(fn, mtable, chunk_size, reducer_core, n_out):
+    """Mesh analogue of scan_seg_sums: groups of D chunks through the
+    routed mesh lookup (parallel/mesh.mesh_routed_groups), then a
+    vmapped per-chunk segment reduction — the fused fold the VERDICT
+    asked for in place of the per-position scan_file_mesh transfers.
+    `reducer_core(vals, has, bounds, M)` must return n_out per-seg sum
+    vectors (e.g. ops/countstep._sexchr_reduce)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yak_tpu.parallel.mesh import mesh_routed_groups
+
+    k = mtable.k
+    chunk = -(-max(1 << 14, int(chunk_size)) // 1024) * 1024
+    M = chunk - k + 1
+    reducers = {}
+
+    def reducer(ns):
+        if ns not in reducers:
+            reducers[ns] = jax.jit(jax.vmap(
+                lambda v, hs, b: reducer_core(v, hs, b, M)))
+        return reducers[ns]
+
+    def stream():
+        for group, vals, hasw in mesh_routed_groups(fn, mtable, chunk):
+            ns = max(1 << 12, 1 << int(
+                max(max(len(p.rec_gid) for p in group) - 1,
+                    1)).bit_length())
+            bounds = np.full((mtable.n_dev, ns + 1), M, np.int32)
+            for i, p in enumerate(group):
+                bounds[i, :len(p.rec_gid)] = np.minimum(p.rec_start, M)
+            outs = reducer(ns)(vals, hasw, jnp.asarray(bounds))
+            outs_np = [np.asarray(o) for o in outs[:n_out]]
+            for i, p in enumerate(group):
+                yield p, [o[i][:len(p.rec_gid)] for o in outs_np]
+
+    yield from _fold_seg_sums(stream())
 
 
 def scan_file(fn, table, chunk_size, on_progress=None):

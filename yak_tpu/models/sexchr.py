@@ -47,16 +47,14 @@ def main_sexchr(opt, ch, hap_fns, out=None):
     chunk = -(-chunk // 1024) * 1024
     from yak_tpu.parallel.mesh import MeshTable
     if isinstance(ch, MeshTable):
-        # mesh tables: routed per-position scan + host per-seg sums
-        from yak_tpu.models.scan import scan_file_mesh
+        # mesh tables: fused group fold — routed group lookups +
+        # vmapped per-seg sums on device (no per-position transfers)
+        from yak_tpu.models.scan import scan_seg_sums_mesh
+        from yak_tpu.ops.countstep import _sexchr_reduce
 
         def seg_iter(fn):
-            for name, L, vals in scan_file_mesh(fn, ch, chunk):
-                has = vals != NO_KMER
-                flag = np.where(has, np.maximum(vals, 0), 0)
-                yield (name, L,
-                       (int(has.sum()), int((flag > 0).sum()),
-                        int((flag == 1).sum()), int((flag == 2).sum())))
+            yield from scan_seg_sums_mesh(fn, ch, chunk,
+                                          _sexchr_reduce, 4)
     else:
         def seg_iter(fn):
             yield from scan_seg_sums(

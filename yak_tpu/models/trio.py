@@ -56,16 +56,6 @@ def _types_and_flags(vals):
     return is_k, flag, typ
 
 
-def _runs(arr):
-    """Run-length encode: returns (start, length, value) arrays."""
-    if len(arr) == 0:
-        return (np.zeros(0, np.int64),) * 3
-    change = np.nonzero(np.diff(arr) != 0)[0]
-    starts = np.concatenate([[0], change + 1])
-    lens = np.diff(np.concatenate([starts, [len(arr)]]))
-    return starts, lens, arr[starts]
-
-
 def tb_classify_vec(sc0, sc1, P, M, k, ratio_thres):
     """Vectorized tb_classify over per-contig arrays (same branch order
     and float arithmetic as the scalar port below)."""
@@ -553,15 +543,7 @@ def main_trioeval(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
     bo = _BatchedOut(out, batch_bases)
     from yak_tpu.parallel.mesh import MeshTable
     if isinstance(ch, MeshTable):
-        # mesh tables: routed per-position scan + the shared chain
-        from yak_tpu.models.scan import scan_file_mesh
-        for name, L, vals in scan_file_mesh(seq_fn, ch, chunk):
-            _, _, typ = _types_and_flags(vals)
-            ts = _TeSeq(name, L, opt, k)
-            for st, ln, tv in zip(*_runs(typ)):
-                if tv > 0 and ln >= opt.min_n:
-                    ts.run(int(st), int(ln), int(tv))
-            ts.finish(bo, glob)
+        _trioeval_fused_mesh(opt, ch, seq_fn, bo, glob, chunk)
     else:
         _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk)
     bo.flush()
@@ -630,8 +612,8 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                 yield pending.pop(0)
         yield from pending
 
+    fold = _TeChainFold(opt, k, bo, glob)
     for packed, arg, planes_key, we, h, dispatch in produce():
-        nseq = len(packed.rec_gid)
         n = retry_transient(lambda: int(h["o"][1]), redo=dispatch)
         key_d = h["o"][0]
         if n > TRIOEVAL_MAX_RUNS:
@@ -641,24 +623,94 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
             vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
                                     ch.size)).reshape(-1)
             _, _, typ = _types_and_flags(vals)
-            lane = np.arange(len(typ), dtype=np.int64)
-            startm = np.concatenate([[True], typ[1:] != typ[:-1]])
-            run_start = np.maximum.accumulate(np.where(startm, lane, -1))
-            runlen = lane - run_start + 1
-            is_end = np.concatenate([typ[:-1] != typ[1:], [True]])
-            emit = is_end & (typ > 0) & ((runlen >= opt.min_n)
-                                         | (run_start == 0)
-                                         | (lane == we))
-            lanes = lane[emit]
-            lens = runlen[emit]
-            typs = typ[emit].astype(np.int64)
+            lanes, lens, typs = _host_te_markers(typ, we, opt.min_n)
         else:
             keys = np.asarray(key_d)[:n]
             lanes = (keys >> np.uint64(26)).astype(np.int64)
             lens = ((keys >> np.uint64(2))
                     & np.uint64((1 << 24) - 1)).astype(np.int64)
             typs = (keys & np.uint64(3)).astype(np.int64)
+        fold.chunk(packed, lanes, lens, typs, M, we)
+    fold.finish()
 
+
+def _trioeval_fused_mesh(opt, ch, seq_fn, bo, glob, chunk):
+    """Mesh trioeval: routed group lookups (parallel/mesh.
+    mesh_routed_groups) + the vmapped run-compression reduction
+    (ops/countstep._trioeval_reduce) on device, feeding the shared host
+    phase-chain fold — no per-position transfers (the fused fold the
+    VERDICT asked for in place of scan_file_mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yak_tpu.ops.countstep import TRIOEVAL_MAX_RUNS, _trioeval_reduce
+    from yak_tpu.parallel.mesh import mesh_routed_groups
+
+    k = ch.k
+    M = chunk - k + 1
+    fold = _TeChainFold(opt, k, bo, glob)
+    reducer = jax.jit(jax.vmap(
+        lambda v, hs, we1: _trioeval_reduce(v, hs, we1,
+                                            int(opt.min_n), M)))
+
+    for group, vals, hasw in mesh_routed_groups(seq_fn, ch, chunk):
+        wes = [int(p.rec_start[-1] + p.rec_take[-1] - k) for p in group]
+        we_d = np.full((ch.n_dev, 1), M, np.int32)
+        we_d[:len(wes), 0] = wes
+        keys_d, n_d = reducer(vals, hasw, jnp.asarray(we_d))
+        n_np = np.asarray(n_d)
+        keys_np = np.asarray(keys_d)
+        for i, packed in enumerate(group):
+            n = int(n_np[i])
+            if n > TRIOEVAL_MAX_RUNS:
+                v = np.asarray(vals[i]).reshape(-1)[:M]
+                hs = np.asarray(hasw[i]).reshape(-1)[:M].astype(bool)
+                flag = np.where(hs, np.maximum(v, 0), 0).astype(np.int32)
+                c1, c2 = flag & 3, (flag >> 2) & 3
+                typ = np.zeros(M, np.int32)
+                typ[hs & (c1 == 2) & (c2 == 0)] = 1
+                typ[hs & (c2 == 2) & (c1 == 0)] = 2
+                lanes, lens, typs = _host_te_markers(typ, wes[i],
+                                                     opt.min_n)
+            else:
+                ks = keys_np[i][:n]
+                lanes = (ks >> np.uint64(26)).astype(np.int64)
+                lens = ((ks >> np.uint64(2))
+                        & np.uint64((1 << 24) - 1)).astype(np.int64)
+                typs = (ks & np.uint64(3)).astype(np.int64)
+            fold.chunk(packed, lanes, lens, typs, M, wes[i])
+    fold.finish()
+
+
+def _host_te_markers(typ, we, min_n):
+    """The device step's sparse run markers recomputed on host from a
+    per-lane type stream (budget-overflow fallback; same emit rule as
+    ops/countstep._trioeval_reduce)."""
+    lane = np.arange(len(typ), dtype=np.int64)
+    startm = np.concatenate([[True], typ[1:] != typ[:-1]])
+    run_start = np.maximum.accumulate(np.where(startm, lane, -1))
+    runlen = lane - run_start + 1
+    is_end = np.concatenate([typ[:-1] != typ[1:], [True]])
+    emit = is_end & (typ > 0) & ((runlen >= min_n)
+                                 | (run_start == 0)
+                                 | (lane == we))
+    return lane[emit], runlen[emit], typ[emit].astype(np.int64)
+
+
+class _TeChainFold:
+    """Host side of the trioeval device fold: maps sparse run markers
+    to per-sequence runs, merges boundary runs across chunk-spanning
+    pieces, and replays the phase chain (trioeval.c:91-117); shared by
+    the single-chip and mesh drivers."""
+
+    def __init__(self, opt, k, bo, glob):
+        self.opt, self.k, self.bo, self.glob = opt, k, bo, glob
+        self.carry = None  # (gi, _TeSeq, open_run (typ, len, end_pos))
+
+    def chunk(self, packed, lanes, lens, typs, M, we):
+        opt, k, bo, glob = self.opt, self.k, self.bo, self.glob
+        carry = self.carry
+        nseq = len(packed.rec_gid)
         starts = np.minimum(packed.rec_start, M)
         seg_of = np.searchsorted(starts, lanes, side="right") - 1
         continues = (int(packed.rec_off0[-1] + packed.rec_take[-1])
@@ -702,8 +754,14 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                 carry = (gi, ts, tail_open)
             else:
                 ts.finish(bo, glob)
-    if carry is not None:
-        _gi, ts, open_run = carry
+        self.carry = carry
+
+    def finish(self):
+        if self.carry is None:
+            return
+        opt, k, bo, glob = self.opt, self.k, self.bo, self.glob
+        _gi, ts, open_run = self.carry
+        self.carry = None
         if open_run is not None:
             o_tv, o_ln, o_end = open_run
             if o_ln >= opt.min_n:

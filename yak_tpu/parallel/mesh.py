@@ -484,6 +484,52 @@ def build_qv_group_step(mesh, k, ns, chunk, route_cap=None,
     return step
 
 
+def mesh_routed_groups(fn, mtable, chunk, k=None):
+    """Stream record-meta chunks through the routed mesh lookup in
+    groups of up to D: yields (group, vals, hasw) where group is the
+    list of PackedChunks and vals/hasw are the [D, M] per-lane lookup
+    results (device-resident; callers apply their own vmapped
+    reductions).  Route-capacity overflow doubles C and replays the
+    group — lookups are stateless, so no snapshot is needed.  Shared by
+    the fused mesh triobin/trioeval/sexchr/chkerr folds (the mesh
+    analogue of the per-workload 2-deep dispatch pipelines; reference
+    seam: one owner thread per radix shard, count.c:17-26)."""
+    from yak_tpu.io.chunks import ChunkSource
+
+    if k is None:
+        k = mtable.k
+    n_dev = mtable.n_dev
+    M = chunk - k + 1
+    route = {"C": default_route_cap(M, n_dev), "step": None}
+
+    def flush_group(group):
+        planes = jax.device_put(jnp.asarray(_pack_group_planes(
+            [p.codes for p in group], chunk, n_dev)), mtable.sh)
+        while True:
+            if route["step"] is None:
+                route["step"] = build_lookup_step(
+                    mtable.mesh, k, chunk, route_cap=route["C"])
+            vals, hasw, ovf = route["step"](planes, mtable.keys,
+                                            mtable.cnt, mtable.size)
+            if not int(np.asarray(ovf).max()):
+                return vals, hasw
+            route["C"] = min(M, route["C"] * 2)
+            route["step"] = None
+
+    group = []
+    for packed in ChunkSource(fn, chunk, k, with_meta="records"):
+        if not len(packed.rec_gid):
+            continue
+        group.append(packed)
+        if len(group) == n_dev:
+            vals, hasw = flush_group(group)
+            yield group, vals, hasw
+            group = []
+    if group:
+        vals, hasw = flush_group(group)
+        yield group, vals, hasw
+
+
 class _MeshCountDriver:
     """Group-folding driver with the one-step-late overflow protocol:
     steps never donate; the route/table overflow flags of group i are
