@@ -394,3 +394,42 @@ def test_mesh_triobin_diff_overflow_fallback(data, tmp_path):
         countstep.TRIOBIN_MAX_DIFF = orig
     assert a.getvalue() == b.getvalue()
     assert "D\t" in a.getvalue()
+
+
+def test_cli_auto_mesh(data, tmp_path, monkeypatch):
+    """YAK_TPU_MESH=1 routes CLI count/qv/triobin through the mesh
+    (the auto-mesh surface; on real multi-chip backends this is the
+    default) with oracle-identical output."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    if not util.have_oracle():
+        pytest.skip("oracle not built")
+    import subprocess
+    from contextlib import redirect_stdout
+    from yak_tpu.cli import main as cli
+
+    def ours(args):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli([str(a) for a in args])
+        assert rc == 0
+        return buf.getvalue()
+
+    monkeypatch.setenv("YAK_TPU_MESH", "1")
+    rng = np.random.default_rng(9)
+    g = util.make_genome(rng, 20_000)
+    util.to_fasta(tmp_path / "r.fa",
+                  util.mutate_reads(rng, g, 2000, 100, err=0.002))
+    util.to_fasta(tmp_path / "a.fa", [g], names=["ctg"])
+    util.run_oracle(["count", "-k21", "-K40000", "-o",
+                     tmp_path / "ref.yak", tmp_path / "r.fa"])
+    ours(["count", "-k21", "-K40000", "-o", tmp_path / "our.yak",
+          tmp_path / "r.fa"])
+    assert (util.oracle_print_counts(str(tmp_path / "ref.yak"))
+            == util.oracle_print_counts(str(tmp_path / "our.yak")))
+    ref = subprocess.run([util.ORACLE, "qv", "-t1",
+                          str(tmp_path / "ref.yak"),
+                          str(tmp_path / "a.fa")],
+                         capture_output=True, check=True).stdout.decode()
+    assert ours(["qv", "-K40000", tmp_path / "ref.yak",
+                 tmp_path / "a.fa"]) == ref

@@ -51,6 +51,39 @@ def _usage(lines):
     return 1
 
 
+def _auto_mesh(k=0):
+    """The CLI's multi-device surface (the reference is one binary that
+    uses every core, main.c:325-379; here every local chip): a 1-D mesh
+    over the largest power-of-two device count when more than one
+    device is attached.  YAK_TPU_MESH=0 disables; YAK_TPU_MESH=1 forces
+    it even on CPU backends (tests / virtual-device runs, where the
+    default stays single-device)."""
+    import os
+
+    flag = os.environ.get("YAK_TPU_MESH", "auto")
+    if flag == "0" or k > 31:
+        return None
+    import jax
+
+    if flag != "1" and jax.default_backend() == "cpu":
+        return None
+    n = len(jax.devices())
+    n = 1 << (n.bit_length() - 1)
+    if n < 2:
+        return None
+    from yak_tpu.parallel.mesh import make_mesh
+    return make_mesh(n)
+
+
+def _mesh_table(t, mesh):
+    """Re-shard a restored KmerTable onto the mesh (chip d owns hashes
+    with h & (N-1) == d; lookup workloads accept MeshTables)."""
+    from yak_tpu.parallel.mesh import MeshTable
+
+    h, c = t.items()
+    return MeshTable.from_items(mesh, t.k, t.pre, h, c)
+
+
 def main_count(argv):
     from yak_tpu.models.count import count, CountOpts
     o, pos = _getopt(argv, {"k": 1, "p": 1, "K": 1, "t": 1, "b": 1, "H": 1,
@@ -82,7 +115,12 @@ def main_count(argv):
     if opt.k >= 32:
         print("WARNING: counts are inexact if -k is greater than 31",
               file=sys.stderr)
-    h = count(pos, opt)
+    mesh = _auto_mesh(opt.k)
+    if mesh is not None and opt.pre >= mesh.devices.size.bit_length() - 1:
+        from yak_tpu.parallel.mesh import count_mesh
+        h = count_mesh(pos, opt, mesh)
+    else:
+        h = count(pos, opt)
     if fn_out:
         h.dump(fn_out)
     return 0
@@ -221,6 +259,9 @@ def main_qv(argv):
     if len(pos) < 2:
         return _usage(["Usage: yak_tpu qv [options] <kmer.hash> <seq.fa>"])
     ch = KmerTable.restore(pos[0])
+    mesh = _auto_mesh(ch.k)
+    if mesh is not None:
+        ch = _mesh_table(ch, mesh)
     qv_main(opt, ch, pos[1])
     return 0
 
@@ -247,6 +288,9 @@ def main_triobin(argv):
         return _usage(["Usage: yak_tpu triobin [options] <pat.yak> <mat.yak> "
                        "<seq.fa>"])
     ch = load_trio_tables(pos[0], pos[1], opt)
+    mesh = _auto_mesh(ch.k)
+    if mesh is not None:
+        ch = _mesh_table(ch, mesh)
     kw = {}
     if "K" in o: kw["chunk_cap"] = _parse_num(o["K"])
     tb(opt, ch, pos[2], **kw)
@@ -269,6 +313,9 @@ def main_trioeval(argv):
         return _usage(["Usage: yak_tpu trioeval [options] <pat.yak> <mat.yak> "
                        "<seq.fa>"])
     ch = load_trio_tables(pos[0], pos[1], opt)
+    mesh = _auto_mesh(ch.k)
+    if mesh is not None:
+        ch = _mesh_table(ch, mesh)
     cnt = ch.hist()
     print(f"[M::trioeval] {cnt[0 << 2 | 2]} file1-specific k-mers and "
           f"{cnt[2 << 2 | 0]} file2-specific k-mers", file=sys.stderr)
@@ -287,6 +334,9 @@ def main_chkerr(argv):
     if len(pos) < 2:
         return _usage(["Usage: yak_tpu chkerr [options] <count.yak> <seq.fa>"])
     ch = KmerTable.restore(pos[0])
+    mesh = _auto_mesh(ch.k)
+    if mesh is not None:
+        ch = _mesh_table(ch, mesh)
     ce(opt, ch, pos[1])
     return 0
 
@@ -300,6 +350,9 @@ def main_sexchr(argv):
         return _usage(["Usage: yak_tpu sexchr [options] <chrY.yak> <chrX.yak> "
                        "<PAR.yak> <hap1.fa> <hap2.fa>"])
     ch = load_sexchr_tables(pos[0], pos[1], pos[2])
+    mesh = _auto_mesh(ch.k)
+    if mesh is not None:
+        ch = _mesh_table(ch, mesh)
     sc(opt, ch, [pos[3], pos[4]])
     return 0
 
