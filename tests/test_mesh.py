@@ -433,3 +433,28 @@ def test_cli_auto_mesh(data, tmp_path, monkeypatch):
                          capture_output=True, check=True).stdout.decode()
     assert ours(["qv", "-K40000", tmp_path / "ref.yak",
                  tmp_path / "a.fa"]) == ref
+
+
+def test_mesh_psort_engine_equals_single(data, tmp_path, monkeypatch):
+    """The per-chip Pallas engine on the mesh (sharded presort pre-jit
+    -> shard_mapped bitonic sort -> shard_mapped diagonal search +
+    merge-reduce kernel, interpret mode): table identical to the
+    single-chip count, dump byte-identical (one engine, sharded)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+    sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh,
+                              cap_log2=14)
+    h1, c1 = single.items()
+    h2, c2 = sharded.items()
+    o1, o2 = np.argsort(h1), np.argsort(h2)
+    np.testing.assert_array_equal(h1[o1], h2[o2])
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+    from yak_tpu.io import yakfmt
+    p1, p2 = tmp_path / "a.yak", tmp_path / "b.yak"
+    single.dump(str(p1))
+    yakfmt.dump_yak(str(p2), opt.k, opt.pre, h2, c2)
+    assert p1.read_bytes() == p2.read_bytes()

@@ -500,6 +500,53 @@ def merge_reduce_presorted(size_s, thi, tlo, tw, bhi, blo, bw=None,
         jax.config.update("jax_enable_x64", x64)
 
 
+_MESH_MERGE_CACHE = {}
+
+
+def merge_reduce_presorted_mesh(mesh, size_s, thi, tlo, tw, bhi, blo,
+                                Na=None, Nb=None, create=True,
+                                interpret=False):
+    """merge_reduce_presorted with every input carrying a leading
+    mesh-sharded device axis: each chip runs the diagonal search + the
+    merge-reduce kernel on its own table slice and (already routed +
+    sorted) batch slice — the per-chip engine of the mesh count path,
+    identical to the single-chip kernels.  Returns the plane-state
+    tuple with a leading [D] axis.  Must be called OUTSIDE jit."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def rows(x):
+        n = x.shape[1] * x.shape[2] if x.ndim == 3 else x.shape[1]
+        return n // 128
+    a_rows, b_rows = rows(thi), rows(bhi)
+    key = (id(mesh), Na, Nb, b_rows * 128, a_rows, b_rows, create,
+           interpret)
+    x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        if key not in _MESH_MERGE_CACHE:
+            inner = _merge_call(Na, Nb, b_rows * 128, a_rows, b_rows,
+                                create, True, interpret, lookup=False)
+
+            def local(size_s, thi, tlo, tw, bhi, blo):
+                sz = jnp.minimum(size_s.reshape(-1)[0],
+                                 jnp.int32(Na))
+                a_starts = _search32(
+                    thi.reshape(-1), tlo.reshape(-1), sz, Na,
+                    bhi.reshape(-1), blo.reshape(-1), Nb,
+                    b_rows * 128)
+                out = inner(a_starts, sz.reshape(1), thi[0], tlo[0],
+                            tw[0], bhi[0], blo[0])
+                return tuple(o[None] for o in out)
+
+            _MESH_MERGE_CACHE[key] = jax.jit(shard_map(
+                local, mesh=mesh, in_specs=(P("d"),) * 6,
+                out_specs=(P("d"),) * 5, check_vma=False))
+        return _MESH_MERGE_CACHE[key](size_s, thi, tlo, tw, bhi, blo)
+    finally:
+        jax.config.update("jax_enable_x64", x64)
+
+
 def merge_reduce(a_starts, size_s, thi, tlo, tw, bhi, blo, bw, Na,
                  Nb, create=True, interpret=False, lookup=False):
     """Run the merge-reduce kernel on prepped planes

@@ -242,6 +242,81 @@ def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
     return fn
 
 
+_MESH_SORT_CACHE = {}
+
+
+def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
+                     interpret, max_levels_per_pass=6):
+    """The per-pass callables of _sort_fn, each wrapped in shard_map
+    over the 1-D mesh: every chip runs the identical bitonic pass on
+    its own [rows, 128] plane slice (one per-chip sort per device —
+    the mesh count engine's per-chip batch sort).  Cached per
+    (mesh, shape) in a plain dict (Mesh identity keys)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    key = (id(mesh), Bpad, nplanes, dtypes, neg_keys, window, interpret)
+    if key in _MESH_SORT_CACHE:
+        return _MESH_SORT_CACHE[key]
+
+    W = min(window, Bpad)
+    nwin = Bpad // W
+    wlog = W.bit_length() - 1
+    blog = Bpad.bit_length() - 1
+    passes = []
+    ks = list(range(1, wlog + 1))
+    for g0 in range(0, len(ks), max_levels_per_pass):
+        grp = ks[g0:g0 + max_levels_per_pass]
+        levels = tuple((k, k - 1) for k in grp)
+        passes.append(("win", levels, blog == wlog and grp[-1] == wlog))
+    for k in range(wlog + 1, blog + 1):
+        for j in range(k - 1, wlog - 1, -1):
+            passes.append(("ex", k, j))
+        passes.append(("win", ((k, wlog - 1),), k == blog))
+
+    calls = []
+    for p in passes:
+        if p[0] == "win":
+            call = _win_call(nplanes, dtypes, W, nwin, p[1],
+                             neg_keys and p[2], interpret)
+        else:
+            call = _ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
+                            interpret)
+
+        def local(*ps, _c=call):
+            out = _c([p[0] for p in ps])
+            return tuple(o[None] for o in out)
+
+        calls.append(jax.jit(shard_map(
+            local, mesh=mesh, in_specs=(P("d"),) * nplanes,
+            out_specs=(P("d"),) * nplanes, check_vma=False)))
+    _MESH_SORT_CACHE[key] = (calls, Bpad)
+    return calls, Bpad
+
+
+def sort_planes_mesh(mesh, hi, lo, *extra, neg_keys=False,
+                     window=W_LANES, interpret=False):
+    """sort_planes over a mesh-sharded [D, Bpad] batch: each chip
+    bitonic-sorts its own slice (no cross-chip traffic — the all_to_all
+    routing already assigned lanes to owners).  Must be called OUTSIDE
+    jit (flips the x64 flag)."""
+    planes = (hi, lo) + tuple(extra)
+    D, B = hi.shape
+    assert B >= 1024 and (B & (B - 1)) == 0, B
+    dtypes = tuple(p.dtype.name for p in planes)
+    x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        calls, _ = _sort_calls_mesh(mesh, B, len(planes), dtypes,
+                                    neg_keys, window, interpret)
+        ps = [x.reshape(D, B // 128, 128) for x in planes]
+        for call in calls:
+            ps = list(call(*ps))
+        return tuple(x.reshape(D, B) for x in ps)
+    finally:
+        jax.config.update("jax_enable_x64", x64)
+
+
 def sort_planes(hi, lo, *extra, neg_keys=False, window=W_LANES,
                 interpret=False):
     """Sort B lanes of u64 keys given as u32 hi/lo planes ascending;

@@ -38,15 +38,17 @@ chains the D chunk results through the sequential carry fold
 (_qv_fold_step) with one lax.scan — per-group, not per-chunk, host
 round-trips.
 
-Engine note: per-chip local merges use the packed single-key XLA
-sort-merge (ops/sorttable.merge_batch_impl).  The Pallas merge-reduce
-kernel cannot trace inside these jits on this toolchain (its grids
-mis-lower under jax_enable_x64; the single-chip path flips the flag
-around a separate kernel dispatch, see ops/pallas_compact.compact_raw)
-— on a real pod slice the same 3-dispatch split applies per-chip
-jit-sharded programs; until multi-chip hardware is attachable this
-module keeps the XLA merge, which shares the plane ingest and batch
-sort structure with the fast single-chip engine.
+Engine note: the non-Bloom count fold runs the SAME per-chip Pallas
+engine as a single chip — _MeshCountDriver._dispatch_psort splits each
+group into a sharded x64 pre-jit (extract + route + complement
+planes, build_mesh_presort_step), the shard_mapped bitonic sort
+(pallas_sort.sort_planes_mesh), and the shard_mapped diagonal search +
+merge-reduce kernel (pallas_merge.merge_reduce_presorted_mesh), with
+the x64 flag flipped around the kernel dispatches exactly like
+table._run_step.  Merge outputs chain as per-chip plane-state across
+groups and materialize once at fold end (mesh_finalize_psort).  The
+Bloom pass (dedup/gate reshapes the batch in-step) keeps the packed
+single-key XLA sort-merge (ops/sorttable.merge_batch_impl).
 
 Histograms and QV count vectors reduce with psum / post-shard_map scans
 (generalizing the per-thread reductions at htab.c:164-167, qv.c:128-133).
@@ -484,6 +486,108 @@ def build_qv_group_step(mesh, k, ns, chunk, route_cap=None,
     return step
 
 
+def _psort_pad(B):
+    """Padded batch lanes for the per-chip bitonic sort (power of two,
+    >= the merge kernel's minimum physical window)."""
+    return max(1 << 14, 1 << max(B - 1, 1).bit_length())
+
+
+def build_mesh_presort_step(mesh, k, capd, chunk, route_cap,
+                            from_planes=False, state_rows=None):
+    """x64 pre-jit of the mesh psort engine (the per-chip twin of
+    countstep.get_count_presort_step): data-parallel extract from the
+    plane block, all_to_all hash routing to owner chips, then each
+    chip's received stream packed as UNSORTED complement-key u32 planes
+    for the per-chip Pallas bitonic sort + merge-reduce dispatches.
+
+    from_planes=False: step(planes, keys, cnt, size) additionally
+    splits the u64 table slice to raw shifted planes ->
+      (xhi, xlo, thi, tlo, tw, size11, route_ovf), all [D, ...].
+    from_planes=True: the table stays in the previous merge's raw
+    plane-state (driver passes it straight to the merge dispatch), so
+    the step is table-free: step(planes) -> (xhi, xlo, route_ovf)."""
+    n_dev = mesh.devices.size
+    M = chunk - k + 1
+    C = route_cap
+    B = n_dev * C
+    Bpad = _psort_pad(B)
+
+    def xs_of(recv_h, recv_v):
+        xs = jnp.where(recv_v,
+                       ~((recv_h << jnp.uint64(1)) | jnp.uint64(1)),
+                       jnp.uint64(0))
+        if Bpad != B:
+            xs = jnp.concatenate(
+                [xs, jnp.zeros(Bpad - B, jnp.uint64)])
+        return ((xs >> jnp.uint64(32)).astype(jnp.uint32),
+                (xs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+
+    def extract_route(planes):
+        plo = planes[0, 0][None]
+        phi = planes[0, 1][None]
+        pnn = planes[0, 2][None]
+        h, valid = extract_from_planes(plo, phi, pnn, k, chunk)
+        h, valid = h.reshape(-1), valid.reshape(-1)
+        if n_dev > 1:
+            recv_h, recv_v, ovf, _ = _route(h, valid, n_dev, C)
+        else:
+            recv_h, recv_v, ovf = h[:C], valid[:C], jnp.int32(0)
+        return recv_h, recv_v, ovf
+
+    if from_planes:
+
+        def local(planes):
+            recv_h, recv_v, ovf = extract_route(planes)
+            xhi, xlo = xs_of(recv_h, recv_v)
+            return xhi[None], xlo[None], ovf[None]
+
+        step = shard_map(local, mesh=mesh, in_specs=(P("d"),),
+                         out_specs=(P("d"),) * 3, check_vma=False)
+        return jax.jit(step)
+
+    # the merge kernel DMAs fixed (T+A)-lane windows, so the physical
+    # table planes must be at least that long even when capd is tiny
+    # (lanes >= size are masked in-kernel; pads are never read as live)
+    from yak_tpu.ops.pallas_merge import _WA
+    tpad = max(capd, _WA) - capd
+
+    def local(planes, keys, cnt, size):
+        recv_h, recv_v, ovf = extract_route(planes)
+        xhi, xlo = xs_of(recv_h, recv_v)
+        shifted = keys.reshape(-1) << jnp.uint64(1)
+        thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        tw = cnt.reshape(-1)
+        if tpad:
+            thi = jnp.concatenate([thi, jnp.zeros(tpad, jnp.uint32)])
+            tlo = jnp.concatenate([tlo, jnp.zeros(tpad, jnp.uint32)])
+            tw = jnp.concatenate([tw, jnp.zeros(tpad, jnp.int32)])
+        size11 = jnp.minimum(size.reshape(()), capd).reshape(
+            1, 1).astype(jnp.int32)
+        return (xhi[None], xlo[None], thi[None], tlo[None],
+                tw[None], size11[None], ovf[None])
+
+    step = shard_map(local, mesh=mesh, in_specs=(P("d"),) * 4,
+                     out_specs=(P("d"),) * 7, check_vma=False)
+    return jax.jit(step)
+
+
+def mesh_finalize_psort(mesh, capd):
+    """x64 jit: per-chip merge plane-state -> u64 table state (the mesh
+    twin of countstep.finalize_pmerge)."""
+    def local(ohi, olo, ov, size11):
+        keys = ((ohi.reshape(-1)[:capd].astype(jnp.uint64)
+                 << jnp.uint64(32))
+                | olo.reshape(-1)[:capd].astype(jnp.uint64)
+                ) >> jnp.uint64(1)
+        sz = jnp.minimum(size11.reshape(()), capd).astype(jnp.int32)
+        return keys[None], ov.reshape(-1)[:capd][None], sz[None]
+
+    step = shard_map(local, mesh=mesh, in_specs=(P("d"),) * 4,
+                     out_specs=(P("d"),) * 3, check_vma=False)
+    return jax.jit(step)
+
+
 def mesh_routed_groups(fn, mtable, chunk, k=None):
     """Stream record-meta chunks through the routed mesh lookup in
     groups of up to D: yields (group, vals, hasw) where group is the
@@ -550,6 +654,15 @@ class _MeshCountDriver:
             self.bloom_cfg = (table.pre, table.bf_shift, table.bf_n_hash)
         self._steps = {}
         self._last = None
+        # engine: per-chip Pallas bitonic sort + merge-reduce (the
+        # single-chip psort engine under shard_map; table._pallas_mode
+        # semantics) when non-Bloom and enabled; XLA sort-merge
+        # otherwise
+        from yak_tpu.ops.countstep import psort_enabled
+        use_ps, ps_interp = psort_enabled(table.k <= 31)
+        self.psort = (use_ps or ps_interp) and self.bloom_cfg is None
+        self._interp = ps_interp
+        self._pstate = None       # chained per-chip merge plane-state
 
     def _step(self):
         key = (self.t.cap, self.C)
@@ -560,7 +673,17 @@ class _MeshCountDriver:
                 bloom_cfg=self.bloom_cfg)
         return self._steps[key]
 
+    def _pre_step(self, from_planes):
+        key = ("pre", self.t.cap, self.C, from_planes)
+        if key not in self._steps:
+            self._steps[key] = build_mesh_presort_step(
+                self.t.mesh, self.t.k, self.t.cap, self.chunk, self.C,
+                from_planes=from_planes)
+        return self._steps[key]
+
     def _dispatch(self, planes_d):
+        if self.psort:
+            return self._dispatch_psort(planes_d)
         t = self.t
         prev = (t.keys, t.cnt, t.size, t.bf)
         args = (planes_d, t.keys, t.cnt, t.size)
@@ -572,6 +695,56 @@ class _MeshCountDriver:
                 self._step()(*args)
         self._last = (prev, planes_d, r_ovf, t_ovf)
 
+    def _dispatch_psort(self, planes_d):
+        """Per-chip 3-dispatch split mirroring table._run_step's psort
+        engine: sharded pre-jit (extract + route + complement planes)
+        -> per-chip Pallas bitonic sort -> per-chip diagonal search +
+        merge-reduce kernel (all under shard_map)."""
+        from yak_tpu.ops import pallas_merge, pallas_sort
+
+        t = self.t
+        B = t.n_dev * self.C
+        if self._pstate is None:
+            prev = ("u64", t.keys, t.cnt, t.size)
+            out7 = self._pre_step(False)(planes_d, t.keys, t.cnt,
+                                         t.size)
+            xhi, xlo, thi, tlo, tw, size11, r_ovf = out7
+        else:
+            prev = ("planes", self._pstate)
+            xhi, xlo, r_ovf = self._pre_step(True)(planes_d)
+            thi, tlo, tw, size11 = self._pstate[:4]
+        Ehi, Elo = pallas_sort.sort_planes_mesh(
+            t.mesh, xhi, xlo, neg_keys=True, interpret=self._interp)
+        out = pallas_merge.merge_reduce_presorted_mesh(
+            t.mesh, size11, thi, tlo, tw, Ehi, Elo, Na=t.cap, Nb=B,
+            create=self.create_new, interpret=self._interp)
+        self._pstate = out
+        self._last = (prev, planes_d, r_ovf, out[3])
+
+    def _restore(self, prev):
+        t = self.t
+        if self.psort:
+            if prev[0] == "u64":
+                t.keys, t.cnt, t.size = prev[1], prev[2], prev[3]
+                self._pstate = None
+            else:
+                self._pstate = prev[1]
+        else:
+            t.keys, t.cnt, t.size, t.bf = prev
+
+    def _materialize(self):
+        """Settle the chained plane-state back into the u64 mesh table
+        (one sharded dispatch; called at fold end and before growth)."""
+        if self._pstate is None:
+            return
+        t = self.t
+        fin = self._steps.get(("fin", t.cap))
+        if fin is None:
+            fin = mesh_finalize_psort(t.mesh, t.cap)
+            self._steps[("fin", t.cap)] = fin
+        t.keys, t.cnt, t.size = fin(*self._pstate[:4])
+        self._pstate = None
+
     def push_group(self, code_chunks):
         self.settle()
         planes = _pack_group_planes(code_chunks, self.chunk,
@@ -579,25 +752,40 @@ class _MeshCountDriver:
         planes_d = jax.device_put(jnp.asarray(planes), self.t.sh)
         self._dispatch(planes_d)
 
-    def settle(self):
+    def settle(self, final=False):
         if self._last is None:
+            if final:
+                self._materialize()
             return
         prev, planes_d, r_ovf, t_ovf = self._last
         self._last = None
         while True:
             r = int(np.asarray(r_ovf).max())
-            tv = bool(np.asarray(t_ovf).max())
+            if self.psort:
+                sizes = np.asarray(t_ovf).reshape(-1)
+                tv = bool((sizes > self.t.cap).max())
+            else:
+                tv = bool(np.asarray(t_ovf).max())
             if not r and not tv:
-                self.t.tot = int(np.asarray(self.t.size).sum())
+                if self.psort:
+                    self.t.tot = int(np.minimum(
+                        np.asarray(t_ovf).reshape(-1),
+                        self.t.cap).sum())
+                else:
+                    self.t.tot = int(np.asarray(self.t.size).sum())
+                if final:
+                    self._materialize()
                 return
             # restore the preserved pre-step state, adjust, replay
             t = self.t
-            t.keys, t.cnt, t.size, t.bf = prev
+            self._restore(prev)
             if r:
                 self.C = min(self.M, self.C * 2)
             if tv:
+                self._materialize()   # growth needs the u64 form
                 t.grow(t.cap * 2)
-                prev = (t.keys, t.cnt, t.size, t.bf)
+                prev = (("u64", t.keys, t.cnt, t.size) if self.psort
+                        else (t.keys, t.cnt, t.size, t.bf))
             self._dispatch(planes_d)
             prev, planes_d, r_ovf, t_ovf = self._last
             self._last = None
@@ -636,7 +824,7 @@ def count_file_mesh(fn, opt, mesh, cap_log2=None, table=None,
             group = []
     if group:
         drv.push_group(group)
-    drv.settle()
+    drv.settle(final=True)
     return table
 
 
