@@ -243,12 +243,17 @@ def _run_qv_fused_mesh(opt, fn, mtable, out):
     import jax.numpy as jnp
 
     from yak_tpu.io.chunks import ChunkSource
+    from yak_tpu.ops.countstep import psort_enabled
     from yak_tpu.parallel.mesh import (_pack_group_planes,
+                                       build_lookup_psort,
+                                       build_qv_group_post,
                                        build_qv_group_step,
                                        default_route_cap)
 
     k = mtable.k
     n_dev = mtable.n_dev
+    use_ps, ps_interp = psort_enabled(k <= 31)
+    use_ps = use_ps or ps_interp
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     M = chunk - k + 1
@@ -276,10 +281,29 @@ def _run_qv_fused_mesh(opt, fn, mtable, out):
             infos.append(info)
         while len(metas) < n_dev:
             metas.append(_qv_pad_meta(M, ns))
-        planes = jnp.asarray(_pack_group_planes(
-            [p.codes for p in group], chunk, n_dev))
+        import jax
+        planes = jax.device_put(jnp.asarray(_pack_group_planes(
+            [p.codes for p in group], chunk, n_dev)), mtable.sh)
         meta_d = jnp.asarray(np.stack(metas))
         while True:
+            if use_ps:
+                # psort engine: routed per-chip Pallas JOIN, then the
+                # group reduction + carry chain in one post jit
+                run = build_lookup_psort(mtable.mesh, k, chunk,
+                                         route["C"])
+                vals, hasw, ovf = run(planes, mtable.keys, mtable.cnt,
+                                      mtable.size, interpret=ps_interp)
+                if int(np.asarray(ovf).max()):
+                    route["C"] = min(M, route["C"] * 2)
+                    continue
+                key = ("post", ns)
+                if key not in steps:
+                    steps[key] = build_qv_group_post(
+                        mtable.mesh, k, ns, chunk,
+                        min_frac=float(opt.min_frac))
+                out7 = steps[key](vals, hasw, meta_d, cnt_d, c_tot,
+                                  c_non0, c_hist)
+                break
             key = (ns, route["C"], mtable.cap)
             if key not in steps:
                 steps[key] = build_qv_group_step(

@@ -368,8 +368,10 @@ def _main_triobin_fused_mesh(opt, ch, seq_fn, out, chunk_cap,
     from yak_tpu.io.chunks import ChunkSource
     from yak_tpu.ops.countstep import _triobin_reduce
     from yak_tpu.parallel.mesh import (_pack_group_planes,
+                                       build_lookup_psort,
                                        build_lookup_step,
                                        default_route_cap)
+    from yak_tpu.ops.countstep import psort_enabled
 
     k = ch.k
     n_dev = ch.n_dev
@@ -380,6 +382,8 @@ def _main_triobin_fused_mesh(opt, ch, seq_fn, out, chunk_cap,
     bo = _BatchedOut(out, batch_bases)
     fold = _TriobinFold(opt, k, bo)
     route = {"C": default_route_cap(M, n_dev), "step": None}
+    use_ps, ps_interp = psort_enabled(k <= 31)
+    use_ps = use_ps or ps_interp
     reducers = {}
 
     def reducer(ns):
@@ -406,11 +410,16 @@ def _main_triobin_fused_mesh(opt, ch, seq_fn, out, chunk_cap,
         planes = jax.device_put(jnp.asarray(_pack_group_planes(
             [pck.codes for pck in group], chunk, n_dev)), ch.sh)
         while True:
-            if route["step"] is None:
-                route["step"] = build_lookup_step(
-                    ch.mesh, k, chunk, route_cap=route["C"])
-            vals, hasw, ovf = route["step"](planes, ch.keys, ch.cnt,
-                                            ch.size)
+            if use_ps:
+                run = build_lookup_psort(ch.mesh, k, chunk, route["C"])
+                vals, hasw, ovf = run(planes, ch.keys, ch.cnt, ch.size,
+                                      interpret=ps_interp)
+            else:
+                if route["step"] is None:
+                    route["step"] = build_lookup_step(
+                        ch.mesh, k, chunk, route_cap=route["C"])
+                vals, hasw, ovf = route["step"](planes, ch.keys,
+                                                ch.cnt, ch.size)
             if not int(np.asarray(ovf).max()):
                 break
             route["C"] = min(M, route["C"] * 2)

@@ -505,7 +505,7 @@ _MESH_MERGE_CACHE = {}
 
 def merge_reduce_presorted_mesh(mesh, size_s, thi, tlo, tw, bhi, blo,
                                 Na=None, Nb=None, create=True,
-                                interpret=False):
+                                interpret=False, lookup=False):
     """merge_reduce_presorted with every input carrying a leading
     mesh-sharded device axis: each chip runs the diagonal search + the
     merge-reduce kernel on its own table slice and (already routed +
@@ -520,13 +520,13 @@ def merge_reduce_presorted_mesh(mesh, size_s, thi, tlo, tw, bhi, blo,
         return n // 128
     a_rows, b_rows = rows(thi), rows(bhi)
     key = (id(mesh), Na, Nb, b_rows * 128, a_rows, b_rows, create,
-           interpret)
+           interpret, lookup)
     x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
         if key not in _MESH_MERGE_CACHE:
             inner = _merge_call(Na, Nb, b_rows * 128, a_rows, b_rows,
-                                create, True, interpret, lookup=False)
+                                create, True, interpret, lookup=lookup)
 
             def local(size_s, thi, tlo, tw, bhi, blo):
                 sz = jnp.minimum(size_s.reshape(-1)[0],

@@ -572,6 +572,111 @@ def build_mesh_presort_step(mesh, k, capd, chunk, route_cap,
     return jax.jit(step)
 
 
+_LOOKUP_PSORT_CACHE = {}
+
+
+def build_lookup_psort(mesh, k, chunk, route_cap):
+    """The routed mesh lookup on the per-chip Pallas merge-JOIN (the
+    lookup twin of the psort count engine): a sharded x64 pre-jit
+    (extract + all_to_all route + complement query planes + join
+    payload + raw table planes), the shard_mapped bitonic sort, the
+    shard_mapped JOIN kernel, and a sharded post-jit (per-chip order
+    restore -> all_to_all the values back -> original lane order).
+
+    Returns run(planes, keys, cnt, size) ->
+      (vals[D, M] i32, has[D, M] bool, route_ovf[D]) — the
+    build_lookup_step contract."""
+    from yak_tpu.ops.countstep import plookup_post
+
+    n_dev = mesh.devices.size
+    M = chunk - k + 1
+    C = route_cap
+    B = n_dev * C if n_dev > 1 else M
+    Bpad = _psort_pad(B)
+
+    key = (id(mesh), k, chunk, C)
+    if key in _LOOKUP_PSORT_CACHE:
+        return _LOOKUP_PSORT_CACHE[key]
+
+    def pre_local(planes, keys, cnt, size):
+        plo = planes[0, 0][None]
+        phi = planes[0, 1][None]
+        pnn = planes[0, 2][None]
+        h, valid = extract_from_planes(plo, phi, pnn, k, chunk)
+        h, valid = h.reshape(-1), valid.reshape(-1)
+        if n_dev > 1:
+            idx = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+            recv_h, recv_v, ovf, (ok, slot, idx_s) = _route(
+                h, valid, n_dev, C, payload=idx)
+        else:
+            recv_h, recv_v, ovf = h, valid, jnp.int32(0)
+            ok = valid
+            slot = jnp.zeros(M, jnp.int32)
+            idx_s = jnp.zeros(M, jnp.int32)
+        # complement query planes + join payload (recv-lane index)
+        xs = jnp.where(recv_v,
+                       ~((recv_h << jnp.uint64(1)) | jnp.uint64(1)),
+                       jnp.uint64(2))
+        pay = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+        if Bpad != B:
+            xs = jnp.concatenate([xs, jnp.zeros(Bpad - B, jnp.uint64)])
+            pay = jnp.concatenate(
+                [pay, jnp.full(Bpad - B, -1, jnp.int32)])
+        xhi = (xs >> jnp.uint64(32)).astype(jnp.uint32)
+        xlo = (xs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        kk = keys.reshape(-1)
+        shifted = kk << jnp.uint64(1)
+        thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        tw = cnt.reshape(-1)
+        from yak_tpu.ops.pallas_merge import _WA
+        tpad = max(kk.shape[0], _WA) - kk.shape[0]
+        if tpad:
+            thi = jnp.concatenate([thi, jnp.zeros(tpad, jnp.uint32)])
+            tlo = jnp.concatenate([tlo, jnp.zeros(tpad, jnp.uint32)])
+            tw = jnp.concatenate([tw, jnp.zeros(tpad, jnp.int32)])
+        size11 = jnp.minimum(size.reshape(()),
+                             kk.shape[0]).reshape(1, 1).astype(jnp.int32)
+        return (xhi[None], xlo[None], pay[None], thi[None], tlo[None],
+                tw[None], size11[None], valid[None], ok[None],
+                slot[None], idx_s[None], ovf[None])
+
+    pre = jax.jit(shard_map(
+        pre_local, mesh=mesh, in_specs=(P("d"),) * 4,
+        out_specs=(P("d"),) * 12, check_vma=False))
+
+    def post_local(ov, pay, ok, slot, idx_s):
+        vals_recv = plookup_post(ov[0], pay[0], B)
+        if n_dev > 1:
+            v_orig = _route_back(vals_recv, ok[0], slot[0], idx_s[0],
+                                 n_dev, C)
+        else:
+            v_orig = vals_recv[:M]
+        return v_orig[None]
+
+    post = jax.jit(shard_map(
+        post_local, mesh=mesh, in_specs=(P("d"),) * 5,
+        out_specs=P("d"), check_vma=False))
+
+    def run(planes, keys, cnt, size, interpret=False):
+        from yak_tpu.ops import pallas_merge, pallas_sort
+
+        (xhi, xlo, pay0, thi, tlo, tw, size11, valid, ok, slot,
+         idx_s, ovf) = pre(planes, keys, cnt, size)
+        Ehi, Elo, pay = pallas_sort.sort_planes_mesh(
+            mesh, xhi, xlo, pay0, neg_keys=True, interpret=interpret)
+        capd = keys.shape[1]
+        out = pallas_merge.merge_reduce_presorted_mesh(
+            mesh, size11, thi, tlo, tw, Ehi, Elo,
+            Na=capd, Nb=B, create=True, interpret=interpret,
+            lookup=True)
+        vals = post(out[2], pay, ok, slot, idx_s)
+        return vals, valid, ovf
+
+    _LOOKUP_PSORT_CACHE[key] = run
+    return run
+
+
 def mesh_finalize_psort(mesh, capd):
     """x64 jit: per-chip merge plane-state -> u64 table state (the mesh
     twin of countstep.finalize_pmerge)."""
@@ -605,16 +710,25 @@ def mesh_routed_groups(fn, mtable, chunk, k=None):
     n_dev = mtable.n_dev
     M = chunk - k + 1
     route = {"C": default_route_cap(M, n_dev), "step": None}
+    from yak_tpu.ops.countstep import psort_enabled
+    use_ps, ps_interp = psort_enabled(k <= 31)
+    use_ps = use_ps or ps_interp
 
     def flush_group(group):
         planes = jax.device_put(jnp.asarray(_pack_group_planes(
             [p.codes for p in group], chunk, n_dev)), mtable.sh)
         while True:
-            if route["step"] is None:
-                route["step"] = build_lookup_step(
-                    mtable.mesh, k, chunk, route_cap=route["C"])
-            vals, hasw, ovf = route["step"](planes, mtable.keys,
-                                            mtable.cnt, mtable.size)
+            if use_ps:
+                run = build_lookup_psort(mtable.mesh, k, chunk,
+                                         route["C"])
+                vals, hasw, ovf = run(planes, mtable.keys, mtable.cnt,
+                                      mtable.size, interpret=ps_interp)
+            else:
+                if route["step"] is None:
+                    route["step"] = build_lookup_step(
+                        mtable.mesh, k, chunk, route_cap=route["C"])
+                vals, hasw, ovf = route["step"](planes, mtable.keys,
+                                                mtable.cnt, mtable.size)
             if not int(np.asarray(ovf).max()):
                 return vals, hasw
             route["C"] = min(M, route["C"] * 2)
@@ -632,6 +746,42 @@ def mesh_routed_groups(fn, mtable, chunk, k=None):
     if group:
         vals, hasw = flush_group(group)
         yield group, vals, hasw
+
+
+def build_qv_group_post(mesh, k, ns, chunk, min_frac=0.5):
+    """The reduction + carry-chain half of build_qv_group_step, for the
+    psort engine: the routed per-chip Pallas JOIN produces (vals, has)
+    in its own dispatches (build_lookup_psort), and this jit runs the
+    per-chunk qv reductions data-parallel plus the sequential group
+    carry fold."""
+    from yak_tpu.ops.countstep import _qv_chunk_stats, _qv_fold_step
+
+    M = chunk - k + 1
+
+    def local(vals, hasw, meta):
+        hg, hi_, hh, tot, non0 = _qv_chunk_stats(
+            vals.reshape(-1), hasw.reshape(-1), meta.reshape(-1), ns,
+            M, min_frac)
+        return hg[None], hi_[None], hh[None], tot[None], non0[None]
+
+    inner = shard_map(local, mesh=mesh, in_specs=(P("d"),) * 3,
+                      out_specs=(P("d"),) * 5, check_vma=False)
+
+    @jax.jit
+    def step(vals, hasw, meta, cnt0, c_tot, c_non0, c_hist):
+        hg, hi_, hh, tot, non0 = inner(vals, hasw, meta)
+
+        def body(carry, xs):
+            meta_j, hg_j, hi_j, hh_j, tot_j, non0_j = xs
+            return _qv_fold_step(carry, meta_j, hg_j, hi_j, hh_j,
+                                 tot_j, non0_j, ns, min_frac), None
+
+        (cnt1, ct, cn, chh), _ = jax.lax.scan(
+            body, (cnt0, c_tot, c_non0, c_hist),
+            (meta, hg, hi_, hh, tot, non0))
+        return cnt1, ct, cn, chh, tot, non0
+
+    return step
 
 
 class _MeshCountDriver:
