@@ -308,18 +308,31 @@ TE_DIGEST = {17: None, 18: None}
 
 
 def bench_trioeval(table, genome, out_times):
-    """trioeval throughput on the same synthetic flag table as triobin
-    (VERDICT r2: the weakest workload was not machine-recorded)."""
+    """trioeval throughput (VERDICT r2: the weakest workload was not
+    machine-recorded).  Flags are assigned in alternating 10 kb
+    haplotype blocks along the genome (pat-strong / mat-strong), the
+    realistic trio shape: phase runs are long, the sparse run markers
+    stay far under budget, and the switch/site chain has real work."""
     import hashlib
 
+    import jax.numpy as jnp
+
     from yak_tpu.models.trio import TrioOpts, main_trioeval
+    from yak_tpu.ops.kmers import extract_kmer_hashes
     from yak_tpu.table import KmerTable
 
-    h, _c = table.items()
-    flags = ((h >> np.uint64(7)) % np.uint64(15) + np.uint64(1)
-             ).astype(np.int32)
+    gh, gv = extract_kmer_hashes(
+        jnp.asarray(genome[None, :], jnp.uint8), K)
+    gh = np.asarray(gh).reshape(-1)
+    pos_flag = np.where((np.arange(len(gh)) // 10_000) % 2 == 0, 2, 8)
+    flags = {}
+    for hh, fl in zip(gh, pos_flag):
+        flags.setdefault(int(hh), int(fl))
+    h = np.fromiter(flags.keys(), np.uint64, len(flags))
+    o = np.argsort(h)
+    c = np.fromiter(flags.values(), np.int64, len(flags))[o]
     tb = KmerTable(K)
-    tb._set_pairs(h, flags)
+    tb._set_pairs(h[o], c.astype(np.int32))
     n_ctg, ctg_len = 24, GENOME_LEN
     npos = n_ctg * (ctg_len - K + 1)
 

@@ -439,14 +439,26 @@ def _run_qv_fused(opt, fn, table, out):
                 h["o"] = post(kout[2], pay, meta_j, *st)
             elif use_join:
                 Mw = chunk - k + 1
-                from yak_tpu.ops.countstep import run_join_lookup
+                from yak_tpu.ops.countstep import (psort_enabled,
+                                                   run_join_lookup,
+                                                   run_qv_join_post_psort)
                 ov, pay, vflat = run_join_lookup(
                     table, k, planes_key, arg, Mw,
                     interpret=join_interp)
-                post = get_qv_join_post(k, ns, Mw,
-                                        min_frac=float(opt.min_frac),
-                                        emit_ek=want_ek)
-                h["o"] = post(ov, pay, vflat, jnp.asarray(meta), *st)
+                ps_use, ps_interp = psort_enabled(k <= 31)
+                if (ps_use or ps_interp) and not want_ek:
+                    # both post sorts (order restore + region
+                    # histogram) in the bitonic kernels
+                    h["o"] = run_qv_join_post_psort(
+                        ov, pay, vflat, jnp.asarray(meta), st, ns, Mw,
+                        min_frac=float(opt.min_frac),
+                        interpret=join_interp or ps_interp)
+                else:
+                    post = get_qv_join_post(
+                        k, ns, Mw, min_frac=float(opt.min_frac),
+                        emit_ek=want_ek)
+                    h["o"] = post(ov, pay, vflat, jnp.asarray(meta),
+                                  *st)
             else:
                 step = get_qv_step(k, ns, planes_L=planes_key,
                                    min_frac=float(opt.min_frac),

@@ -81,14 +81,21 @@ def _xroll(x, d):
     return jnp.where((rows & q) == 0, fwd, bwd)
 
 
-def _stage(planes, d, dirm, gf):
+def _stage(planes, d, dirm, gf, key_planes=2):
     """One compare-exchange stage at distance d.  dirm: descending-block
-    mask (bit k of global index set); gf: global flat index tile."""
-    h, lo = planes[0], planes[1]
+    mask (bit k of global index set); gf: global flat index tile.
+    key_planes=1 compares only plane 0 (u32 keys; the rest are
+    payload) — half the compare work for narrow-key sorts."""
     partners = [_xroll(p, d) for p in planes]
-    ph, plo = partners[0], partners[1]
-    less_po = _less(ph, plo, h, lo)       # partner < own
-    less_op = _less(h, lo, ph, plo)
+    if key_planes == 1:
+        h, ph = planes[0], partners[0]
+        less_po = ph < h
+        less_op = h < ph
+    else:
+        h, lo = planes[0], planes[1]
+        ph, plo = partners[0], partners[1]
+        less_po = _less(ph, plo, h, lo)   # partner < own
+        less_op = _less(h, lo, ph, plo)
     bitset = (gf & d) != 0
     # the low lane of a pair keeps the min in an ascending block; ties
     # keep self (both strict compares false) -- consistent everywhere
@@ -97,10 +104,10 @@ def _stage(planes, d, dirm, gf):
     return [jnp.where(take, pp, p) for p, pp in zip(planes, partners)]
 
 
-def _windowed_kernel(nplanes, W, levels, neg_keys):
+def _windowed_kernel(nplanes, W, levels, neg_keys, key_planes=2):
     """Kernel running, per window block, the stage list
     `levels = [(k, j_hi), ...]` (stages j_hi..0 of each level k);
-    neg_keys complements the two key planes on the final write (turning
+    neg_keys complements the key planes on the final write (turning
     ascending xs into the merge kernel's descending E for free)."""
     WR = W // 128
 
@@ -114,17 +121,17 @@ def _windowed_kernel(nplanes, W, levels, neg_keys):
         for (k, j_hi) in levels:
             dirm = (gf & (1 << k)) != 0
             for j in range(j_hi, -1, -1):
-                planes = _stage(planes, 1 << j, dirm, gf)
+                planes = _stage(planes, 1 << j, dirm, gf, key_planes)
         for idx in range(nplanes):
             val = planes[idx]
-            if neg_keys and idx < 2:
+            if neg_keys and idx < key_planes:
                 val = ~val
             outs[idx][:] = val
 
     return kernel
 
 
-def _exchange_kernel(nplanes, W, k, j):
+def _exchange_kernel(nplanes, W, k, j, key_planes=2):
     """One cross-window stage (d = 2^j >= W): program w exchanges its
     window elementwise with window w ^ (d // W) and writes only its own
     block (both sides read both blocks; no aliasing, no races)."""
@@ -141,10 +148,15 @@ def _exchange_kernel(nplanes, W, k, j):
         dirm = (gf & (1 << k)) != 0
         bitset = (gf & d) != 0
         want_min = ~(bitset ^ dirm)
-        h, lo = mine[0][:], mine[1][:]
-        oh, olo = other[0][:], other[1][:]
-        less_po = _less(oh, olo, h, lo)
-        less_op = _less(h, lo, oh, olo)
+        if key_planes == 1:
+            h, oh = mine[0][:], other[0][:]
+            less_po = oh < h
+            less_op = h < oh
+        else:
+            h, lo = mine[0][:], mine[1][:]
+            oh, olo = other[0][:], other[1][:]
+            less_po = _less(oh, olo, h, lo)
+            less_op = _less(h, lo, oh, olo)
         take = (want_min & less_po) | (~want_min & less_op)
         for idx in range(nplanes):
             outs[idx][:] = jnp.where(take, other[idx][:], mine[idx][:])
@@ -152,14 +164,15 @@ def _exchange_kernel(nplanes, W, k, j):
     return kernel
 
 
-def _win_call(nplanes, dtypes, W, nwin, levels, neg_keys, interpret):
+def _win_call(nplanes, dtypes, W, nwin, levels, neg_keys, interpret,
+              key_planes=2):
     WR = W // 128
     spec = pl.BlockSpec((WR, 128), lambda w: (w, 0),
                         memory_space=pltpu.VMEM)
 
     def fn(planes):
         return pl.pallas_call(
-            _windowed_kernel(nplanes, W, levels, neg_keys),
+            _windowed_kernel(nplanes, W, levels, neg_keys, key_planes),
             grid=(nwin,),
             in_specs=[spec] * nplanes,
             out_specs=[spec] * nplanes,
@@ -171,7 +184,8 @@ def _win_call(nplanes, dtypes, W, nwin, levels, neg_keys, interpret):
     return fn
 
 
-def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret):
+def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret,
+             key_planes=2):
     WR = W // 128
     m = (1 << j) // W
     own = pl.BlockSpec((WR, 128), lambda w: (w, 0),
@@ -181,7 +195,7 @@ def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret):
 
     def fn(planes):
         return pl.pallas_call(
-            _exchange_kernel(nplanes, W, k, j),
+            _exchange_kernel(nplanes, W, k, j, key_planes),
             grid=(nwin,),
             in_specs=[own] * nplanes + [par] * nplanes,
             out_specs=[own] * nplanes,
@@ -195,7 +209,7 @@ def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret):
 
 @lru_cache(maxsize=None)
 def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
-             max_levels_per_pass=6):
+             max_levels_per_pass=6, key_planes=2):
     """Pass chain for a static padded lane count (power of two,
     >= 1024).  Every pass is its OWN jit: the remote-compile tunnel
     compiles Mosaic kernels serially and caches per-executable, so one
@@ -227,10 +241,11 @@ def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
     for p in passes:
         if p[0] == "win":
             call = _win_call(nplanes, dtypes, W, nwin, p[1],
-                             neg_keys and p[2], interpret)
+                             neg_keys and p[2], interpret,
+                             key_planes=key_planes)
         else:
             call = _ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
-                            interpret)
+                            interpret, key_planes=key_planes)
         calls.append(jax.jit(call))
 
     def fn(*planes):
@@ -319,6 +334,20 @@ def sort_planes_mesh(mesh, hi, lo, *extra, neg_keys=False,
 
 def sort_planes(hi, lo, *extra, neg_keys=False, window=W_LANES,
                 interpret=False):
+    """See module docstring; 64-bit keys as hi/lo u32 planes."""
+    return _sort_entry((hi, lo) + tuple(extra), 2, neg_keys, window,
+                       interpret)
+
+
+def sort_planes32(key, *extra, neg_keys=False, window=W_LANES,
+                  interpret=False):
+    """Single-u32-key variant (half the compare work): `key` is the
+    sort key, `extra` planes are payload."""
+    return _sort_entry((key,) + tuple(extra), 1, neg_keys, window,
+                       interpret)
+
+
+def _sort_entry(planes, key_planes, neg_keys, window, interpret):
     """Sort B lanes of u64 keys given as u32 hi/lo planes ascending;
     `extra` planes ride along.  The input length must be a power of two
     >= 1024 (callers pad with 0x..00 keys, which sort to the front --
@@ -326,15 +355,14 @@ def sort_planes(hi, lo, *extra, neg_keys=False, window=W_LANES,
     the final pass, returning the DESCENDING complement order
     (ops/pallas_merge's E contract) at no extra cost.  Must be called
     OUTSIDE jit (flips the x64 flag)."""
-    planes = (hi, lo) + tuple(extra)
-    B = hi.shape[0]
+    B = planes[0].shape[0]
     assert B >= 1024 and (B & (B - 1)) == 0, B
     dtypes = tuple(p.dtype.name for p in planes)
     x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
         fn = _sort_fn(B, len(planes), dtypes, neg_keys, window,
-                      interpret)
+                      interpret, key_planes=key_planes)
         return fn(*planes)
     finally:
         jax.config.update("jax_enable_x64", x64)
