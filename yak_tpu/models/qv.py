@@ -283,7 +283,7 @@ def _run_qv_fused_mesh(opt, fn, mtable, out):
             metas.append(_qv_pad_meta(M, ns))
         import jax
         planes = jax.device_put(jnp.asarray(_pack_group_planes(
-            [p.codes for p in group], chunk, n_dev)), mtable.sh)
+            group, chunk, n_dev)), mtable.sh)
         meta_d = jnp.asarray(np.stack(metas))
         while True:
             if use_ps:

@@ -408,7 +408,7 @@ def _main_triobin_fused_mesh(opt, ch, seq_fn, out, chunk_cap,
         while len(metas) < n_dev:
             metas.append(np.full(ns + 2, M, np.int32))
         planes = jax.device_put(jnp.asarray(_pack_group_planes(
-            [pck.codes for pck in group], chunk, n_dev)), ch.sh)
+            group, chunk, n_dev)), ch.sh)
         while True:
             if use_ps:
                 run = build_lookup_psort(ch.mesh, k, chunk, route["C"])
