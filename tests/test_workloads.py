@@ -466,3 +466,7 @@ def test_join_folds_psort_interpret(trio, monkeypatch):
     ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
     assert ours(["chkerr", "-K16384", trio / "pat.yak",
                  trio / "child.fa"]) == ref
+    ref = run_oracle(["trioeval", "-t1", trio / "pat.yak",
+                      trio / "mat.yak", trio / "child.fa"])
+    assert ours(["trioeval", "-K16000", trio / "pat.yak", trio / "mat.yak",
+                 trio / "child.fa"]) == ref

@@ -36,7 +36,10 @@ def main_chkerr(opt, table, seq_fn, out=None):
     from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops.countstep import (CHKERR_MAX_RUNS, get_chkerr_step,
                                        get_chkerr_join_post,
-                                       join_enabled, run_join_lookup)
+                                       get_chkerr_psort_mid, join_enabled,
+                                       join_restore_vals, psort_enabled,
+                                       qv_psort_pad, run_join_lookup,
+                                       run_marker_psort)
 
     out = out or sys.stdout
     k = table.k
@@ -45,6 +48,9 @@ def main_chkerr(opt, table, seq_fn, out=None):
     if isinstance(table, MeshTable):
         return _main_chkerr_mesh(opt, table, seq_fn, out)
     use_join, jinterp = join_enabled(k)
+    ps_use, ps_interp = psort_enabled(k <= 31)
+    ps_post = use_join and (ps_use or ps_interp)
+    itp = jinterp or ps_interp
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
     M = chunk - k + 1
@@ -54,7 +60,21 @@ def main_chkerr(opt, table, seq_fn, out=None):
 
     def make_dispatch(arg, planes_key, h):
         def dispatch():
-            if use_join:
+            if ps_post:
+                # full Pallas path: JOIN kernel -> bitonic order
+                # restore -> marker extraction -> bitonic marker
+                # compaction (no XLA full-lane sorts anywhere)
+                ov, pay, vflat = run_join_lookup(
+                    table, k, planes_key, arg, M, interpret=itp)
+                vs = join_restore_vals(ov, pay, M, interpret=itp)
+                key, payload, n = get_chkerr_psort_mid(
+                    int(opt.min_cnt), M, qv_psort_pad(M))(vs, vflat)
+                k_s, p_s = run_marker_psort(key, payload, CHKERR_MAX_RUNS,
+                                            interpret=itp)
+                h["o"] = (k_s, n, p_s)
+                h["u32"] = True
+                h["vs"] = (vs, vflat)
+            elif use_join:
                 ov, pay, vflat = run_join_lookup(
                     table, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = get_chkerr_join_post(
@@ -87,15 +107,26 @@ def main_chkerr(opt, table, seq_fn, out=None):
         key_d = h["o"][0]
         if n > CHKERR_MAX_RUNS:
             # marker overflow (low-coverage table vs a large input):
-            # re-run this chunk through the per-position scan step and
-            # find the run ends on host — same (lane, len) pairs, just
-            # a full value-stream transfer instead of sparse markers
-            from yak_tpu.ops.countstep import get_scan_step
-            sstep = get_scan_step(k, planes_L=planes_key)
-            vals = np.asarray(sstep(arg, table.keys, table.cnt,
-                                    table.size)).reshape(-1)
-            lanes, lens = _host_low_runs(
-                (vals > -2) & (vals < opt.min_cnt))
+            # recover the per-lane low mask and find run ends on host —
+            # same (lane, len) pairs, just a full value-stream transfer
+            # instead of sparse markers
+            if h.get("u32"):
+                # restored values are already device-resident
+                vs, vflat = h["vs"]
+                v = np.asarray(vs)[:M]
+                hs = np.asarray(vflat).reshape(-1)[:M].astype(bool)
+                lanes, lens = _host_low_runs(hs & (v < opt.min_cnt))
+            else:
+                from yak_tpu.ops.countstep import get_scan_step
+                sstep = get_scan_step(k, planes_L=planes_key)
+                vals = np.asarray(sstep(arg, table.keys, table.cnt,
+                                        table.size)).reshape(-1)
+                lanes, lens = _host_low_runs(
+                    (vals > -2) & (vals < opt.min_cnt))
+        elif h.get("u32"):
+            ks = np.asarray(key_d)[:n]
+            lanes = ks.astype(np.int64)
+            lens = np.asarray(h["o"][2])[:n].astype(np.int64)
         else:
             keys = np.asarray(key_d)[:n]
             lanes = (keys >> np.uint64(24)).astype(np.int64)

@@ -559,10 +559,10 @@ def main_trioeval(opt, ch, seq_fn, out=None, chunk_cap=1 << 23,
     n_switch, n_pair = glob["n_switch"], glob["n_pair"]
     n_err, n_site = glob["n_err"], glob["n_site"]
     n_par = [glob["n_par0"], glob["n_par1"]]
-    out.write(f"W\t{n_switch}\t{n_pair}\t{_div(n_switch, n_pair):.6f}\n")
-    out.write(f"H\t{n_err}\t{n_site}\t{_div(n_err, n_site):.6f}\n")
+    out.write(f"W\t{n_switch}\t{n_pair}\t{_fdiv(n_switch, n_pair)}\n")
+    out.write(f"H\t{n_err}\t{n_site}\t{_fdiv(n_err, n_site)}\n")
     out.write(f"N\t{n_par[0]}\t{n_par[1]}\t"
-              f"{_div(min(n_par[0], n_par[1]), n_par[0] + n_par[1]):.6f}\n")
+              f"{_fdiv(min(n_par[0], n_par[1]), n_par[0] + n_par[1])}\n")
 
 
 def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
@@ -585,12 +585,33 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
     k = ch.k
     ch.flush()
     use_join, jinterp = join_enabled(k)
+    from yak_tpu.ops.countstep import (get_trioeval_psort_mid,
+                                       join_restore_vals, psort_enabled,
+                                       qv_psort_pad, run_marker_psort)
+    ps_use, ps_interp = psort_enabled(k <= 31)
+    ps_post = use_join and (ps_use or ps_interp)
+    itp = jinterp or ps_interp
     M = chunk - k + 1
-    carry = None   # (gi, _TeSeq, open_run (typ, len, end_pos) | None)
 
     def make_dispatch(arg, planes_key, we, h):
         def dispatch():
-            if use_join:
+            if ps_post:
+                # full Pallas path: JOIN kernel -> bitonic order
+                # restore -> marker extraction -> bitonic marker
+                # compaction (no XLA full-lane sorts anywhere)
+                ov, pay, vflat = run_join_lookup(
+                    ch, k, planes_key, arg, M, interpret=itp)
+                vs = join_restore_vals(ov, pay, M, interpret=itp)
+                key, payload, n = get_trioeval_psort_mid(
+                    int(opt.min_n), M, qv_psort_pad(M))(
+                    vs, vflat, jnp.asarray([we], np.int32))
+                k_s, p_s = run_marker_psort(key, payload,
+                                            TRIOEVAL_MAX_RUNS,
+                                            interpret=itp)
+                h["o"] = (k_s, n, p_s)
+                h["u32"] = True
+                h["vs"] = (vs, vflat)
+            elif use_join:
                 ov, pay, vflat = run_join_lookup(
                     ch, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = get_trioeval_join_post(
@@ -627,12 +648,30 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
         key_d = h["o"][0]
         if n > TRIOEVAL_MAX_RUNS:
             # marker overflow: per-position fallback for this chunk
-            from yak_tpu.ops.countstep import get_scan_step
-            sstep = get_scan_step(k, planes_L=planes_key)
-            vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
-                                    ch.size)).reshape(-1)
-            _, _, typ = _types_and_flags(vals)
+            if h.get("u32"):
+                # restored values are already device-resident
+                vs, vflat = h["vs"]
+                v_np = np.asarray(vs)[:M]
+                hs = np.asarray(vflat).reshape(-1)[:M].astype(bool)
+                fl = np.where(hs, np.maximum(v_np, 0), 0).astype(
+                    np.int32)
+                c1, c2 = fl & 3, (fl >> 2) & 3
+                typ = np.zeros(M, np.int32)
+                typ[hs & (c1 == 2) & (c2 == 0)] = 1
+                typ[hs & (c2 == 2) & (c1 == 0)] = 2
+            else:
+                from yak_tpu.ops.countstep import get_scan_step
+                sstep = get_scan_step(k, planes_L=planes_key)
+                vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
+                                        ch.size)).reshape(-1)
+                _, _, typ = _types_and_flags(vals)
             lanes, lens, typs = _host_te_markers(typ, we, opt.min_n)
+        elif h.get("u32"):
+            ks = np.asarray(key_d)[:n]
+            ps = np.asarray(h["o"][2])[:n]
+            lanes = ks.astype(np.int64)
+            lens = (ps >> np.uint32(2)).astype(np.int64)
+            typs = (ps & np.uint32(3)).astype(np.int64)
         else:
             keys = np.asarray(key_d)[:n]
             lanes = (keys >> np.uint64(26)).astype(np.int64)
@@ -783,3 +822,12 @@ def _div(a, b):
     if b == 0:
         return float("nan") if a == 0 else float("inf")
     return a / b
+
+
+def _fdiv(a, b):
+    """%.6f of the C division — x86 0.0/0.0 is the NEGATIVE quiet NaN,
+    which glibc printf renders as '-nan' (trioeval.c's W/H/N lines on
+    empty denominators); Python's format drops the sign."""
+    if b == 0 and a == 0:
+        return "-nan"
+    return f"{_div(a, b):.6f}"

@@ -794,6 +794,109 @@ def run_qv_join_post_psort(ov, pay, vflat, meta, st, ns, M,
         sk, meta, tot, non0, *st)
 
 
+def join_restore_vals(ov, pay, M, interpret=False):
+    """Shared psort restore phase for every JOIN post: kernel outputs
+    -> lane-ordered per-query values via the bitonic key32 sort (in
+    place of plookup_post's full-lane u64 XLA sort).  Returns the
+    padded device plane; vals = plane[:M]."""
+    from yak_tpu.ops import pallas_sort
+
+    Bpad = qv_psort_pad(M)
+    key, valp = get_qv_post_restore_pre(M, Bpad)(ov, pay)
+    _, val_sorted = pallas_sort.sort_planes32(key, valp,
+                                              interpret=interpret)
+    return val_sorted
+
+
+@lru_cache(maxsize=None)
+def get_trioeval_psort_mid(min_n, M, Bpad):
+    """trioeval psort post, phase B: restored values -> UNSORTED u32
+    marker planes (key = lane or INF, payload = runlen<<2|typ) + count;
+    the bitonic key32 sort then compacts emitted markers to the front
+    in lane order (the old u64 marker sort's exact wire order)."""
+
+    @jax.jit
+    def mid(val_sorted, valid, we1):
+        vals = val_sorted[:M]
+        is_k = valid.reshape(-1)
+        flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
+        c1 = flag & 3
+        c2 = (flag >> 2) & 3
+        typ = jnp.where(is_k & (c1 == 2) & (c2 == 0), 1,
+                        jnp.where(is_k & (c2 == 2) & (c1 == 0), 2, 0))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        prev = jnp.concatenate([jnp.full(1, -1, typ.dtype), typ[:-1]])
+        startm = typ != prev
+        run_start = jax.lax.cummax(jnp.where(startm, lane, -1))
+        runlen = lane - run_start + 1
+        nxt = jnp.concatenate([typ[1:], jnp.full(1, -1, typ.dtype)])
+        is_end = typ != nxt
+        we = we1[0]
+        emit = is_end & (typ > 0) & ((runlen >= min_n)
+                                     | (run_start == 0) | (lane == we))
+        key = jnp.where(emit, lane.astype(jnp.uint32),
+                        jnp.uint32(0xFFFFFFFF))
+        payload = ((runlen.astype(jnp.uint32) << jnp.uint32(2))
+                   | typ.astype(jnp.uint32))
+        if Bpad != M:
+            key = jnp.concatenate(
+                [key, jnp.full(Bpad - M, 0xFFFFFFFF, jnp.uint32)])
+            payload = jnp.concatenate(
+                [payload, jnp.zeros(Bpad - M, jnp.uint32)])
+        return key, payload, jnp.sum(emit.astype(jnp.int32))
+
+    return mid
+
+
+@lru_cache(maxsize=None)
+def get_chkerr_psort_mid(min_cnt, M, Bpad):
+    """chkerr psort post, phase B: restored values -> unsorted u32
+    marker planes (key = run-end lane or INF, payload = run length)."""
+
+    @jax.jit
+    def mid(val_sorted, valid):
+        vals = val_sorted[:M]
+        has = valid.reshape(-1)
+        low = has & (vals < min_cnt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        last_high = jax.lax.cummax(jnp.where(low, -1, lane))
+        runlen = lane - last_high
+        nxt = jnp.concatenate([low[1:], jnp.zeros(1, bool)])
+        is_end = low & ~nxt
+        key = jnp.where(is_end, lane.astype(jnp.uint32),
+                        jnp.uint32(0xFFFFFFFF))
+        payload = runlen.astype(jnp.uint32)
+        if Bpad != M:
+            key = jnp.concatenate(
+                [key, jnp.full(Bpad - M, 0xFFFFFFFF, jnp.uint32)])
+            payload = jnp.concatenate(
+                [payload, jnp.zeros(Bpad - M, jnp.uint32)])
+        return key, payload, jnp.sum(is_end.astype(jnp.int32))
+
+    return mid
+
+
+@lru_cache(maxsize=None)
+def get_marker_slice(MAX):
+    """Tiny jit: sorted marker planes -> the budgeted wire slice."""
+
+    @jax.jit
+    def sl(key_s, pay_s):
+        return key_s[:MAX], pay_s[:MAX]
+
+    return sl
+
+
+def run_marker_psort(key, payload, MAX, interpret=False):
+    """Sort-compact unsorted u32 marker planes (key32 bitonic) and
+    slice to the wire budget."""
+    from yak_tpu.ops import pallas_sort
+
+    k_s, p_s = pallas_sort.sort_planes32(key, payload,
+                                         interpret=interpret)
+    return get_marker_slice(MAX)(k_s, p_s)
+
+
 @lru_cache(maxsize=None)
 def get_qv_join_post(k, ns, M, min_frac=0.5, emit_ek=False):
     """Pallas-join qv, phase 3 (one jit): restore query order from the
