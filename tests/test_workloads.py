@@ -451,18 +451,20 @@ def test_cntasm_pre_resize_flag(trio, tmp_path):
 
 def test_join_folds_psort_interpret(trio, monkeypatch):
     """The presorted JOIN (Pallas bitonic query sort + in-dispatch
-    diagonal search) through qv/triobin/chkerr + lookup_pallas:
-    identical stdout to the oracle, interpret mode on CPU."""
+    diagonal search) through qv/triobin/chkerr/trioeval + the bitonic
+    join posts (order restore + marker compaction with zero XLA
+    full-lane sorts): identical stdout to the oracle, interpret mode
+    on CPU."""
     monkeypatch.setenv("YAK_TPU_JOIN_INTERPRET", "1")
     monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
     ref = run_oracle(["qv", "-t1", "-p", trio / "pat.yak",
                       trio / "child.fa"])
     assert ours(["qv", "-p", "-K16000", trio / "pat.yak",
                  trio / "child.fa"]) == ref
-    ref = run_oracle(["triobin", "-t1", trio / "pat.yak",
+    ref = run_oracle(["triobin", "-t1", "-p", trio / "pat.yak",
                       trio / "mat.yak", trio / "child.fa"])
-    assert ours(["triobin", "-K16000", trio / "pat.yak", trio / "mat.yak",
-                 trio / "child.fa"]) == ref
+    assert ours(["triobin", "-p", "-K16000", trio / "pat.yak",
+                 trio / "mat.yak", trio / "child.fa"]) == ref
     ref = run_oracle(["chkerr", "-t1", trio / "pat.yak", trio / "child.fa"])
     assert ours(["chkerr", "-K16384", trio / "pat.yak",
                  trio / "child.fa"]) == ref
@@ -470,3 +472,28 @@ def test_join_folds_psort_interpret(trio, monkeypatch):
                       trio / "mat.yak", trio / "child.fa"])
     assert ours(["trioeval", "-K16000", trio / "pat.yak", trio / "mat.yak",
                  trio / "child.fa"]) == ref
+
+
+def test_sexchr_psort_interpret(tmp_path, monkeypatch):
+    """sexchr through the psort join post (bitonic order restore +
+    seg-sum jit): identical stdout to the oracle."""
+    monkeypatch.setenv("YAK_TPU_JOIN_INTERPRET", "1")
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    rng = np.random.default_rng(29)
+    chrY, chrX, par = (make_genome(rng, 8000), make_genome(rng, 12000),
+                       make_genome(rng, 3000))
+    for n, s in [("chrY", chrY), ("chrX", chrX), ("par", par)]:
+        to_fasta(tmp_path / f"{n}.fa", [s])
+        run_oracle(["count", "-k21", "-K1000000", "-o",
+                    tmp_path / f"{n}.yak", tmp_path / f"{n}.fa"])
+    auto = make_genome(rng, 10000)
+    to_fasta(tmp_path / "hap1.fa",
+             [np.concatenate([chrY[:6000], par[:1500]]), auto[:5000]],
+             names=["h1c1", "h1c2"])
+    to_fasta(tmp_path / "hap2.fa",
+             [np.concatenate([chrX[:9000], par[1500:]]), auto[5000:]],
+             names=["h2c1", "h2c2"])
+    args = ["sexchr", "-t1", tmp_path / "chrY.yak", tmp_path / "chrX.yak",
+            tmp_path / "par.yak", tmp_path / "hap1.fa", tmp_path / "hap2.fa"]
+    ref = run_oracle(args)
+    assert ours(["sexchr", "-K16000"] + args[2:]) == ref

@@ -82,7 +82,8 @@ def _scan_impl(fn, k, chunk_size, provider, group_size, on_progress=None):
 
 
 def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
-                  extra_args=(), join_post_builder=None):
+                  extra_args=(), join_post_builder=None,
+                  psort_mid_builder=None):
     """Shared driver for device-side per-segment reductions (sexchr and
     friends): stream record-meta chunks, run `step_builder(k, ns,
     planes_L)`'s step per chunk, accumulate the n_out per-seg sum
@@ -93,7 +94,8 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
     import jax.numpy as jnp
 
     from yak_tpu.io.pack import pack_chunk_planes
-    from yak_tpu.ops.countstep import join_enabled, run_join_lookup
+    from yak_tpu.ops.countstep import (join_enabled, join_restore_vals,
+                                       psort_enabled, run_join_lookup)
 
     from yak_tpu.utils import retry_transient
 
@@ -101,11 +103,23 @@ def scan_seg_sums(fn, table, chunk_size, step_builder, n_out,
     table.flush()
     use_join, jinterp = join_enabled(k)
     use_join = use_join and join_post_builder is not None
+    ps_use, ps_interp = psort_enabled(k <= 31)
+    ps_post = (use_join and psort_mid_builder is not None
+               and (ps_use or ps_interp))
+    itp = jinterp or ps_interp
     chunk = -(-max(1 << 14, int(chunk_size)) // 1024) * 1024
     M = chunk - k + 1
     def make_dispatch(arg, planes_key, bounds, ns, h):
         def dispatch():
-            if use_join:
+            if ps_post:
+                # JOIN kernel -> bitonic order restore -> seg-sum jit
+                # (no XLA full-lane sorts)
+                ov, pay, vflat = run_join_lookup(
+                    table, k, planes_key, arg, M, interpret=itp)
+                vs = join_restore_vals(ov, pay, M, interpret=itp)
+                h["o"] = psort_mid_builder(k, ns, M)(
+                    vs, vflat, jnp.asarray(bounds), *extra_args)
+            elif use_join:
                 ov, pay, vflat = run_join_lookup(
                     table, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = join_post_builder(k, ns, M)(

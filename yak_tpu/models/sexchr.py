@@ -39,6 +39,7 @@ SEXCHR_HEADER = (
 def main_sexchr(opt, ch, hap_fns, out=None):
     from yak_tpu.models.scan import scan_seg_sums
     from yak_tpu.ops.countstep import (get_sexchr_join_post,
+                                       get_sexchr_psort_mid,
                                        get_sexchr_step)
 
     out = out or sys.stdout
@@ -59,7 +60,8 @@ def main_sexchr(opt, ch, hap_fns, out=None):
         def seg_iter(fn):
             yield from scan_seg_sums(
                 fn, ch, chunk, get_sexchr_step, 4,
-                join_post_builder=get_sexchr_join_post)
+                join_post_builder=get_sexchr_join_post,
+                psort_mid_builder=get_sexchr_psort_mid)
     for hap, fn in enumerate(hap_fns, start=1):
         for name, _L, (n_k, n_sexchr, n_sex1, n_sex2) in seg_iter(fn):
             out.write(f"S\t{name}\t{hap}\t0\t{n_k}\t{n_sexchr}\t{n_sex1}\t"

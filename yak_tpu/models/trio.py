@@ -261,8 +261,11 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     from yak_tpu.io.pack import pack_chunk_planes
     from yak_tpu.ops.countstep import (TRIOBIN_MAX_DIFF,
                                        get_triobin_join_post,
+                                       get_triobin_psort_mid,
                                        get_triobin_step, join_enabled,
-                                       run_join_lookup)
+                                       join_restore_vals, psort_enabled,
+                                       qv_psort_pad, run_join_lookup,
+                                       run_marker_psort1)
     from yak_tpu.parallel.mesh import MeshTable
     from yak_tpu.utils import retry_transient
 
@@ -272,6 +275,9 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
     k = ch.k
     ch.flush()
     use_join, jinterp = join_enabled(k)
+    ps_use, ps_interp = psort_enabled(k <= 31)
+    ps_post = use_join and (ps_use or ps_interp)
+    itp = jinterp or ps_interp
     chunk = max(1 << 14, min(batch_bases, chunk_cap))
     chunk = -(-chunk // 1024) * 1024
     M = chunk - k + 1
@@ -281,7 +287,24 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
 
     def make_dispatch(arg, planes_key, meta, ns, h):
         def dispatch():
-            if use_join:
+            if ps_post:
+                # full Pallas path: JOIN kernel -> bitonic order
+                # restore -> reductions jit (-p markers, if any, are
+                # compacted by the bitonic sort, not lax.sort)
+                ov, pay, vflat = run_join_lookup(
+                    ch, k, planes_key, arg, M, interpret=itp)
+                vs = join_restore_vals(ov, pay, M, interpret=itp)
+                o = get_triobin_psort_mid(
+                    k, ns, M, qv_psort_pad(M), emit_diff=emit_diff)(
+                    vs, vflat, jnp.asarray(meta))
+                if emit_diff:
+                    dk_s = run_marker_psort1(o[2], TRIOBIN_MAX_DIFF,
+                                             interpret=itp)
+                    o = (o[0], o[1], dk_s, o[3])
+                h["o"] = o
+                h["u32"] = True
+                h["vs"] = (vs, vflat)
+            elif use_join:
                 ov, pay, vflat = run_join_lookup(
                     ch, k, planes_key, arg, M, interpret=jinterp)
                 h["o"] = get_triobin_join_post(
@@ -315,14 +338,27 @@ def _main_triobin_fused(opt, ch, seq_fn, out, chunk_cap, batch_bases):
             nd = fetched[2]
             if nd > TRIOBIN_MAX_DIFF:
                 # marker overflow: per-position fallback for this chunk
-                from yak_tpu.ops.countstep import get_scan_step
-                sstep = get_scan_step(k, planes_L=planes_key)
-                vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
-                                        ch.size)).reshape(-1)
-                is_k2, flag2, _ = _types_and_flags(vals)
-                dm = is_k2 & ((flag2 & 3) != ((flag2 >> 2) & 3))
+                if h.get("u32"):
+                    # restored values are already device-resident
+                    vs, vflat = h["vs"]
+                    v_np = np.asarray(vs)[:M]
+                    hs = np.asarray(vflat).reshape(-1)[:M].astype(bool)
+                    flag2 = np.where(hs, np.maximum(v_np, 0),
+                                     0).astype(np.int64)
+                    dm = hs & ((flag2 & 3) != ((flag2 >> 2) & 3))
+                else:
+                    from yak_tpu.ops.countstep import get_scan_step
+                    sstep = get_scan_step(k, planes_L=planes_key)
+                    vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
+                                            ch.size)).reshape(-1)
+                    is_k2, flag2, _ = _types_and_flags(vals)
+                    dm = is_k2 & ((flag2 & 3) != ((flag2 >> 2) & 3))
                 dlanes = np.flatnonzero(dm).astype(np.int64)
                 dflag = (flag2[dm] & 15).astype(np.int64)
+            elif h.get("u32"):
+                dk = fetched[3][:nd]
+                dlanes = (dk >> np.uint32(4)).astype(np.int64)
+                dflag = (dk & np.uint32(15)).astype(np.int64)
             else:
                 dk = fetched[3][:nd]
                 dlanes = (dk >> np.uint64(4)).astype(np.int64)

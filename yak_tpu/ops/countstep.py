@@ -898,6 +898,60 @@ def run_marker_psort(key, payload, MAX, interpret=False):
 
 
 @lru_cache(maxsize=None)
+def get_marker_slice1(MAX):
+    """Tiny jit: sorted key-only marker plane -> the wire slice."""
+
+    @jax.jit
+    def sl(key_s):
+        return key_s[:MAX]
+
+    return sl
+
+
+def run_marker_psort1(key, MAX, interpret=False):
+    """Key-only variant of run_marker_psort (markers whose key encodes
+    the whole row, e.g. triobin's lane<<4|flag)."""
+    from yak_tpu.ops import pallas_sort
+
+    (k_s,) = pallas_sort.sort_planes32(key, interpret=interpret)
+    return get_marker_slice1(MAX)(k_s)
+
+
+@lru_cache(maxsize=None)
+def get_sexchr_psort_mid(k, ns, M):
+    """sexchr psort post: seg sums over the bitonic-restored values —
+    the join post minus plookup_post's full-lane u64 XLA sort."""
+
+    @jax.jit
+    def mid(val_sorted, valid, bounds):
+        return _sexchr_reduce(val_sorted[:M], valid, bounds, M)
+
+    return mid
+
+
+@lru_cache(maxsize=None)
+def get_triobin_psort_mid(k, ns, M, Bpad, emit_diff=False):
+    """triobin psort post: per-contig reductions over the
+    bitonic-restored values; with emit_diff the -p markers come back as
+    an UNSORTED u32 plane (lane<<4|flag, INF fill) + count for the
+    bitonic marker compaction (run_marker_psort1)."""
+
+    @jax.jit
+    def mid(val_sorted, valid, meta):
+        r = _triobin_reduce(val_sorted[:M], valid, meta, k, M,
+                            emit_diff=emit_diff, raw_diff=True)
+        if not emit_diff:
+            return r
+        outs, scalars, dkey, dn = r
+        if Bpad != M:
+            dkey = jnp.concatenate(
+                [dkey, jnp.full(Bpad - M, 0xFFFFFFFF, jnp.uint32)])
+        return outs, scalars, dkey, dn
+
+    return mid
+
+
+@lru_cache(maxsize=None)
 def get_qv_join_post(k, ns, M, min_frac=0.5, emit_ek=False):
     """Pallas-join qv, phase 3 (one jit): restore query order from the
     kernel's dense value stream, then the shared reduction/fold."""
@@ -1159,13 +1213,16 @@ def get_sexchr_join_post(k, ns, M):
 TRIOBIN_MAX_DIFF = 1 << 18
 
 
-def _triobin_reduce(vals, is_k, meta, k, M, emit_diff=False):
+def _triobin_reduce(vals, is_k, meta, k, M, emit_diff=False,
+                    raw_diff=False):
     """tb_worker's per-contig reductions (triobin.c:41-101) over the
     per-window value stream; see get_triobin_step.
 
     emit_diff: additionally extract the -p rows (positions where the
     pat and mat classes differ, triobin.c:89-92) as sparse
-    (lane << 4 | flag) markers + count, chkerr-style."""
+    (lane << 4 | flag) markers + count, chkerr-style.  raw_diff skips
+    the in-jit XLA sort and returns the UNSORTED u32 marker plane
+    instead (the psort post compacts it in the bitonic kernel)."""
     bounds = meta[:-1]
     we = meta[-1]
     flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
@@ -1208,15 +1265,21 @@ def _triobin_reduce(vals, is_k, meta, k, M, emit_diff=False):
     if not emit_diff:
         return jnp.stack(outs), scalars
     dm = is_k & (c1 != c2)
+    dn = jnp.sum(dm.astype(jnp.int32))
     # mask to the 4 class bits: a non-trio table's larger values must
     # not bleed into the lane field (the reference reads flag&3 and
     # flag>>2&3 regardless, triobin.c:89-92)
+    if raw_diff:
+        dkey32 = jnp.where(dm,
+                           (lane.astype(jnp.uint32) << jnp.uint32(4))
+                           | (flag & 15).astype(jnp.uint32),
+                           jnp.uint32(0xFFFFFFFF))
+        return jnp.stack(outs), scalars, dkey32, dn
     dkey = jnp.where(dm,
                      (lane.astype(jnp.uint64) << jnp.uint64(4))
                      | (flag & 15).astype(jnp.uint64),
                      jnp.uint64(0xFFFFFFFFFFFFFFFF))
     (dkey,) = jax.lax.sort((dkey,), num_keys=1, is_stable=False)
-    dn = jnp.sum(dm.astype(jnp.int32))
     return jnp.stack(outs), scalars, dkey[:TRIOBIN_MAX_DIFF], dn
 
 
