@@ -343,6 +343,39 @@ def test_mesh_trioeval_sexchr_chkerr_match_single(data, tmp_path):
     assert a.getvalue() == b.getvalue()
 
 
+def test_mesh_lookup_psort_matches_single(data, tmp_path, monkeypatch):
+    """The routed mesh lookup on the per-chip Pallas JOIN with the
+    bitonic post (build_lookup_psort: restore sort -> all_to_all home
+    -> second restore sort, zero XLA full-lane sorts): mesh
+    trioeval/chkerr/qv outputs identical to the single-table paths."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    from yak_tpu.models.chkerr import ChkerrOpts, main_chkerr
+    from yak_tpu.models.qv import QvOpts, main_qv
+    from yak_tpu.models.trio import TrioOpts, main_trioeval
+
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+    h, c = single.items()
+    sharded = MeshTable.from_items(mesh, 17, 10, h, c)
+
+    rng = np.random.default_rng(43)
+    g = util.make_genome(rng, 25_000)
+    util.to_fasta(tmp_path / "asm.fa", [g[:12_000], g[12_000:]],
+                  names=["a1", "a2"])
+
+    for fn, o, kwargs in (
+            (main_trioeval, TrioOpts(), {"chunk_cap": 1 << 14}),
+            (main_chkerr, ChkerrOpts(chunk_size=1 << 14), {}),
+            (main_qv, QvOpts(chunk_size=1 << 14), {})):
+        a, b = io.StringIO(), io.StringIO()
+        fn(o, single, str(tmp_path / "asm.fa"), out=a, **kwargs)
+        fn(o, sharded, str(tmp_path / "asm.fa"), out=b, **kwargs)
+        assert a.getvalue() == b.getvalue(), fn.__name__
+
+
 def test_mesh_triobin_diff_overflow_fallback(data, tmp_path):
     """-p D-marker budget overflow on a mesh degrades to the
     per-lane-values host fallback for the chunk (advisor r2: it used to

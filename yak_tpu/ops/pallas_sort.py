@@ -261,7 +261,7 @@ _MESH_SORT_CACHE = {}
 
 
 def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
-                     interpret, max_levels_per_pass=6):
+                     interpret, max_levels_per_pass=6, key_planes=2):
     """The per-pass callables of _sort_fn, each wrapped in shard_map
     over the 1-D mesh: every chip runs the identical bitonic pass on
     its own [rows, 128] plane slice (one per-chip sort per device —
@@ -270,7 +270,8 @@ def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    key = (id(mesh), Bpad, nplanes, dtypes, neg_keys, window, interpret)
+    key = (id(mesh), Bpad, nplanes, dtypes, neg_keys, window, interpret,
+           key_planes)
     if key in _MESH_SORT_CACHE:
         return _MESH_SORT_CACHE[key]
 
@@ -293,10 +294,11 @@ def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
     for p in passes:
         if p[0] == "win":
             call = _win_call(nplanes, dtypes, W, nwin, p[1],
-                             neg_keys and p[2], interpret)
+                             neg_keys and p[2], interpret,
+                             key_planes=key_planes)
         else:
             call = _ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
-                            interpret)
+                            interpret, key_planes=key_planes)
 
         def local(*ps, _c=call):
             out = _c([p[0] for p in ps])
@@ -315,15 +317,28 @@ def sort_planes_mesh(mesh, hi, lo, *extra, neg_keys=False,
     bitonic-sorts its own slice (no cross-chip traffic — the all_to_all
     routing already assigned lanes to owners).  Must be called OUTSIDE
     jit (flips the x64 flag)."""
-    planes = (hi, lo) + tuple(extra)
-    D, B = hi.shape
+    return _sort_entry_mesh(mesh, (hi, lo) + tuple(extra), 2, neg_keys,
+                            window, interpret)
+
+
+def sort_planes32_mesh(mesh, key, *extra, neg_keys=False,
+                       window=W_LANES, interpret=False):
+    """Single-u32-key mesh variant (the join-post restore sorts)."""
+    return _sort_entry_mesh(mesh, (key,) + tuple(extra), 1, neg_keys,
+                            window, interpret)
+
+
+def _sort_entry_mesh(mesh, planes, key_planes, neg_keys, window,
+                     interpret):
+    D, B = planes[0].shape
     assert B >= 1024 and (B & (B - 1)) == 0, B
     dtypes = tuple(p.dtype.name for p in planes)
     x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
         calls, _ = _sort_calls_mesh(mesh, B, len(planes), dtypes,
-                                    neg_keys, window, interpret)
+                                    neg_keys, window, interpret,
+                                    key_planes=key_planes)
         ps = [x.reshape(D, B // 128, 128) for x in planes]
         for call in calls:
             ps = list(call(*ps))

@@ -597,8 +597,6 @@ def build_lookup_psort(mesh, k, chunk, route_cap):
     Returns run(planes, keys, cnt, size) ->
       (vals[D, M] i32, has[D, M] bool, route_ovf[D]) — the
     build_lookup_step contract."""
-    from yak_tpu.ops.countstep import plookup_post
-
     n_dev = mesh.devices.size
     M = chunk - k + 1
     C = route_cap
@@ -656,17 +654,53 @@ def build_lookup_psort(mesh, k, chunk, route_cap):
         pre_local, mesh=mesh, in_specs=(P("d"),) * 4,
         out_specs=(P("d"),) * 12, check_vma=False))
 
-    def post_local(ov, pay, ok, slot, idx_s):
-        vals_recv = plookup_post(ov[0], pay[0], B)
-        if n_dev > 1:
-            v_orig = _route_back(vals_recv, ok[0], slot[0], idx_s[0],
-                                 n_dev, C)
-        else:
-            v_orig = vals_recv[:M]
-        return v_orig[None]
+    # post, split around two per-chip bitonic restore sorts (the mesh
+    # twin of countstep.join_restore_vals — no XLA full-lane sorts):
+    # P1 emits (recv-lane key, value) planes from the kernel outputs,
+    # S1 restores recv order, P2 all_to_alls the values home and emits
+    # (original-lane key, value) planes, S2 restores query order.
+    BP1 = _psort_pad(B)
+    BP2 = _psort_pad(M)
 
-    post = jax.jit(shard_map(
-        post_local, mesh=mesh, in_specs=(P("d"),) * 5,
+    def post_pre_local(ov, pay):
+        vals_asc = ov[0].reshape(-1)[:B]
+        idx_asc = jnp.flip(pay[0][pay.shape[1] - B:])
+        rkey = idx_asc.astype(jnp.uint32)   # pads (-1) -> 0xFFFFFFFF
+        rval = vals_asc.astype(jnp.int32)
+        if BP1 != B:
+            rkey = jnp.concatenate(
+                [rkey, jnp.full(BP1 - B, 0xFFFFFFFF, jnp.uint32)])
+            rval = jnp.concatenate([rval, jnp.zeros(BP1 - B, jnp.int32)])
+        return rkey[None], rval[None]
+
+    post_pre = jax.jit(shard_map(
+        post_pre_local, mesh=mesh, in_specs=(P("d"),) * 2,
+        out_specs=(P("d"),) * 2, check_vma=False))
+
+    def post_mid_local(v_rest, ok, slot, idx_s):
+        vals_recv = v_rest[0][:B]
+        back = jax.lax.all_to_all(vals_recv.reshape(n_dev, C), "d",
+                                  split_axis=0, concat_axis=0,
+                                  tiled=True).reshape(-1)
+        v_sorted = jnp.where(ok[0], back[jnp.minimum(slot[0], B - 1)],
+                             -1)
+        key2 = idx_s[0].astype(jnp.uint32)
+        if BP2 != M:
+            key2 = jnp.concatenate(
+                [key2, jnp.full(BP2 - M, 0xFFFFFFFF, jnp.uint32)])
+            v_sorted = jnp.concatenate(
+                [v_sorted, jnp.zeros(BP2 - M, jnp.int32)])
+        return key2[None], v_sorted[None]
+
+    post_mid = jax.jit(shard_map(
+        post_mid_local, mesh=mesh, in_specs=(P("d"),) * 4,
+        out_specs=(P("d"),) * 2, check_vma=False))
+
+    def post_fin_local(v_orig):
+        return v_orig[0][:M][None]
+
+    post_fin = jax.jit(shard_map(
+        post_fin_local, mesh=mesh, in_specs=(P("d"),),
         out_specs=P("d"), check_vma=False))
 
     def run(planes, keys, cnt, size, interpret=False):
@@ -681,7 +715,16 @@ def build_lookup_psort(mesh, k, chunk, route_cap):
             mesh, size11, thi, tlo, tw, Ehi, Elo,
             Na=capd, Nb=B, create=True, interpret=interpret,
             lookup=True)
-        vals = post(out[2], pay, ok, slot, idx_s)
+        rkey, rval = post_pre(out[2], pay)
+        _, v_rest = pallas_sort.sort_planes32_mesh(
+            mesh, rkey, rval, interpret=interpret)
+        if n_dev > 1:
+            key2, v_s = post_mid(v_rest, ok, slot, idx_s)
+            _, v_orig = pallas_sort.sort_planes32_mesh(
+                mesh, key2, v_s, interpret=interpret)
+            vals = post_fin(v_orig)
+        else:
+            vals = post_fin(v_rest)
         return vals, valid, ovf
 
     _LOOKUP_PSORT_CACHE[key] = run
