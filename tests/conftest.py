@@ -19,3 +19,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_live_executables():
+    """Drop all framework + jax compile caches between test modules.
+
+    This jaxlib's XLA:CPU client segfaults loading roughly the ~1000th
+    live executable of a process (deterministically reproduced at the
+    ~110-test mark of the full suite, in executable deserialization —
+    with a fresh disk cache it moves to backend_compile_and_load; every
+    module passes in isolation).  Bounding live executables per module
+    keeps the plain `python -m pytest tests/ -q` run under the limit;
+    clear_compile_caches is the framework's production API for the same
+    long-lived-process concern.
+    """
+    yield
+    from yak_tpu.utils import clear_compile_caches
+    clear_compile_caches()

@@ -81,3 +81,35 @@ class Progress:
         cpu = time.process_time() - self.c0
         print(f"[M::{self.name}::{rt:.3f}*{(cpu / rt if rt else 0):.2f}] "
               f"{msg}", file=sys.stderr)
+
+
+def clear_compile_caches():
+    """Release every live compiled executable the framework holds.
+
+    The step builders memoize their jitted programs (functools.lru_cache
+    in ops/countstep.py, ops/pallas_*.py; explicit dict caches for the
+    mesh shard_map programs) so steady-state dispatch never re-traces.
+    The flip side: a long-lived process that walks many distinct shapes
+    (a multi-workload server, or the test suite) accumulates hundreds of
+    live XLA executables, and the XLA:CPU client eventually SEGFAULTS
+    loading the next one (measured on this jaxlib at ~110 suite tests —
+    the crash lands in executable deserialization/JIT-load, with or
+    without the persistent disk cache).  Call this between workloads to
+    drop the framework caches, jax's pjit caches, and the executables
+    they pin; the persistent disk cache makes re-acquisition cheap.
+    """
+    import gc
+    import sys as _sys
+
+    import jax
+
+    for name, mod in list(_sys.modules.items()):
+        if not name.startswith("yak_tpu") or mod is None:
+            continue
+        for aname, attr in list(vars(mod).items()):
+            if callable(getattr(attr, "cache_clear", None)):
+                attr.cache_clear()
+            elif aname.endswith("_CACHE") and isinstance(attr, dict):
+                attr.clear()
+    jax.clear_caches()
+    gc.collect()
