@@ -48,8 +48,10 @@ def _run_workers(nprocs, reads, out, env_extra=None):
         assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
 
 
-@pytest.mark.parametrize("bf_shift", [0, 20])
-def test_two_process_count_equals_single(tmp_path, bf_shift):
+@pytest.mark.parametrize("bf_shift,psort", [(0, False), (20, False),
+                                            (0, True)],
+                         ids=["xla", "bloom", "psort"])
+def test_two_process_count_equals_single(tmp_path, bf_shift, psort):
     rng = np.random.default_rng(21)
     genome = util.make_genome(rng, 20_000)
     reads = util.mutate_reads(rng, genome, 600, 120, err=0.005,
@@ -57,8 +59,12 @@ def test_two_process_count_equals_single(tmp_path, bf_shift):
     util.to_fasta(tmp_path / "reads.fa", reads)
 
     out = tmp_path / "mh.npz"
-    _run_workers(2, tmp_path / "reads.fa", out,
-                 env_extra={"MH_BF_SHIFT": str(bf_shift)})
+    env = {"MH_BF_SHIFT": str(bf_shift)}
+    if psort:
+        # the per-chip Pallas engine (bitonic sort + merge-reduce) over
+        # the 2-process global mesh, kernels in interpret mode
+        env["YAK_TPU_PSORT_INTERPRET"] = "1"
+    _run_workers(2, tmp_path / "reads.fa", out, env_extra=env)
     got = np.load(out)
     # growth really ran: cap_log2=10 cannot hold ~15k distinct keys
     assert int(got["cap"]) > (1 << 10)

@@ -328,6 +328,15 @@ def sort_planes32_mesh(mesh, key, *extra, neg_keys=False,
                             window, interpret)
 
 
+# jitted reshapes (not eager): a multi-host global mesh forbids eager
+# ops on non-fully-addressable arrays; under jit the reshape is a plain
+# SPMD program every process dispatches in lockstep.
+_to_rows = jax.jit(
+    lambda *xs: tuple(x.reshape(x.shape[0], -1, 128) for x in xs))
+_to_flat = jax.jit(
+    lambda *xs: tuple(x.reshape(x.shape[0], -1) for x in xs))
+
+
 def _sort_entry_mesh(mesh, planes, key_planes, neg_keys, window,
                      interpret):
     D, B = planes[0].shape
@@ -339,10 +348,10 @@ def _sort_entry_mesh(mesh, planes, key_planes, neg_keys, window,
         calls, _ = _sort_calls_mesh(mesh, B, len(planes), dtypes,
                                     neg_keys, window, interpret,
                                     key_planes=key_planes)
-        ps = [x.reshape(D, B // 128, 128) for x in planes]
+        ps = list(_to_rows(*planes))
         for call in calls:
             ps = list(call(*ps))
-        return tuple(x.reshape(D, B) for x in ps)
+        return _to_flat(*ps)
     finally:
         jax.config.update("jax_enable_x64", x64)
 

@@ -847,10 +847,17 @@ class _MeshCountDriver:
     never overflow because they are unbounded host vectors; here the
     fixed-capacity exchange needs the retry loop)."""
 
-    def __init__(self, table, chunk, create_new=True, use_bloom=False):
+    def __init__(self, table, chunk, create_new=True, use_bloom=False,
+                 put=None):
         self.t = table
         self.chunk = chunk
         self.create_new = create_new
+        # put: host [D, 3, W] plane block -> device array over the
+        # table's mesh.  The default covers the single-process mesh;
+        # multihost passes _HostSlice.make_global (each process ships
+        # only its addressable rows).
+        self._put = put or (lambda rows: jax.device_put(
+            jnp.asarray(rows), table.sh))
         self.M = chunk - table.k + 1
         self.C = default_route_cap(self.M, table.n_dev)
         self.bloom_cfg = None
@@ -949,12 +956,37 @@ class _MeshCountDriver:
         t.keys, t.cnt, t.size = fin(*self._pstate[:4])
         self._pstate = None
 
+    def _flags(self, r_ovf, t_ovf):
+        """(route_ovf, table_ovf, tot) as host ints via ONE jitted
+        global reduction with replicated outputs — every process of a
+        multi-host mesh fetches identical scalars (the lockstep
+        invariant), and the single-process mesh gets its three control
+        scalars in one dispatch instead of three fetches."""
+        if self.psort:
+            fn = self._steps.get("flags_ps")
+            if fn is None:
+                @jax.jit
+                def fn(r, s, cap):
+                    s = s.reshape(-1)
+                    return (jnp.max(r), jnp.max(s),
+                            jnp.sum(jnp.minimum(s, cap)))
+                self._steps["flags_ps"] = fn
+            r, smax, tot = fn(r_ovf, t_ovf, np.int32(self.t.cap))
+            return int(r), int(smax) > self.t.cap, int(tot)
+        fn = self._steps.get("flags")
+        if fn is None:
+            @jax.jit
+            def fn(r, tvf, sizes):
+                return jnp.max(r), jnp.max(tvf), jnp.sum(sizes)
+            self._steps["flags"] = fn
+        r, tv, tot = fn(r_ovf, t_ovf, self.t.size)
+        return int(r), bool(tv), int(tot)
+
     def push_group(self, code_chunks):
         self.settle()
         planes = _pack_group_planes(code_chunks, self.chunk,
                                     self.t.n_dev)
-        planes_d = jax.device_put(jnp.asarray(planes), self.t.sh)
-        self._dispatch(planes_d)
+        self._dispatch(self._put(planes))
 
     def settle(self, final=False):
         if self._last is None:
@@ -964,19 +996,9 @@ class _MeshCountDriver:
         prev, planes_d, r_ovf, t_ovf = self._last
         self._last = None
         while True:
-            r = int(np.asarray(r_ovf).max())
-            if self.psort:
-                sizes = np.asarray(t_ovf).reshape(-1)
-                tv = bool((sizes > self.t.cap).max())
-            else:
-                tv = bool(np.asarray(t_ovf).max())
+            r, tv, tot = self._flags(r_ovf, t_ovf)
             if not r and not tv:
-                if self.psort:
-                    self.t.tot = int(np.minimum(
-                        np.asarray(t_ovf).reshape(-1),
-                        self.t.cap).sum())
-                else:
-                    self.t.tot = int(np.asarray(self.t.size).sum())
+                self.t.tot = tot
                 if final:
                     self._materialize()
                 return

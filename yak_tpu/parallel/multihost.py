@@ -23,14 +23,12 @@ Tested with real multi-process workers over a loopback coordinator
 byte-for-byte.
 """
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from yak_tpu.parallel.mesh import (MeshTable, _pack_group_planes,
-                                   build_count_step, default_route_cap,
+from yak_tpu.parallel.mesh import (MeshTable, _MeshCountDriver,
                                    make_mesh)
 
 
@@ -49,22 +47,6 @@ def init_multihost(coordinator_address, num_processes, process_id,
 def global_mesh():
     """1-D mesh over every device of every process."""
     return make_mesh(devices=jax.devices())
-
-
-def _wrap_global(step):
-    """Wrap a build_count_step program so its control outputs come back
-    fully replicated: every process fetches the same flag scalars and
-    takes the same growth/retry branch."""
-
-    @jax.jit
-    def g(planes, keys, cnt, size, *bf):
-        out = step(planes, keys, cnt, size, *bf)
-        keys2, cnt2, size2, n_new, r_ovf, t_ovf = out[:6]
-        rest = out[6:]
-        return (keys2, cnt2, size2, jnp.sum(n_new),
-                jnp.max(r_ovf), jnp.max(t_ovf)) + rest
-
-    return g
 
 
 class _HostSlice:
@@ -109,56 +91,24 @@ def count_file_multihost(fn, opt, mesh=None, cap_log2=None, table=None,
         create = False if create_new is None else create_new
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
-    M = chunk - opt.k + 1
     hs = _HostSlice(mesh)
-    bloom_cfg = None
-    if create and table.bf is not None:
-        bloom_cfg = (table.pre, table.bf_shift, table.bf_n_hash)
-
-    state = {"C": default_route_cap(M, n_dev), "steps": {}}
-
-    def get_step():
-        key = (table.cap, state["C"])
-        if key not in state["steps"]:
-            raw = build_count_step(mesh, opt.k, table.cap, chunk,
-                                   route_cap=state["C"],
-                                   create_new=create,
-                                   bloom_cfg=bloom_cfg)
-            state["steps"][key] = _wrap_global(raw)
-        return state["steps"][key]
-
-    def run_group(code_chunks):
-        planes = _pack_group_planes(code_chunks, chunk, n_dev)
-        planes_g = hs.make_global(planes)
-        while True:
-            prev = (table.keys, table.cnt, table.size, table.bf)
-            args = (planes_g, table.keys, table.cnt, table.size)
-            if bloom_cfg is not None:
-                out = get_step()(*args, table.bf)
-                (table.keys, table.cnt, table.size, n_new, r_ovf,
-                 t_ovf, table.bf) = out
-            else:
-                (table.keys, table.cnt, table.size, n_new, r_ovf,
-                 t_ovf) = get_step()(*args)
-            # replicated scalars: identical on every process
-            r = int(r_ovf)
-            tv = bool(t_ovf)
-            if not r and not tv:
-                table.tot += int(n_new)
-                return
-            table.keys, table.cnt, table.size, table.bf = prev
-            if r:
-                state["C"] = min(M, state["C"] * 2)
-            if tv:
-                table.grow(table.cap * 2)
+    # The single-host group driver runs unchanged over the global mesh:
+    # the psort engine's per-chip Pallas dispatches and the XLA
+    # fallback are both plain SPMD programs, control flags come back as
+    # replicated scalars (_MeshCountDriver._flags), and the only
+    # multihost-specific piece is shipping each process's OWN plane
+    # rows (hs.make_global).
+    drv = _MeshCountDriver(table, chunk, create_new=create,
+                           use_bloom=create, put=hs.make_global)
 
     group = []
     for packed in ChunkSource(fn, chunk, opt.k, min_len=opt.k,
                               with_meta=False):
-        group.append(packed.codes)
+        group.append(packed)
         if len(group) == n_dev:
-            run_group(group)
+            drv.push_group(group)
             group = []
     if group:
-        run_group(group)
+        drv.push_group(group)
+    drv.settle(final=True)
     return table
