@@ -473,9 +473,37 @@ def bench_count_k33(out_times):
     return n_kmers / best
 
 
+def _probe_backend(timeout=240):
+    """Fail fast (exit 3) when the device backend is unreachable: the
+    remote-tunnel TPU occasionally goes down for hours, and
+    jax.devices() then blocks forever — a clean error beats a hung
+    bench run."""
+    import threading
+
+    import jax
+
+    got = {}
+
+    def go():
+        try:
+            got["d"] = jax.devices()
+        except Exception as e:  # pragma: no cover - backend-dependent
+            got["e"] = e
+
+    t = threading.Thread(target=go, daemon=True)
+    t.start()
+    t.join(timeout)
+    if "d" not in got:
+        print(f"[bench] device backend unreachable after {timeout}s: "
+              f"{got.get('e', 'jax.devices() hung')}", file=sys.stderr)
+        sys.exit(3)
+    print(f"[bench] backend: {got['d']}", file=sys.stderr)
+
+
 def main():
     from yak_tpu.table import KmerTable
 
+    _probe_backend()
     reads = make_reads()
     chunks = pack_chunks(reads)
     n_kmers = N_READS * (READ_LEN - K + 1)

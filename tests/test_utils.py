@@ -51,3 +51,32 @@ def test_profiler_hook(tmp_path, monkeypatch):
                   str(tmp_path / "t.yak"), str(tmp_path / "r.fa")])
     assert rc == 0
     assert any((tmp_path / "trace").rglob("*"))   # trace files written
+
+
+def test_clear_compile_caches_drops_framework_steps():
+    """clear_compile_caches empties every memoized step builder (lru and
+    dict caches) and leaves the engine fully functional — the bounded-
+    executable-lifetime API for long multi-shape processes."""
+    import jax.numpy as jnp
+
+    from yak_tpu.ops import countstep
+    from yak_tpu.ops import pallas_sort
+    from yak_tpu.utils import clear_compile_caches
+
+    step = countstep.get_scan_step(17)
+    assert countstep.get_scan_step.cache_info().currsize > 0
+    pallas_sort._MESH_SORT_CACHE["sentinel"] = object()
+
+    clear_compile_caches()
+
+    assert countstep.get_scan_step.cache_info().currsize == 0
+    assert not pallas_sort._MESH_SORT_CACHE
+
+    # rebuilt steps still work (and are fresh objects)
+    step2 = countstep.get_scan_step(17)
+    assert step2 is not step
+    from yak_tpu.ops import sorttable as st
+    keys, cnt, size = st.make_table(1 << 10)
+    codes = jnp.zeros((1, 1 << 10), jnp.uint8)
+    vals = step2(codes, keys, cnt, size)
+    assert vals.shape[-1] == (1 << 10) - 16
