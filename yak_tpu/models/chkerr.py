@@ -103,8 +103,19 @@ def main_chkerr(opt, table, seq_fn, out=None):
 
     for packed, arg, planes_key, h, dispatch in produce():
         nseq = len(packed.rec_gid)
-        n = retry_transient(lambda: int(h["o"][1]), redo=dispatch)
-        key_d = h["o"][0]
+
+        def fetch():
+            # every d2h read inside the retry closure (advisor r2 #4:
+            # a transient device fault at ANY fetch must replay)
+            o = h["o"]
+            n = int(o[1])
+            if n > CHKERR_MAX_RUNS:
+                return n, None, None
+            if h.get("u32"):
+                return n, np.asarray(o[0])[:n], np.asarray(o[2])[:n]
+            return n, np.asarray(o[0])[:n], None
+
+        n, key_np, pay_np = retry_transient(fetch, redo=dispatch)
         if n > CHKERR_MAX_RUNS:
             # marker overflow (low-coverage table vs a large input):
             # recover the per-lane low mask and find run ends on host —
@@ -112,25 +123,27 @@ def main_chkerr(opt, table, seq_fn, out=None):
             # instead of sparse markers
             if h.get("u32"):
                 # restored values are already device-resident
-                vs, vflat = h["vs"]
-                v = np.asarray(vs)[:M]
-                hs = np.asarray(vflat).reshape(-1)[:M].astype(bool)
+                v, hs = retry_transient(
+                    lambda: (np.asarray(h["vs"][0])[:M],
+                             np.asarray(h["vs"][1]).reshape(-1)[:M]
+                             .astype(bool)),
+                    redo=dispatch)
                 lanes, lens = _host_low_runs(hs & (v < opt.min_cnt))
             else:
                 from yak_tpu.ops.countstep import get_scan_step
                 sstep = get_scan_step(k, planes_L=planes_key)
-                vals = np.asarray(sstep(arg, table.keys, table.cnt,
-                                        table.size)).reshape(-1)
+                vals = retry_transient(
+                    lambda: np.asarray(sstep(
+                        arg, table.keys, table.cnt,
+                        table.size)).reshape(-1))
                 lanes, lens = _host_low_runs(
                     (vals > -2) & (vals < opt.min_cnt))
         elif h.get("u32"):
-            ks = np.asarray(key_d)[:n]
-            lanes = ks.astype(np.int64)
-            lens = np.asarray(h["o"][2])[:n].astype(np.int64)
+            lanes = key_np.astype(np.int64)
+            lens = pay_np.astype(np.int64)
         else:
-            keys = np.asarray(key_d)[:n]
-            lanes = (keys >> np.uint64(24)).astype(np.int64)
-            lens = (keys & np.uint64((1 << 24) - 1)).astype(np.int64)
+            lanes = (key_np >> np.uint64(24)).astype(np.int64)
+            lens = (key_np & np.uint64((1 << 24) - 1)).astype(np.int64)
 
         fold.chunk(packed, lanes, lens, M)
     fold.finish()

@@ -680,15 +680,27 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
 
     fold = _TeChainFold(opt, k, bo, glob)
     for packed, arg, planes_key, we, h, dispatch in produce():
-        n = retry_transient(lambda: int(h["o"][1]), redo=dispatch)
-        key_d = h["o"][0]
+        def fetch():
+            # every d2h read inside the retry closure (advisor r2 #4:
+            # a transient device fault at ANY fetch must replay)
+            o = h["o"]
+            n = int(o[1])
+            if n > TRIOEVAL_MAX_RUNS:
+                return n, None, None
+            if h.get("u32"):
+                return n, np.asarray(o[0])[:n], np.asarray(o[2])[:n]
+            return n, np.asarray(o[0])[:n], None
+
+        n, key_np, pay_np = retry_transient(fetch, redo=dispatch)
         if n > TRIOEVAL_MAX_RUNS:
             # marker overflow: per-position fallback for this chunk
             if h.get("u32"):
                 # restored values are already device-resident
-                vs, vflat = h["vs"]
-                v_np = np.asarray(vs)[:M]
-                hs = np.asarray(vflat).reshape(-1)[:M].astype(bool)
+                v_np, hs = retry_transient(
+                    lambda: (np.asarray(h["vs"][0])[:M],
+                             np.asarray(h["vs"][1]).reshape(-1)[:M]
+                             .astype(bool)),
+                    redo=dispatch)
                 fl = np.where(hs, np.maximum(v_np, 0), 0).astype(
                     np.int32)
                 c1, c2 = fl & 3, (fl >> 2) & 3
@@ -698,22 +710,20 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
             else:
                 from yak_tpu.ops.countstep import get_scan_step
                 sstep = get_scan_step(k, planes_L=planes_key)
-                vals = np.asarray(sstep(arg, ch.keys, ch.cnt,
-                                        ch.size)).reshape(-1)
+                vals = retry_transient(
+                    lambda: np.asarray(sstep(
+                        arg, ch.keys, ch.cnt, ch.size)).reshape(-1))
                 _, _, typ = _types_and_flags(vals)
             lanes, lens, typs = _host_te_markers(typ, we, opt.min_n)
         elif h.get("u32"):
-            ks = np.asarray(key_d)[:n]
-            ps = np.asarray(h["o"][2])[:n]
-            lanes = ks.astype(np.int64)
-            lens = (ps >> np.uint32(2)).astype(np.int64)
-            typs = (ps & np.uint32(3)).astype(np.int64)
+            lanes = key_np.astype(np.int64)
+            lens = (pay_np >> np.uint32(2)).astype(np.int64)
+            typs = (pay_np & np.uint32(3)).astype(np.int64)
         else:
-            keys = np.asarray(key_d)[:n]
-            lanes = (keys >> np.uint64(26)).astype(np.int64)
-            lens = ((keys >> np.uint64(2))
+            lanes = (key_np >> np.uint64(26)).astype(np.int64)
+            lens = ((key_np >> np.uint64(2))
                     & np.uint64((1 << 24) - 1)).astype(np.int64)
-            typs = (keys & np.uint64(3)).astype(np.int64)
+            typs = (key_np & np.uint64(3)).astype(np.int64)
         fold.chunk(packed, lanes, lens, typs, M, we)
     fold.finish()
 
