@@ -304,7 +304,7 @@ def bench_count_device(out_times):
     return n_kmers / best
 
 
-TE_DIGEST = {17: None, 18: None}
+TE_DIGEST = {17: "f3a76225e75b", 18: "d46fdf6d1eea"}
 
 
 def bench_trioeval(table, genome, out_times):
@@ -368,8 +368,8 @@ def bench_trioeval(table, genome, out_times):
     return npos / best
 
 
-BLOOM_DISTINCT = None      # distinct k-mers after the >=2 shrink
-BLOOM_HIST_DIGEST = None
+BLOOM_DISTINCT = 2044839   # distinct k-mers after the >=2 shrink
+BLOOM_HIST_DIGEST = "c94d8a6166ad"
 BASELINE_BLOOM_PER_S = 22.7e6   # BASELINE.md: count -b24 two-stream
 
 
@@ -413,8 +413,8 @@ def bench_count_bloom(out_times):
     return n_extract / best
 
 
-K33_DISTINCT = None
-K33_HIST_DIGEST = None
+K33_DISTINCT = 6412500
+K33_HIST_DIGEST = "a56a84001d46"
 # no recorded k=33 baseline in BASELINE.md; scale the recorded k=31
 # one by the locally measured reference ratio (k33/k31 = 1.87s/1.81s
 # on this VM, r3) to keep vs_baseline comparable across metrics
