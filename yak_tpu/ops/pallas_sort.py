@@ -164,6 +164,128 @@ def _exchange_kernel(nplanes, W, k, j, key_planes=2):
     return kernel
 
 
+def _exchange_kernel_dyn(nplanes, key_planes=2):
+    """_exchange_kernel with (k, j) as PREFETCHED SCALARS instead of
+    compile-time constants: ONE kernel serves every cross-window stage
+    of a shape family (a 2^24-lane sort runs 28 exchange passes — as
+    28 loads of one executable instead of 28 Mosaic compiles through
+    the remote-compile tunnel).  The partner window is selected by the
+    scalar-aware BlockSpec index_map in _ex_call_dyn."""
+
+    def kernel(s, *refs):
+        mine = refs[:nplanes]
+        other = refs[nplanes:2 * nplanes]
+        outs = refs[2 * nplanes:]
+        WR = mine[0].shape[0]
+        w = pl.program_id(0)
+        base = w * (WR * 128)
+        gf = _flat_iota((WR, 128)) + base
+        dk = jnp.left_shift(jnp.int32(1), s[0])
+        d = jnp.left_shift(jnp.int32(1), s[1])
+        dirm = (gf & dk) != 0
+        bitset = (gf & d) != 0
+        want_min = ~(bitset ^ dirm)
+        if key_planes == 1:
+            h, oh = mine[0][:], other[0][:]
+            less_po = oh < h
+            less_op = h < oh
+        else:
+            h, lo = mine[0][:], mine[1][:]
+            oh, olo = other[0][:], other[1][:]
+            less_po = _less(oh, olo, h, lo)
+            less_op = _less(h, lo, oh, olo)
+        take = (want_min & less_po) | (~want_min & less_op)
+        for idx in range(nplanes):
+            outs[idx][:] = jnp.where(take, other[idx][:], mine[idx][:])
+
+    return kernel
+
+
+def _tail_kernel_dyn(nplanes, W, neg, key_planes=2):
+    """The per-level windowed tail (stages wlog-1..0 of ONE level k)
+    with k as a prefetched scalar: one kernel serves every tail pass of
+    a multi-window sort (k only enters via the direction mask; the
+    stage distances are static)."""
+    WR = W // 128
+    wlog = W.bit_length() - 1
+
+    def kernel(s, *refs):
+        ins, outs = refs[:nplanes], refs[nplanes:]
+        w = pl.program_id(0)
+        base = w * W
+        gf = _flat_iota((WR, 128)) + base
+        dk = jnp.left_shift(jnp.int32(1), s[0])
+        dirm = (gf & dk) != 0
+        planes = [r[:] for r in ins]
+        for j in range(wlog - 1, -1, -1):
+            planes = _stage(planes, 1 << j, dirm, gf, key_planes)
+        for idx in range(nplanes):
+            val = planes[idx]
+            if neg and idx < key_planes:
+                val = ~val
+            outs[idx][:] = val
+
+    return kernel
+
+
+def _ex_call_dyn(nplanes, dtypes, W, nwin, interpret, key_planes=2):
+    WR = W // 128
+    wlog = W.bit_length() - 1
+    own = pl.BlockSpec((WR, 128), lambda w, s: (w, 0),
+                       memory_space=pltpu.VMEM)
+    par = pl.BlockSpec(
+        (WR, 128),
+        lambda w, s: (w ^ (1 << (s[1] - wlog)), 0),
+        memory_space=pltpu.VMEM)
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nwin,),
+        in_specs=[own] * nplanes + [par] * nplanes,
+        out_specs=[own] * nplanes)
+    kernel = _exchange_kernel_dyn(nplanes, key_planes)
+
+    def fn(kj, planes):
+        return pl.pallas_call(
+            kernel, grid_spec=spec,
+            out_shape=[jax.ShapeDtypeStruct((nwin * WR, 128), dt)
+                       for dt in dtypes],
+            interpret=interpret,
+        )(kj, *planes, *planes)
+
+    return fn
+
+
+def _tail_call_dyn(nplanes, dtypes, W, nwin, neg, interpret,
+                   key_planes=2):
+    WR = W // 128
+    own = pl.BlockSpec((WR, 128), lambda w, s: (w, 0),
+                       memory_space=pltpu.VMEM)
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nwin,),
+        in_specs=[own] * nplanes,
+        out_specs=[own] * nplanes)
+    kernel = _tail_kernel_dyn(nplanes, W, neg, key_planes)
+
+    def fn(kj, planes):
+        return pl.pallas_call(
+            kernel, grid_spec=spec,
+            out_shape=[jax.ShapeDtypeStruct((nwin * WR, 128), dt)
+                       for dt in dtypes],
+            interpret=interpret,
+        )(kj, *planes)
+
+    return fn
+
+
+def _dyn_enabled():
+    """Scalar-parameterized cross-window kernels (default ON; 6 Mosaic
+    programs per shape family instead of ~38).  YAK_TPU_PSORT_DYN=0
+    reverts to per-(k, j) static kernels if the scalar-prefetch path
+    ever misbehaves on a toolchain."""
+    import os
+
+    return os.environ.get("YAK_TPU_PSORT_DYN", "1") != "0"
+
+
 def _win_call(nplanes, dtypes, W, nwin, levels, neg_keys, interpret,
               key_planes=2):
     WR = W // 128
@@ -207,18 +329,12 @@ def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret,
     return fn
 
 
-@lru_cache(maxsize=None)
-def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
-             max_levels_per_pass=6, key_planes=2):
-    """Pass chain for a static padded lane count (power of two,
-    >= 1024).  Every pass is its OWN jit: the remote-compile tunnel
-    compiles Mosaic kernels serially and caches per-executable, so one
-    giant 28-kernel jit would compile for the better part of an hour
-    with nothing cached until the end; per-pass jits compile (and
-    cache, and recover from interrupted runs) incrementally.  The local
-    window sort is likewise split into groups of `max_levels_per_pass`
-    levels to bound single-kernel program size (the full levels-1..17
-    network is ~150 unrolled stages)."""
+def _pass_plan(Bpad, window, dynamic, max_levels_per_pass=6):
+    """The sort's pass sequence for a static padded lane count.
+    Items: ("win", levels, is_final) — static windowed kernel;
+    ("ex", k, j) — static cross-window exchange;
+    ("exd", k, j) / ("taild", k, is_final) — the scalar-parameterized
+    variants (one shared kernel each per shape family)."""
     W = min(window, Bpad)
     nwin = Bpad // W
     wlog = W.bit_length() - 1
@@ -234,24 +350,84 @@ def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
         passes.append(("win", levels, blog == wlog and grp[-1] == wlog))
     for k in range(wlog + 1, blog + 1):
         for j in range(k - 1, wlog - 1, -1):
-            passes.append(("ex", k, j))
-        passes.append(("win", ((k, wlog - 1),), k == blog))
+            passes.append(("exd", k, j) if dynamic else ("ex", k, j))
+        if dynamic:
+            passes.append(("taild", k, k == blog))
+        else:
+            passes.append(("win", ((k, wlog - 1),), k == blog))
+    return W, nwin, passes
 
-    calls = []
+
+def _build_steps(Bpad, nplanes, dtypes, neg_keys, window, interpret,
+                 key_planes, dynamic):
+    """(raw_callable, scalar_or_None) pairs for the pass chain.  The
+    dynamic exchange/tail callables are SHARED across their passes —
+    one Mosaic program each per shape family, selected per pass by the
+    (k, j) scalar argument (6 compiles for a 2^24-lane family instead
+    of ~38 through the remote-compile tunnel, and as many fewer live
+    executables per process)."""
+    W, nwin, passes = _pass_plan(Bpad, window, dynamic)
+    exd = tail = tail_neg = None
+    steps = []
     for p in passes:
         if p[0] == "win":
-            call = _win_call(nplanes, dtypes, W, nwin, p[1],
-                             neg_keys and p[2], interpret,
-                             key_planes=key_planes)
-        else:
-            call = _ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
-                            interpret, key_planes=key_planes)
-        calls.append(jax.jit(call))
+            steps.append((_win_call(nplanes, dtypes, W, nwin, p[1],
+                                    neg_keys and p[2], interpret,
+                                    key_planes=key_planes), None))
+        elif p[0] == "ex":
+            steps.append((_ex_call(nplanes, dtypes, W, nwin, p[1],
+                                   p[2], interpret,
+                                   key_planes=key_planes), None))
+        elif p[0] == "exd":
+            if exd is None:
+                exd = _ex_call_dyn(nplanes, dtypes, W, nwin, interpret,
+                                   key_planes=key_planes)
+            steps.append((exd, np.asarray([p[1], p[2]], np.int32)))
+        else:  # taild
+            use_neg = neg_keys and p[2]
+            if use_neg:
+                if tail_neg is None:
+                    tail_neg = _tail_call_dyn(
+                        nplanes, dtypes, W, nwin, True, interpret,
+                        key_planes=key_planes)
+                call = tail_neg
+            else:
+                if tail is None:
+                    tail = _tail_call_dyn(
+                        nplanes, dtypes, W, nwin, False, interpret,
+                        key_planes=key_planes)
+                call = tail
+            steps.append((call, np.asarray([p[1], 0], np.int32)))
+    return steps
+
+
+@lru_cache(maxsize=None)
+def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
+             key_planes=2, dynamic=True):
+    """Pass chain for a static padded lane count (power of two,
+    >= 1024).  Every pass runs as its OWN jit: the remote-compile
+    tunnel compiles Mosaic kernels serially and caches per-executable,
+    so one giant 28-kernel jit would compile for the better part of an
+    hour with nothing cached until the end; per-pass jits compile (and
+    cache, and recover from interrupted runs) incrementally — and the
+    dynamic exchange/tail passes all share ONE jit + executable,
+    re-steered per pass by their (k, j) scalar operand.  The local
+    window sort is split into level groups to bound single-kernel
+    program size (the full levels-1..17 network is ~150 unrolled
+    stages)."""
+    steps = []
+    seen = {}
+    for call, s in _build_steps(Bpad, nplanes, dtypes, neg_keys,
+                                window, interpret, key_planes,
+                                dynamic):
+        if id(call) not in seen:
+            seen[id(call)] = jax.jit(call)
+        steps.append((seen[id(call)], s))
 
     def fn(*planes):
         ps = [x.reshape(Bpad // 128, 128) for x in planes]
-        for call in calls:
-            ps = call(ps)
+        for call, s in steps:
+            ps = call(ps) if s is None else call(s, ps)
         return tuple(x.reshape(-1) for x in ps)
 
     return fn
@@ -261,54 +437,45 @@ _MESH_SORT_CACHE = {}
 
 
 def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
-                     interpret, max_levels_per_pass=6, key_planes=2):
-    """The per-pass callables of _sort_fn, each wrapped in shard_map
-    over the 1-D mesh: every chip runs the identical bitonic pass on
-    its own [rows, 128] plane slice (one per-chip sort per device —
-    the mesh count engine's per-chip batch sort).  Cached per
-    (mesh, shape) in a plain dict (Mesh identity keys)."""
+                     interpret, key_planes=2, dynamic=True):
+    """The per-pass steps of _sort_fn, each wrapped in shard_map over
+    the 1-D mesh: every chip runs the identical bitonic pass on its own
+    [rows, 128] plane slice (one per-chip sort per device — the mesh
+    count engine's per-chip batch sort).  Cached per (mesh, shape) in a
+    plain dict (Mesh identity keys); the dynamic passes share one
+    shard_map jit, steered by their replicated (k, j) scalar."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     key = (id(mesh), Bpad, nplanes, dtypes, neg_keys, window, interpret,
-           key_planes)
+           key_planes, dynamic)
     if key in _MESH_SORT_CACHE:
         return _MESH_SORT_CACHE[key]
 
-    W = min(window, Bpad)
-    nwin = Bpad // W
-    wlog = W.bit_length() - 1
-    blog = Bpad.bit_length() - 1
-    passes = []
-    ks = list(range(1, wlog + 1))
-    for g0 in range(0, len(ks), max_levels_per_pass):
-        grp = ks[g0:g0 + max_levels_per_pass]
-        levels = tuple((k, k - 1) for k in grp)
-        passes.append(("win", levels, blog == wlog and grp[-1] == wlog))
-    for k in range(wlog + 1, blog + 1):
-        for j in range(k - 1, wlog - 1, -1):
-            passes.append(("ex", k, j))
-        passes.append(("win", ((k, wlog - 1),), k == blog))
+    steps = []
+    seen = {}
+    for call, s in _build_steps(Bpad, nplanes, dtypes, neg_keys,
+                                window, interpret, key_planes,
+                                dynamic):
+        if id(call) not in seen:
+            if s is None:
+                def local(*ps, _c=call):
+                    out = _c([p[0] for p in ps])
+                    return tuple(o[None] for o in out)
 
-    calls = []
-    for p in passes:
-        if p[0] == "win":
-            call = _win_call(nplanes, dtypes, W, nwin, p[1],
-                             neg_keys and p[2], interpret,
-                             key_planes=key_planes)
-        else:
-            call = _ex_call(nplanes, dtypes, W, nwin, p[1], p[2],
-                            interpret, key_planes=key_planes)
+                in_specs = (P("d"),) * nplanes
+            else:
+                def local(kj, *ps, _c=call):
+                    out = _c(kj, [p[0] for p in ps])
+                    return tuple(o[None] for o in out)
 
-        def local(*ps, _c=call):
-            out = _c([p[0] for p in ps])
-            return tuple(o[None] for o in out)
-
-        calls.append(jax.jit(shard_map(
-            local, mesh=mesh, in_specs=(P("d"),) * nplanes,
-            out_specs=(P("d"),) * nplanes, check_vma=False)))
-    _MESH_SORT_CACHE[key] = (calls, Bpad)
-    return calls, Bpad
+                in_specs = (P(),) + (P("d"),) * nplanes
+            seen[id(call)] = jax.jit(shard_map(
+                local, mesh=mesh, in_specs=in_specs,
+                out_specs=(P("d"),) * nplanes, check_vma=False))
+        steps.append((seen[id(call)], s))
+    _MESH_SORT_CACHE[key] = (steps, Bpad)
+    return steps, Bpad
 
 
 def sort_planes_mesh(mesh, hi, lo, *extra, neg_keys=False,
@@ -345,12 +512,13 @@ def _sort_entry_mesh(mesh, planes, key_planes, neg_keys, window,
     x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
-        calls, _ = _sort_calls_mesh(mesh, B, len(planes), dtypes,
+        steps, _ = _sort_calls_mesh(mesh, B, len(planes), dtypes,
                                     neg_keys, window, interpret,
-                                    key_planes=key_planes)
+                                    key_planes=key_planes,
+                                    dynamic=_dyn_enabled())
         ps = list(_to_rows(*planes))
-        for call in calls:
-            ps = list(call(*ps))
+        for call, s in steps:
+            ps = list(call(*ps) if s is None else call(s, *ps))
         return _to_flat(*ps)
     finally:
         jax.config.update("jax_enable_x64", x64)
@@ -386,7 +554,8 @@ def _sort_entry(planes, key_planes, neg_keys, window, interpret):
     jax.config.update("jax_enable_x64", False)
     try:
         fn = _sort_fn(B, len(planes), dtypes, neg_keys, window,
-                      interpret, key_planes=key_planes)
+                      interpret, key_planes=key_planes,
+                      dynamic=_dyn_enabled())
         return fn(*planes)
     finally:
         jax.config.update("jax_enable_x64", x64)
