@@ -499,8 +499,11 @@ def build_qv_group_step(mesh, k, ns, chunk, route_cap=None,
 
 def _psort_pad(B):
     """Padded batch lanes for the per-chip bitonic sort (power of two,
-    >= the merge kernel's minimum physical window)."""
-    return max(1 << 14, 1 << max(B - 1, 1).bit_length())
+    >= the merge kernel's minimum physical window) — the same pad rule
+    as the single-chip posts, by construction."""
+    from yak_tpu.ops.countstep import qv_psort_pad
+
+    return qv_psort_pad(B)
 
 
 def build_mesh_presort_step(mesh, k, capd, chunk, route_cap,
@@ -659,8 +662,8 @@ def build_lookup_psort(mesh, k, chunk, route_cap):
     # P1 emits (recv-lane key, value) planes from the kernel outputs,
     # S1 restores recv order, P2 all_to_alls the values home and emits
     # (original-lane key, value) planes, S2 restores query order.
-    BP1 = _psort_pad(B)
-    BP2 = _psort_pad(M)
+    BP1 = Bpad                # the S1 restore sort pads like the batch
+    BP2 = _psort_pad(M)       # the S2 restore sort pads the M lanes
 
     def post_pre_local(ov, pay):
         vals_asc = ov[0].reshape(-1)[:B]
@@ -968,8 +971,11 @@ class _MeshCountDriver:
                 @jax.jit
                 def fn(r, s, cap):
                     s = s.reshape(-1)
+                    # int64 sum: per-chip sizes fit int32 but the
+                    # cross-chip total of a pod does not
                     return (jnp.max(r), jnp.max(s),
-                            jnp.sum(jnp.minimum(s, cap)))
+                            jnp.sum(jnp.minimum(s, cap)
+                                    .astype(jnp.int64)))
                 self._steps["flags_ps"] = fn
             r, smax, tot = fn(r_ovf, t_ovf, np.int32(self.t.cap))
             return int(r), int(smax) > self.t.cap, int(tot)
@@ -977,7 +983,8 @@ class _MeshCountDriver:
         if fn is None:
             @jax.jit
             def fn(r, tvf, sizes):
-                return jnp.max(r), jnp.max(tvf), jnp.sum(sizes)
+                return (jnp.max(r), jnp.max(tvf),
+                        jnp.sum(sizes.astype(jnp.int64)))
             self._steps["flags"] = fn
         r, tv, tot = fn(r_ovf, t_ovf, self.t.size)
         return int(r), bool(tv), int(tot)
@@ -1010,8 +1017,7 @@ class _MeshCountDriver:
             if tv:
                 self._materialize()   # growth needs the u64 form
                 t.grow(t.cap * 2)
-                prev = (("u64", t.keys, t.cnt, t.size) if self.psort
-                        else (t.keys, t.cnt, t.size, t.bf))
+            # the replay snapshot comes from _dispatch's own prev
             self._dispatch(planes_d)
             prev, planes_d, r_ovf, t_ovf = self._last
             self._last = None

@@ -95,8 +95,12 @@ def clear_compile_caches():
     loading the next one (measured on this jaxlib at ~110 suite tests —
     the crash lands in executable deserialization/JIT-load, with or
     without the persistent disk cache).  Call this between workloads to
-    drop the framework caches, jax's pjit caches, and the executables
-    they pin; the persistent disk cache makes re-acquisition cheap.
+    drop the framework's MODULE-LEVEL caches (lru step builders and
+    *_CACHE dicts), jax's pjit caches, and the executables they pin;
+    the persistent disk cache makes re-acquisition cheap.  Caveat:
+    executables pinned by live objects (a _MeshCountDriver's _steps, a
+    routed-group generator's step) stay alive until those objects are
+    dropped — release long-lived drivers before clearing.
     """
     import gc
     import sys as _sys
