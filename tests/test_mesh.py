@@ -376,6 +376,49 @@ def test_mesh_lookup_psort_matches_single(data, tmp_path, monkeypatch):
         assert a.getvalue() == b.getvalue(), fn.__name__
 
 
+def test_mesh_route_capacity_retry_psort(data, tmp_path, monkeypatch):
+    """The double-and-replay route-overflow protocol under the PSORT
+    engine, for both the count fold (preserved plane-state restore) and
+    the routed lookup (mesh_routed_groups doubling its capacity):
+    results must match the single-chip paths exactly."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    from yak_tpu.models.qv import QvOpts, main_qv
+    from yak_tpu.parallel import mesh as meshmod
+
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    opt = CountOpts(k=17, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+
+    rng = np.random.default_rng(47)
+    g = util.make_genome(rng, 20_000)
+    util.to_fasta(tmp_path / "asm.fa", [g], names=["a1"])
+
+    orig = meshmod.default_route_cap
+    # deterministically too small (each source routes ~14k valid lanes
+    # > 4 x 2048, so overflow-and-replay MUST trigger) but not absurdly
+    # so: every capacity step compiles a fresh psort shape family, so
+    # each halving of the start value adds ~6 interpret-mode builds
+    meshmod.default_route_cap = lambda M, n: 2048
+    try:
+        sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh,
+                                  cap_log2=14)
+        a, b = io.StringIO(), io.StringIO()
+        main_qv(QvOpts(chunk_size=1 << 14), single,
+                str(tmp_path / "asm.fa"), out=a)
+        main_qv(QvOpts(chunk_size=1 << 14), sharded,
+                str(tmp_path / "asm.fa"), out=b)
+    finally:
+        meshmod.default_route_cap = orig
+    h1, c1 = single.items()
+    h2, c2 = sharded.items()
+    o1, o2 = np.argsort(h1), np.argsort(h2)
+    np.testing.assert_array_equal(h1[o1], h2[o2])
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+    assert a.getvalue() == b.getvalue()
+
+
 def test_mesh_triobin_diff_overflow_fallback(data, tmp_path):
     """-p D-marker budget overflow on a mesh degrades to the
     per-lane-values host fallback for the chunk (advisor r2: it used to
