@@ -79,7 +79,7 @@ def _emit(metric, value, baseline):
         "value": round(value),
         "unit": "k-mers/s" if "count" in metric else "lookups/s",
         "vs_baseline": round(value / baseline, 3),
-    }))
+    }), flush=True)
 
 
 def _genome():
@@ -553,7 +553,7 @@ def main():
         "value": round(value),
         "unit": "k-mers/s",
         "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
-    }))
+    }), flush=True)
 
     times = {}
     genome = _genome()

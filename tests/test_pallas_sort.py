@@ -106,3 +106,35 @@ def test_mesh_sort_matches_flat():
     got = _u64(np.asarray(shi), np.asarray(slo))
     want = np.sort(_u64(hi, lo), axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_psort_smoke_gate(monkeypatch):
+    """The one-time hardware self-test (countstep._psort_smoke_ok)
+    poisons the psort gate when the sort kernels raise OR return wrong
+    data, and passes when they behave — so a Mosaic failure on real TPU
+    degrades to the XLA engine instead of crashing every workload."""
+    from yak_tpu.ops import countstep
+
+    monkeypatch.setattr(countstep, "_PSORT_SMOKE", {"ok": None})
+
+    def boom(*a, **kw):
+        raise RuntimeError("mosaic rejected the kernel")
+
+    monkeypatch.setattr(pallas_sort, "sort_planes", boom)
+    assert countstep._psort_smoke_ok() is False
+    assert countstep._psort_smoke_ok() is False  # sticky, no re-dispatch
+
+    # wrong DATA (silent mis-lowering) must poison too
+    monkeypatch.setattr(countstep, "_PSORT_SMOKE", {"ok": None})
+    monkeypatch.setattr(pallas_sort, "sort_planes",
+                        lambda *ps, **kw: ps)  # identity = unsorted
+    assert countstep._psort_smoke_ok() is False
+
+    # healthy kernels (interpret mode stands in for hardware) pass
+    monkeypatch.undo()
+    monkeypatch.setattr(countstep, "_PSORT_SMOKE", {"ok": None})
+    orig = pallas_sort.sort_planes
+    monkeypatch.setattr(
+        pallas_sort, "sort_planes",
+        lambda *ps, **kw: orig(*ps, **{**kw, "interpret": True}))
+    assert countstep._psort_smoke_ok() is True

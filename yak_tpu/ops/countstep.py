@@ -370,10 +370,63 @@ def get_count_presort_step_planes(k, cap, planes_L=None):
     return step
 
 
+_PSORT_SMOKE = {"ok": None}
+
+
+def _psort_smoke_ok():
+    """One-time hardware self-test for the bitonic sort kernels.
+
+    The psort engine commits callers to a routed plane layout before any
+    Pallas program compiles; if Mosaic rejects a kernel (or silently
+    mis-lowers it) on this toolchain, every workload would crash — or
+    worse, corrupt counts — deep inside the fold.  So the first TPU
+    consult of the gate dispatches one small real sort (2^18 lanes:
+    covers the windowed pass AND the cross-window exchange + tail
+    kernels of one shape family) and checks it against the host sort.
+    Any exception or mismatch poisons the gate for the process and the
+    caller falls back to the XLA sort-merge engine (the measured r2
+    path), with a warning.  YAK_TPU_PSORT_SMOKE=0 skips the test."""
+    import os
+
+    if _PSORT_SMOKE["ok"] is None:
+        if os.environ.get("YAK_TPU_PSORT_SMOKE", "1") == "0":
+            _PSORT_SMOKE["ok"] = True
+            return True
+        import sys
+
+        import numpy as np
+
+        from yak_tpu.ops import pallas_sort
+
+        try:
+            B = 1 << 18
+            rng = np.random.default_rng(0xDA7A)
+            hi = rng.integers(0, 1 << 32, B, dtype=np.uint64)
+            lo = rng.integers(0, 1 << 32, B, dtype=np.uint64)
+            val = rng.integers(0, 1 << 32, B, dtype=np.uint64)
+            out = pallas_sort.sort_planes(
+                jnp.asarray(hi, jnp.uint32), jnp.asarray(lo, jnp.uint32),
+                jnp.asarray(val, jnp.uint32))
+            got = np.stack([np.asarray(p, np.uint64) for p in out])
+            order = np.argsort((hi << 32) | lo, kind="stable")
+            want = np.stack([hi[order], lo[order], val[order]])
+            if not np.array_equal(got, want):
+                raise RuntimeError("sorted output mismatch vs host sort")
+            _PSORT_SMOKE["ok"] = True
+        except Exception as e:  # noqa: BLE001 — any failure => fallback
+            print(f"[W::psort] Pallas sort self-test failed on this "
+                  f"backend ({type(e).__name__}: {e}); falling back to "
+                  f"the XLA sort-merge engine", file=sys.stderr)
+            _PSORT_SMOKE["ok"] = False
+    return _PSORT_SMOKE["ok"]
+
+
 def psort_enabled(packable):
     """Gate for the Pallas bitonic-sort count engine: default ON on TPU
     (YAK_TPU_PSORT=0 disables); YAK_TPU_PSORT_INTERPRET=1 runs the sort
-    and merge kernels in interpret mode (CPU tests)."""
+    and merge kernels in interpret mode (CPU tests).  On real TPU the
+    first consult runs a one-time kernel self-test (_psort_smoke_ok)
+    and the gate degrades to the XLA engine if the kernels misbehave."""
     import os
 
     if not packable:
@@ -385,7 +438,8 @@ def psort_enabled(packable):
     from yak_tpu.ops import pallas_compact
 
     return (pallas_compact.enabled()
-            and jax.default_backend() == "tpu"), False
+            and jax.default_backend() == "tpu"
+            and _psort_smoke_ok()), False
 
 
 @partial(jax.jit, static_argnames=("cap",))
