@@ -509,20 +509,47 @@ def main():
     n_kmers = N_READS * (READ_LEN - K + 1)
 
     # warm-up: full identical pass so every shape (extract, final merge)
-    # is compiled before the timed run
-    warm = run_count(chunks, KmerTable)
-    # seeded workload => a fixed answer; the bench doubles as an
-    # end-to-end correctness gate for the device engines.  The full
-    # histogram digest catches count corruption the distinct-key total
-    # alone would miss (r1 VERDICT weak #7).
-    assert warm.tot == 6226713, f"wrong distinct count: {warm.tot}"
+    # is compiled before the timed run.  Seeded workload => a fixed
+    # answer; the bench doubles as an end-to-end correctness gate for
+    # the device engines.  The full histogram digest catches count
+    # corruption the distinct-key total alone would miss (r1 VERDICT
+    # weak #7).  If the psort engine produces WRONG output on this
+    # hardware (a failure mode the sort-level self-test didn't catch),
+    # poison its gate and re-warm on the r2 XLA engine once, so the
+    # bench still records honest numbers instead of dying metric-less.
     import hashlib
-    hd = hashlib.md5(np.ascontiguousarray(warm.hist(), np.int64)
-                     .tobytes()).hexdigest()[:12]
-    if COUNT_HIST_DIGEST is not None:
-        assert hd == COUNT_HIST_DIGEST, hd
-    else:
-        print(f"[bench] count hist digest = {hd}", file=sys.stderr)
+
+    def _warm_checked():
+        w = run_count(chunks, KmerTable)
+        assert w.tot == 6226713, f"wrong distinct count: {w.tot}"
+        hd = hashlib.md5(np.ascontiguousarray(w.hist(), np.int64)
+                         .tobytes()).hexdigest()[:12]
+        if COUNT_HIST_DIGEST is not None:
+            assert hd == COUNT_HIST_DIGEST, hd
+        else:
+            print(f"[bench] count hist digest = {hd}", file=sys.stderr)
+        return w
+
+    from yak_tpu.ops import countstep
+    from yak_tpu.utils import clear_compile_caches
+    try:
+        try:
+            warm = _warm_checked()
+        except AssertionError:
+            raise
+        except Exception as e:  # transient tunnel fault: one retry
+            print(f"[bench] warm pass failed ({type(e).__name__}), "
+                  f"retrying once", file=sys.stderr)
+            warm = _warm_checked()
+    except Exception as e:
+        if not countstep.psort_enabled(True)[0]:
+            raise
+        print(f"[bench] count gate failed under the psort engine "
+              f"({type(e).__name__}: {e}); poisoning the gate and "
+              f"re-warming on the XLA engine", file=sys.stderr)
+        countstep._PSORT_SMOKE["ok"] = False
+        clear_compile_caches()
+        warm = _warm_checked()
 
 
     # best of 3 timed passes: the remote-device tunnel shows occasional
