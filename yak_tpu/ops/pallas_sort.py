@@ -276,6 +276,21 @@ def _tail_call_dyn(nplanes, dtypes, W, nwin, neg, interpret,
     return fn
 
 
+def _kjit(call, interpret):
+    """jit for one sort pass.  On real TPU the windowed kernels' scoped
+    VMEM footprint (W=2^17 lanes x 3 planes x in/out/partner temps over
+    up-to-6 unrolled levels) is ~17.6MB — past the v5e default 16MB
+    scoped-vmem cap (measured: 'Ran out of memory in memory space vmem
+    ... 17.62M and limit 16.00M').  The chip has 128MB of VMEM; raise
+    the per-program cap via proto-backed compiler options (forwarded
+    per-compile by the remote-compile helper).  Interpret mode (CPU
+    tests) must not see TPU-only flags."""
+    if interpret or jax.default_backend() != "tpu":
+        return jax.jit(call)
+    return jax.jit(call, compiler_options={
+        "xla_tpu_scoped_vmem_limit_kib": 65536})
+
+
 def _dyn_enabled():
     """Scalar-parameterized cross-window kernels (default ON; 6 Mosaic
     programs per shape family instead of ~38).  YAK_TPU_PSORT_DYN=0
@@ -421,7 +436,7 @@ def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
                                 window, interpret, key_planes,
                                 dynamic):
         if id(call) not in seen:
-            seen[id(call)] = jax.jit(call)
+            seen[id(call)] = _kjit(call, interpret)
         steps.append((seen[id(call)], s))
 
     def fn(*planes):
@@ -470,9 +485,10 @@ def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
                     return tuple(o[None] for o in out)
 
                 in_specs = (P(),) + (P("d"),) * nplanes
-            seen[id(call)] = jax.jit(shard_map(
+            seen[id(call)] = _kjit(shard_map(
                 local, mesh=mesh, in_specs=in_specs,
-                out_specs=(P("d"),) * nplanes, check_vma=False))
+                out_specs=(P("d"),) * nplanes, check_vma=False),
+                interpret)
         steps.append((seen[id(call)], s))
     _MESH_SORT_CACHE[key] = (steps, Bpad)
     return steps, Bpad

@@ -267,8 +267,17 @@ class KmerTable:
             return "xla"
         if forced in ("pmerge", "compact", "psort"):
             return forced
-        if not use_bf and os.environ.get("YAK_TPU_PSORT", "1") != "0":
-            return "psort"
+        if not use_bf:
+            # consult the gate (NOT the raw env): the first TPU consult
+            # runs the one-time kernel self-test, so a Mosaic failure on
+            # this toolchain degrades to the XLA engine instead of
+            # crashing deep inside the fold (countstep._psort_smoke_ok)
+            from yak_tpu.ops.countstep import psort_enabled
+
+            ok, _ = psort_enabled(self._packable)
+            if ok:
+                return "psort"
+            return "xla"
         return "pmerge"
 
     def _run_step(self, step, codes, state, use_bf, mode):
