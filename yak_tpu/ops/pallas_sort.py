@@ -228,6 +228,116 @@ def _tail_kernel_dyn(nplanes, W, neg, key_planes=2):
     return kernel
 
 
+def _stage_params(pairs, S):
+    """Encode a bitonic stage list [(k, j), ...] as the loop kernel's
+    prefetched (3, S+1) i32 array: column 0 = [n_stages, neg, 0] (neg
+    patched by the caller), column 1+i = [1<<k, lane-roll d, row-roll q]
+    where d = 2^j splits into a lane part (< 128) and a row part
+    (>= 128) — exactly one is nonzero, the other encodes identity."""
+    n = len(pairs)
+    assert n <= S, (n, S)
+    a = np.zeros((3, S + 1), np.int32)
+    a[0, 0] = n
+    for i, (k, j) in enumerate(pairs):
+        a[0, 1 + i] = 1 << k
+        if j < 7:
+            a[1, 1 + i] = 1 << j
+        else:
+            a[2, 1 + i] = 1 << (j - 7)
+    return a
+
+
+def _loop_kernel(nplanes, W, S, key_planes=2):
+    """The windowed kernel as a LOOP over scalar-prefetched stages
+    instead of an unrolled network.  Rationale: the unrolled kernels
+    compile through the remote-compile tunnel at ~10s per unrolled
+    stage (measured 213s for a 21-stage program), so one shape family's
+    windowed passes cost ~30 minutes of one-time Mosaic compile; the
+    loop body is one stage's worth of IR and compiles in seconds, and
+    ONE executable serves every pass with the same trip count (the
+    per-level tails all share S = wlog).  The roll amounts become
+    dynamic (tpu.dynamic_rotate), costing a second roll pair per stage
+    (lane pass then row pass, one of them identity) — VPU work the
+    VMEM-resident sort can afford.  Stage i reads column 1+i of the
+    prefetched array (see _stage_params); s[1,0] != 0 complements the
+    key planes on the final write (the neg_keys contract)."""
+    WR = W // 128
+
+    def kernel(s, *refs):
+        ins, outs = refs[:nplanes], refs[nplanes:]
+        w = pl.program_id(0)
+        base = w * W
+        fi = _flat_iota((WR, 128))
+        gf = fi + base
+        cols = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 0)
+        n = s[0, 0]
+
+        def xroll2(x, dl, q):
+            # lane pass (identity when dl == 0: both rolls are by 0)
+            fl = pltpu.roll(x, (128 - dl) & 127, axis=1)
+            bl = pltpu.roll(x, dl, axis=1)
+            y = jnp.where((cols & dl) == 0, fl, bl)
+            # row pass (identity when q == 0)
+            fr = pltpu.roll(y, (WR - q) & (WR - 1), axis=0)
+            br = pltpu.roll(y, q, axis=0)
+            return jnp.where((rows & q) == 0, fr, br)
+
+        def body(i, planes):
+            kbit = s[0, 1 + i]
+            dl = s[1, 1 + i]
+            q = s[2, 1 + i]
+            d = dl | (q * 128)
+            dirm = (gf & kbit) != 0
+            partners = [xroll2(p, dl, q) for p in planes]
+            if key_planes == 1:
+                h, ph = planes[0], partners[0]
+                less_po = ph < h
+                less_op = h < ph
+            else:
+                h, lo = planes[0], planes[1]
+                ph, plo = partners[0], partners[1]
+                less_po = _less(ph, plo, h, lo)
+                less_op = _less(h, lo, ph, plo)
+            bitset = (gf & d) != 0
+            want_min = ~(bitset ^ dirm)
+            take = (want_min & less_po) | (~want_min & less_op)
+            return tuple(jnp.where(take, pp, p)
+                         for p, pp in zip(planes, partners))
+
+        planes = jax.lax.fori_loop(0, n, body,
+                                   tuple(r[:] for r in ins))
+        neg = s[1, 0] != 0
+        for idx in range(nplanes):
+            val = planes[idx]
+            if idx < key_planes:
+                val = jnp.where(neg, ~val, val)
+            outs[idx][:] = val
+
+    return kernel
+
+
+def _loop_call(nplanes, dtypes, W, nwin, S, interpret, key_planes=2):
+    WR = W // 128
+    own = pl.BlockSpec((WR, 128), lambda w, s: (w, 0),
+                       memory_space=pltpu.VMEM)
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nwin,),
+        in_specs=[own] * nplanes,
+        out_specs=[own] * nplanes)
+    kernel = _loop_kernel(nplanes, W, S, key_planes)
+
+    def fn(s, planes):
+        return pl.pallas_call(
+            kernel, grid_spec=spec,
+            out_shape=[jax.ShapeDtypeStruct((nwin * WR, 128), dt)
+                       for dt in dtypes],
+            interpret=interpret,
+        )(s, *planes)
+
+    return fn
+
+
 def _ex_call_dyn(nplanes, dtypes, W, nwin, interpret, key_planes=2):
     WR = W // 128
     wlog = W.bit_length() - 1
@@ -291,14 +401,24 @@ def _kjit(call, interpret):
         "xla_tpu_scoped_vmem_limit_kib": 65536})
 
 
-def _dyn_enabled():
-    """Scalar-parameterized cross-window kernels (default ON; 6 Mosaic
-    programs per shape family instead of ~38).  YAK_TPU_PSORT_DYN=0
-    reverts to per-(k, j) static kernels if the scalar-prefetch path
-    ever misbehaves on a toolchain."""
+def _mode():
+    """Kernel-generation mode for the windowed passes.
+
+    "loop" (default): scalar-steered stage LOOP kernels — 3 Mosaic
+    programs per shape family (local-sort loop + tail loop + dynamic
+    exchange), each one stage of IR, compiling in seconds through the
+    remote-compile tunnel.  YAK_TPU_PSORT_LOOP=0 falls back to
+    "dyn": unrolled windowed kernels + scalar-steered exchange/tail
+    (~6 programs, ~10s of compile per unrolled stage).
+    YAK_TPU_PSORT_DYN=0 falls back further to fully static per-(k, j)
+    kernels (~38 programs)."""
     import os
 
-    return os.environ.get("YAK_TPU_PSORT_DYN", "1") != "0"
+    if os.environ.get("YAK_TPU_PSORT_LOOP", "1") != "0":
+        return "loop"
+    if os.environ.get("YAK_TPU_PSORT_DYN", "1") != "0":
+        return "dyn"
+    return "static"
 
 
 def _win_call(nplanes, dtypes, W, nwin, levels, neg_keys, interpret,
@@ -344,18 +464,32 @@ def _ex_call(nplanes, dtypes, W, nwin, k, j, interpret,
     return fn
 
 
-def _pass_plan(Bpad, window, dynamic, max_levels_per_pass=6):
+def _pass_plan(Bpad, window, mode, max_levels_per_pass=6):
     """The sort's pass sequence for a static padded lane count.
-    Items: ("win", levels, is_final) — static windowed kernel;
+    Items: ("loop", stage_pairs, trip_S, is_final) — scalar-steered
+    stage-loop kernel (trip_S is the executable's static trip count;
+    the local sort and the per-level tails each share one);
+    ("win", levels, is_final) — static unrolled windowed kernel;
     ("ex", k, j) — static cross-window exchange;
-    ("exd", k, j) / ("taild", k, is_final) — the scalar-parameterized
-    variants (one shared kernel each per shape family)."""
+    ("exd", k, j) / ("taild", k, is_final) — the scalar-steered
+    unrolled variants."""
     W = min(window, Bpad)
     nwin = Bpad // W
     wlog = W.bit_length() - 1
     blog = Bpad.bit_length() - 1
 
     passes = []
+    if mode == "loop":
+        # the ENTIRE local sort (levels 1..wlog) in one VMEM pass
+        local = [(k, j) for k in range(1, wlog + 1)
+                 for j in range(k - 1, -1, -1)]
+        passes.append(("loop", local, len(local), blog == wlog))
+        for k in range(wlog + 1, blog + 1):
+            for j in range(k - 1, wlog - 1, -1):
+                passes.append(("exd", k, j))
+            tail = [(k, j) for j in range(wlog - 1, -1, -1)]
+            passes.append(("loop", tail, wlog, k == blog))
+        return W, nwin, passes
     # local sort: the in-window network, levels 1..wlog, split into
     # level groups to keep each Mosaic program moderate
     ks = list(range(1, wlog + 1))
@@ -363,6 +497,7 @@ def _pass_plan(Bpad, window, dynamic, max_levels_per_pass=6):
         grp = ks[g0:g0 + max_levels_per_pass]
         levels = tuple((k, k - 1) for k in grp)
         passes.append(("win", levels, blog == wlog and grp[-1] == wlog))
+    dynamic = mode == "dyn"
     for k in range(wlog + 1, blog + 1):
         for j in range(k - 1, wlog - 1, -1):
             passes.append(("exd", k, j) if dynamic else ("ex", k, j))
@@ -374,18 +509,29 @@ def _pass_plan(Bpad, window, dynamic, max_levels_per_pass=6):
 
 
 def _build_steps(Bpad, nplanes, dtypes, neg_keys, window, interpret,
-                 key_planes, dynamic):
+                 key_planes, mode):
     """(raw_callable, scalar_or_None) pairs for the pass chain.  The
-    dynamic exchange/tail callables are SHARED across their passes —
-    one Mosaic program each per shape family, selected per pass by the
-    (k, j) scalar argument (6 compiles for a 2^24-lane family instead
-    of ~38 through the remote-compile tunnel, and as many fewer live
-    executables per process)."""
-    W, nwin, passes = _pass_plan(Bpad, window, dynamic)
+    scalar-steered callables are SHARED across their passes — in loop
+    mode 3 Mosaic programs serve the whole shape family (local-sort
+    loop, tail loop, dynamic exchange), each selected per pass by its
+    prefetched stage array; in dyn mode ~6; static ~38 (through the
+    remote-compile tunnel, and as many live executables per
+    process)."""
+    W, nwin, passes = _pass_plan(Bpad, window, mode)
     exd = tail = tail_neg = None
+    loops = {}
     steps = []
     for p in passes:
-        if p[0] == "win":
+        if p[0] == "loop":
+            _, pairs, S, is_final = p
+            if S not in loops:
+                loops[S] = _loop_call(nplanes, dtypes, W, nwin, S,
+                                      interpret, key_planes=key_planes)
+            s = _stage_params(pairs, S)
+            if neg_keys and is_final:
+                s[1, 0] = 1
+            steps.append((loops[S], s))
+        elif p[0] == "win":
             steps.append((_win_call(nplanes, dtypes, W, nwin, p[1],
                                     neg_keys and p[2], interpret,
                                     key_planes=key_planes), None))
