@@ -118,6 +118,18 @@ def test_bloom_two_pass(data, bshift):
     assert ours == ref
 
 
+def test_bloom_two_pass_psort(data, monkeypatch):
+    """The -b protocol end-to-end on the psort engine (interpret mode):
+    sort-first dedup + Bloom gate + weighted merge vs the oracle."""
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    ref = _oracle_counts(["count", "-k21", "-b20", "-K50000",
+                          data / "reads.fa", data / "reads.fa"],
+                         data / "bfps_ref.yak")
+    ours, _ = _our_counts(data / "reads.fa", 21, bf_shift=20,
+                          second=data / "reads.fa")
+    assert ours == ref
+
+
 def test_recount(data):
     run_oracle(["count", "-k17", "-K50000", "-o", str(data / "rc_base.yak"),
                 data / "reads.fa"])

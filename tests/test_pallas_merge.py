@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from yak_tpu.ops import sorttable as st
 from yak_tpu.ops.countstep import _pmerge_prep_impl, finalize_pmerge
-from yak_tpu.ops.pallas_merge import merge_reduce
+from yak_tpu.ops.pallas_merge import merge_reduce, merge_reduce_presorted
 
 
 def run_both(tpairs, batch, adds, valid, cap, create=True):
@@ -147,6 +147,54 @@ def test_bloom_gated_pmerge_matches_xla_step():
     want = st.merge_batch(tk, tc, sz, hs, add, vv, mode=st.ADD,
                           create=True, packable=True)
     check(got, want)
+
+
+def test_bloom_gate_post_psort_matches_xla_step():
+    """The full Bloom-gated psort pipeline (sort -> gate post -> weighted
+    presorted merge) == the XLA bloom step (dedup -> bloom -> masked
+    merge), including bit-identical filter state."""
+    import jax.numpy as jnp
+    from yak_tpu.ops.bloom import make_bloom, bloom_insert
+    from yak_tpu.ops import pallas_sort
+    from yak_tpu.ops import sorttable as stm
+    from yak_tpu.ops.countstep import _xs_planes, get_bloom_gate_post
+
+    rng = np.random.default_rng(17)
+    space = rng.integers(0, 1 << 62, 4000, dtype=np.uint64)
+    batch = rng.choice(space, size=12000).astype(np.uint64)
+    valid = rng.random(12000) < 0.95
+    cap = 1 << 14
+    tk, tc, sz = stm.make_table(cap)
+    pre, bf_shift, bf_n = 10, 20, 4
+
+    h = jnp.asarray(batch)
+    v = jnp.asarray(valid)
+
+    # psort path
+    xhi, xlo = _xs_planes(h, v)
+    Ehi, Elo = pallas_sort.sort_planes(xhi, xlo, neg_keys=True,
+                                       interpret=True)
+    bw, bf_ps = get_bloom_gate_post(pre, bf_shift, bf_n)(
+        Ehi, Elo, make_bloom(bf_shift))
+    shifted = tk << jnp.uint64(1)
+    thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    size_s = jnp.minimum(sz, cap).reshape(1).astype(jnp.int32)
+    out = merge_reduce_presorted(size_s, thi, tlo, tc, Ehi, Elo, bw=bw,
+                                 Na=cap, Nb=12000, create=True,
+                                 interpret=True)
+    got = finalize_pmerge(*out, cap=cap)
+
+    # XLA reference path
+    hs, starts, mult = stm.dedup(h, v, packable=True)
+    bf_x, n_before = bloom_insert(make_bloom(bf_shift), hs, starts,
+                                  pre=pre, n_shift=bf_shift,
+                                  n_hashes=bf_n)
+    add = jnp.where(n_before == bf_n, mult, mult - 1)
+    want = st.merge_batch(tk, tc, sz, hs, add, starts & (add > 0),
+                          mode=st.ADD, create=True, packable=True)
+    check(got, want)
+    np.testing.assert_array_equal(np.asarray(bf_ps), np.asarray(bf_x))
 
 
 def run_lookup(tpairs, batch, valid, cap):

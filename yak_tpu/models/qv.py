@@ -589,7 +589,13 @@ def qv_solve(hist, cnt, kmer, fpr):
             max_cnt, max_c = int(cnt[c]), c
     if max_c < 0:
         qs.fpr_upper = 1.0
-        return -1, qs  # degenerate input (reference reads OOB here)
+        # degenerate input (no counted k-mer occurs twice): the
+        # reference reads cnt[-1]/hist[-1] here (qv.c:165 with
+        # max_c == -1, OOB) which lands on zeroed allocator memory on
+        # this platform -> 0.0/0.0 -> x86 default QNaN, printed
+        # "-nan"; reproduce the observable CV line exactly
+        qs.cov = float("-nan")
+        return -1, qs
     min_c, min_cnt = -1, max_cnt
     for c in range(2, max_c):
         if cnt[c] < min_cnt:

@@ -294,7 +294,14 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid,
             has_tab = (v >> _TBIT) > 0
             val = jnp.minimum(v & _VMASK, 1023)
             if create:
-                keep = end
+                # zero-weight batch-only runs never create an entry:
+                # the Bloom-gated psort path streams gated lanes with
+                # add = 0 through the sorted batch (they cannot be
+                # re-masked to INF post-sort without breaking order),
+                # matching the XLA prep's `starts & (add > 0)` gate.
+                # Pre-existing paths are unaffected (their batch runs
+                # always sum >= 1).
+                keep = end & (has_tab | (val > 0))
             else:
                 keep = end & has_tab
             kept = jnp.sum(keep.astype(jnp.int32))
@@ -308,7 +315,9 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid,
         last_sum = v[_R - 1, 127]
         c0s = (carry_open == 1) & (hi[0, 0] == ck[0]) & (lo_id[0, 0] == ck[1])
         c_tab = (st[3] >> _TBIT) > 0
-        c_keep = False if lookup else (True if create else c_tab)
+        c_val = (st[3] & _VMASK) > 0
+        c_keep = False if lookup else \
+            ((c_tab | c_val) if create else c_tab)
         inject = ((carry_open == 1) & ~c0s & c_keep).astype(jnp.int32)
         inj_hi = ck[0]
         inj_lo = ck[1]

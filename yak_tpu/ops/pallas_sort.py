@@ -564,7 +564,7 @@ def _build_steps(Bpad, nplanes, dtypes, neg_keys, window, interpret,
 
 @lru_cache(maxsize=None)
 def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
-             key_planes=2, dynamic=True):
+             key_planes=2, mode="loop"):
     """Pass chain for a static padded lane count (power of two,
     >= 1024).  Every pass runs as its OWN jit: the remote-compile
     tunnel compiles Mosaic kernels serially and caches per-executable,
@@ -576,11 +576,12 @@ def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
     window sort is split into level groups to bound single-kernel
     program size (the full levels-1..17 network is ~150 unrolled
     stages)."""
+    assert mode in ("loop", "dyn", "static"), mode
     steps = []
     seen = {}
     for call, s in _build_steps(Bpad, nplanes, dtypes, neg_keys,
                                 window, interpret, key_planes,
-                                dynamic):
+                                mode):
         if id(call) not in seen:
             seen[id(call)] = _kjit(call, interpret)
         steps.append((seen[id(call)], s))
@@ -598,7 +599,7 @@ _MESH_SORT_CACHE = {}
 
 
 def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
-                     interpret, key_planes=2, dynamic=True):
+                     interpret, key_planes=2, mode="loop"):
     """The per-pass steps of _sort_fn, each wrapped in shard_map over
     the 1-D mesh: every chip runs the identical bitonic pass on its own
     [rows, 128] plane slice (one per-chip sort per device — the mesh
@@ -608,8 +609,9 @@ def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    assert mode in ("loop", "dyn", "static"), mode
     key = (id(mesh), Bpad, nplanes, dtypes, neg_keys, window, interpret,
-           key_planes, dynamic)
+           key_planes, mode)
     if key in _MESH_SORT_CACHE:
         return _MESH_SORT_CACHE[key]
 
@@ -617,7 +619,7 @@ def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
     seen = {}
     for call, s in _build_steps(Bpad, nplanes, dtypes, neg_keys,
                                 window, interpret, key_planes,
-                                dynamic):
+                                mode):
         if id(call) not in seen:
             if s is None:
                 def local(*ps, _c=call):
@@ -677,7 +679,7 @@ def _sort_entry_mesh(mesh, planes, key_planes, neg_keys, window,
         steps, _ = _sort_calls_mesh(mesh, B, len(planes), dtypes,
                                     neg_keys, window, interpret,
                                     key_planes=key_planes,
-                                    dynamic=_dyn_enabled())
+                                    mode=_mode())
         ps = list(_to_rows(*planes))
         for call, s in steps:
             ps = list(call(*ps) if s is None else call(s, *ps))
@@ -717,7 +719,7 @@ def _sort_entry(planes, key_planes, neg_keys, window, interpret):
     try:
         fn = _sort_fn(B, len(planes), dtypes, neg_keys, window,
                       interpret, key_planes=key_planes,
-                      dynamic=_dyn_enabled())
+                      mode=_mode())
         return fn(*planes)
     finally:
         jax.config.update("jax_enable_x64", x64)

@@ -246,8 +246,9 @@ class KmerTable:
         import os
 
         if (os.environ.get("YAK_TPU_PSORT_INTERPRET", "0") == "1"
-                and self._packable and not use_bf):
+                and self._packable):
             # test hook: bitonic sort + merge kernels in interpret mode
+            # (covers the Bloom-gated psort path too)
             self._interp = True
             return "psort"
         if (os.environ.get("YAK_TPU_PMERGE_INTERPRET", "0") == "1"
@@ -267,18 +268,22 @@ class KmerTable:
             return "xla"
         if forced in ("pmerge", "compact", "psort"):
             return forced
-        if not use_bf:
-            # consult the gate (NOT the raw env): the first TPU consult
-            # runs the one-time kernel self-test, so a Mosaic failure on
-            # this toolchain degrades to the XLA engine instead of
-            # crashing deep inside the fold (countstep._psort_smoke_ok)
-            from yak_tpu.ops.countstep import psort_enabled
+        # consult the gate (NOT the raw env): the first TPU consult
+        # runs the one-time kernel self-test, so a Mosaic failure on
+        # this toolchain degrades to the XLA engine instead of
+        # crashing deep inside the fold (countstep._psort_smoke_ok)
+        from yak_tpu.ops.countstep import psort_enabled
 
-            ok, _ = psort_enabled(self._packable)
-            if ok:
+        ok, _ = psort_enabled(self._packable)
+        if use_bf:
+            # Bloom-gated create pass on the bitonic engine (r4):
+            # sort first, dedup + Bloom gate on the sorted stream
+            # (countstep.get_bloom_gate_post), weighted merge.
+            # YAK_TPU_PSORT_BLOOM=0 reverts to the r2 pmerge path.
+            if ok and os.environ.get("YAK_TPU_PSORT_BLOOM", "1") != "0":
                 return "psort"
-            return "xla"
-        return "pmerge"
+            return "pmerge"
+        return "psort" if ok else "xla"
 
     def _run_step(self, step, codes, state, use_bf, mode):
         """Queue one fused fold against `state` (a (keys, cnt, size, bf)
@@ -305,13 +310,22 @@ class KmerTable:
             if mode == "psort":
                 # 4-dispatch split: extract pre-jit -> Pallas bitonic
                 # sort (descending E out) -> in-dispatch diagonal
-                # search + merge-reduce kernel -> (lazy) finalize
+                # search + merge-reduce kernel -> (lazy) finalize.
+                # With a Bloom filter, a gate dispatch runs between the
+                # sort and the merge (dedup on the sorted stream + the
+                # filter probe; the add weights ride the bw plane).
                 from yak_tpu.ops import pallas_sort
                 xhi, xlo, thi, tlo, tw, size_s = step(carg, *targs)
                 Ehi, Elo = pallas_sort.sort_planes(
                     xhi, xlo, neg_keys=True, interpret=interp)
+                bw = None
+                if use_bf:
+                    from yak_tpu.ops.countstep import get_bloom_gate_post
+                    gate = get_bloom_gate_post(
+                        self.pre, self.bf_shift, self.bf_n_hash)
+                    bw, self.bf = gate(Ehi, Elo, bf)
                 out = pallas_merge.merge_reduce_presorted(
-                    size_s, thi, tlo, tw, Ehi, Elo, Na=cap, Nb=B,
+                    size_s, thi, tlo, tw, Ehi, Elo, bw=bw, Na=cap, Nb=B,
                     create=self._pend_create, interpret=interp)
             else:
                 if use_bf:
