@@ -357,8 +357,8 @@ def bench_count_device(out_times):
             B = arg[0].shape[0] * rmajor_lanes(L)
             if use_ps:
                 # the psort engine (table._run_step's default TPU path):
-                # extract pre-jit -> Pallas bitonic sort -> in-dispatch
-                # search + merge-reduce
+                # extract pre-jit -> ONE fused dispatch (bitonic sort
+                # chain + diagonal search + merge-reduce kernel)
                 if ps is None:
                     pre = get_count_presort_step(K, planes_L=planes_L)(
                         arg, keys, cnt, size)
@@ -366,11 +366,16 @@ def bench_count_device(out_times):
                     pre = get_count_presort_step_planes(
                         K, CAP, planes_L=planes_L)(arg, *ps[:4])
                 xhi, xlo, thi, tlo, tw, size_s = pre
-                Ehi, Elo = pallas_sort.sort_planes(xhi, xlo,
-                                                   neg_keys=True)
-                ps = pallas_merge.merge_reduce_presorted(
-                    size_s, thi, tlo, tw, Ehi, Elo, Na=CAP, Nb=B,
-                    create=True)
+                if pallas_sort._fused():
+                    ps = pallas_merge.fold_sort_merge(
+                        size_s, thi, tlo, tw, xhi, xlo, Na=CAP, Nb=B,
+                        create=True)
+                else:
+                    Ehi, Elo = pallas_sort.sort_planes(xhi, xlo,
+                                                       neg_keys=True)
+                    ps = pallas_merge.merge_reduce_presorted(
+                        size_s, thi, tlo, tw, Ehi, Elo, Na=CAP, Nb=B,
+                        create=True)
             else:
                 if ps is None:
                     prep = get_count_step_pmerge(K, planes_L=planes_L)(

@@ -92,6 +92,24 @@ def test_long_k_parity(data):
     assert our == ref
 
 
+def test_long_k_parity_psort(data, monkeypatch):
+    """k=33 on the wide psort engine (interpret mode): raw 64-bit keys
+    through the bitonic sort + wide merge kernel vs the oracle."""
+    monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    k = 33
+    run_oracle(["count", f"-k{k}", "-K50000", "-o",
+                str(data / "k33ps.yak"), data / "reads.fa"])
+    from yak_tpu.models.count import count_file, CountOpts
+    t = count_file(str(data / "reads.fa"),
+                   CountOpts(k=k, chunk_size=50000, cap_log2=12))
+    import yak_tpu.io.yakfmt as yakfmt
+    t.dump(str(data / "k33ps_ours.yak"))
+    _, _, h_ref, c_ref = yakfmt.restore_yak(str(data / "k33ps.yak"))
+    _, _, h_our, c_our = yakfmt.restore_yak(str(data / "k33ps_ours.yak"))
+    assert (dict(zip(h_our.tolist(), c_our.tolist()))
+            == dict(zip(h_ref.tolist(), c_ref.tolist())))
+
+
 def test_dump_restore_interop(data):
     ref = _oracle_counts(["count", "-k17", "-K50000", data / "reads.fa"],
                          data / "int_ref.yak")

@@ -197,6 +197,127 @@ def test_bloom_gate_post_psort_matches_xla_step():
     np.testing.assert_array_equal(np.asarray(bf_ps), np.asarray(bf_x))
 
 
+def _wide_psort_fold(tk, tc, sz, h, v, cap, B, bloom=None,
+                     create=True):
+    """Drive the full wide (k>=32) psort pipeline in interpret mode."""
+    from yak_tpu.ops import pallas_sort
+    from yak_tpu.ops.countstep import (_xs_planes, get_bloom_gate_post)
+
+    xhi, xlo = _xs_planes(h, v, wide=True)
+    Ehi, Elo = pallas_sort.sort_planes(xhi, xlo, neg_keys=True,
+                                       interpret=True)
+    thi = (tk >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = (tk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    size_s = jnp.minimum(sz, cap).reshape(1).astype(jnp.int32)
+    bw = bf2 = None
+    if bloom is not None:
+        bf, pre, bf_shift, bf_n = bloom
+        bw, bf2 = get_bloom_gate_post(pre, bf_shift, bf_n, wide=True)(
+            Ehi, Elo, bf)
+    out = merge_reduce_presorted(size_s, thi, tlo, tc, Ehi, Elo, bw=bw,
+                                 Na=cap, Nb=B, create=create,
+                                 interpret=True, wide=True)
+    got = finalize_pmerge(*out, cap=cap, wide=True)
+    return got, bf2
+
+
+def test_wide_merge_matches_xla_step():
+    """Wide (raw 64-bit key) psort fold == the multi-operand XLA merge:
+    full-width hashes incl. >= 2^63 (which the packed kernel's
+    key-space realness test would misjudge), duplicates across tiles,
+    invalid lanes, and a non-empty table also holding >= 2^63 keys."""
+    from yak_tpu.ops import sorttable as stm
+
+    rng = np.random.default_rng(23)
+    space = rng.integers(0, 1 << 64, 4000, dtype=np.uint64)
+    space = np.where(space == np.uint64(0xFFFFFFFFFFFFFFFF),
+                     space - np.uint64(1), space)
+    batch = rng.choice(space, size=12000).astype(np.uint64)
+    valid = rng.random(12000) < 0.95
+    cap = 1 << 14
+    tk, tc, sz = stm.make_table(cap)
+    # seed the table with half the space (sorted unique)
+    seed = np.unique(rng.choice(space, size=2000)).astype(np.uint64)
+    tk = tk.at[:len(seed)].set(jnp.asarray(seed))
+    tc = tc.at[:len(seed)].set(7)
+    sz = jnp.int32(len(seed))
+
+    h, v = jnp.asarray(batch), jnp.asarray(valid)
+    got, _ = _wide_psort_fold(tk, tc, sz, h, v, cap, 12000)
+    add = jnp.ones(12000, jnp.int32)
+    want = st.merge_batch(tk, tc, sz, h, add, v, mode=st.ADD,
+                          create=True, packable=False)
+    check(got, want)
+
+
+def test_wide_merge_create_false_and_clamp():
+    """create=False drops batch-only wide runs; a valid hash of
+    0xFF..FF is clamped to 0xFF..FE (documented 2^-64 inexactness that
+    keeps exact-INF reserved for pads)."""
+    from yak_tpu.ops import sorttable as stm
+
+    cap = 1 << 14
+    tk, tc, sz = stm.make_table(cap)
+    present = np.uint64(1 << 63) | np.uint64(12345)
+    tk = tk.at[0].set(present)
+    tc = tc.at[0].set(3)
+    sz = jnp.int32(1)
+    inf = np.uint64(0xFFFFFFFFFFFFFFFF)
+    batch = np.array([present] * 5 + [42] * 4 + [inf] * 3, np.uint64)
+    batch = np.concatenate([batch,
+                            np.zeros(16384 - len(batch), np.uint64)])
+    valid = np.zeros(16384, bool)
+    valid[:12] = True
+
+    got, _ = _wide_psort_fold(tk, tc, sz, jnp.asarray(batch),
+                              jnp.asarray(valid), cap, 16384,
+                              create=False)
+    keys, cnt, size = got[0], got[1], int(got[2])
+    assert size == 1
+    assert int(keys[0]) == int(present) and int(cnt[0]) == 8
+
+    got2, _ = _wide_psort_fold(tk, tc, sz, jnp.asarray(batch),
+                               jnp.asarray(valid), cap, 16384,
+                               create=True)
+    k2 = np.asarray(got2[0])[:int(got2[2])]
+    c2 = np.asarray(got2[1])[:int(got2[2])]
+    d = dict(zip(k2.tolist(), c2.tolist()))
+    # the three 0xFF..FF instances landed on the clamped key 0xFF..FE
+    assert d == {42: 4, int(present): 8, int(inf) - 1: 3}, d
+
+
+def test_wide_bloom_gate_matches_xla_step():
+    """Wide + Bloom-gated create == the XLA dedup/bloom/merge chain on
+    full-width hashes, with bit-identical filter state."""
+    from yak_tpu.ops.bloom import make_bloom, bloom_insert
+    from yak_tpu.ops import sorttable as stm
+
+    rng = np.random.default_rng(29)
+    space = rng.integers(0, 1 << 64, 3000, dtype=np.uint64)
+    space = np.where(space == np.uint64(0xFFFFFFFFFFFFFFFF),
+                     space - np.uint64(1), space)
+    batch = rng.choice(space, size=12000).astype(np.uint64)
+    valid = rng.random(12000) < 0.95
+    cap = 1 << 14
+    tk, tc, sz = stm.make_table(cap)
+    pre, bf_shift, bf_n = 10, 20, 4
+
+    h, v = jnp.asarray(batch), jnp.asarray(valid)
+    got, bf_ps = _wide_psort_fold(
+        tk, tc, sz, h, v, cap, 12000,
+        bloom=(make_bloom(bf_shift), pre, bf_shift, bf_n))
+
+    hs, starts, mult = stm.dedup(h, v, packable=False)
+    bf_x, n_before = bloom_insert(make_bloom(bf_shift), hs, starts,
+                                  pre=pre, n_shift=bf_shift,
+                                  n_hashes=bf_n)
+    add = jnp.where(n_before == bf_n, mult, mult - 1)
+    want = st.merge_batch(tk, tc, sz, hs, add, starts & (add > 0),
+                          mode=st.ADD, create=True, packable=False)
+    check(got, want)
+    np.testing.assert_array_equal(np.asarray(bf_ps), np.asarray(bf_x))
+
+
 def run_lookup(tpairs, batch, valid, cap):
     from yak_tpu.ops.countstep import lookup_pallas
 

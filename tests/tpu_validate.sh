@@ -14,6 +14,10 @@ timeout 3000 python tests/tpu_parity.py
 echo "== TPU parity: Bloom two-pass =="
 timeout 1800 python tests/tpu_parity_bloom.py
 echo "== bench (warm) =="
-timeout 2400 python bench.py || true
+# warm pass exists to populate the persistent compile cache: give it
+# the whole window so bench.py's per-section budget never skips a
+# section (a skipped section would push its compile bill into the
+# clean run / the driver's measured run)
+YAK_TPU_BENCH_BUDGET=2300 timeout 2400 python bench.py || true
 echo "== bench (clean) =="
 timeout 1800 python bench.py

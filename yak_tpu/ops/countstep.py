@@ -307,17 +307,28 @@ def get_count_step_pmerge_planes(k, cap, bloom_cfg=None, planes_L=None):
     return step_bf
 
 
-def _xs_planes(h, valid, lookup=False):
+def _xs_planes(h, valid, lookup=False, wide=False):
     """Complement-packed sort keys as UNSORTED u32 planes for the Pallas
     bitonic sort (ops/pallas_sort): same packed total order as
     _pmerge_prep_core's xs, padded to a power of two (>= 2^14, the merge
     kernel's minimum physical window).  Pads are 0x..00, which sort to
     the ascending front = the descending E's INF front pads after the
-    sort's final complement (neg_keys=True)."""
+    sort's final complement (neg_keys=True).
+
+    wide=True (k >= 32 full-width hash_long hashes, no room for the
+    stream bit): xs = ~h, and any VALID hash equal to 0xFF..FF is
+    clamped to 0xFF..FE so that exact-INF stays reserved for pads —
+    the wide merge kernel's realness test (pallas_merge._make_kernel).
+    The clamp merges two of 2^64 key values, noise far below the
+    hash_long path's own collision rate (main.c:19-24)."""
     B = h.shape[0]
-    inval = jnp.uint64(2) if lookup else jnp.uint64(0)
-    xs = jnp.where(valid, ~((h << jnp.uint64(1)) | jnp.uint64(1)),
-                   inval)
+    if wide:
+        xs = jnp.where(valid, ~h, jnp.uint64(0))
+        xs = jnp.where(valid & (xs == jnp.uint64(0)), jnp.uint64(1), xs)
+    else:
+        inval = jnp.uint64(2) if lookup else jnp.uint64(0)
+        xs = jnp.where(valid, ~((h << jnp.uint64(1)) | jnp.uint64(1)),
+                       inval)
     Bpad = max(1 << 14, 1 << max(B - 1, 1).bit_length())
     if Bpad != B:
         xs = jnp.concatenate([xs, jnp.zeros(Bpad - B, jnp.uint64)])
@@ -326,7 +337,8 @@ def _xs_planes(h, valid, lookup=False):
 
 
 @lru_cache(maxsize=None)
-def get_bloom_gate_post(pre, bf_shift, bf_n_hash, shard_shift=0):
+def get_bloom_gate_post(pre, bf_shift, bf_n_hash, shard_shift=0,
+                        wide=False):
     """The Bloom-gated create protocol (htab.c:61-70) ON TOP of the
     Pallas-sorted batch — the psort engine's -b path (r3 VERDICT next
     #4: the author-recommended -b config never benefited from the
@@ -352,7 +364,8 @@ def get_bloom_gate_post(pre, bf_shift, bf_n_hash, shard_shift=0):
              | Elo.astype(jnp.uint64))
         inf = jnp.uint64(0xFFFFFFFFFFFFFFFF)
         valid = E != inf               # INF = window pads + invalid
-        h = E >> jnp.uint64(1)         # packed key -> hash (stream bit)
+        # packed key -> hash (strip the stream bit); wide keys are raw
+        h = E if wide else E >> jnp.uint64(1)
         n = E.shape[0]
         idx = jnp.arange(n, dtype=jnp.int32)
         starts = jnp.concatenate(
@@ -373,47 +386,54 @@ def get_bloom_gate_post(pre, bf_shift, bf_n_hash, shard_shift=0):
 
 
 @lru_cache(maxsize=None)
-def get_count_presort_step(k, planes_L=None):
+def get_count_presort_step(k, planes_L=None, wide=False):
     """Pre-jit of the psort engine (u64 table): fused extract +
     complement-pack; the batch sort itself runs in the Pallas bitonic
     kernels (ops/pallas_sort) and the merge-path search moves into the
     merge dispatch (pallas_merge.merge_reduce_presorted), so this jit
-    has no lax.sort at all."""
-    assert k <= 31
+    has no lax.sort at all.
+
+    wide=True (k >= 32): keys travel as RAW 64-bit hash_long hashes —
+    table planes split without the hash<<1|stream packing, batch keys
+    clamped per _xs_planes; the wide merge kernel consumes them."""
+    assert wide == (k > 31)
     ext = _extractor(k, planes_L, rmajor=True)
 
     @jax.jit
     def step(codes, tkeys, tcnt, size):
         h, valid = ext(codes)
-        xhi, xlo = _xs_planes(h.reshape(-1), valid.reshape(-1))
-        shifted = tkeys << jnp.uint64(1)
+        xhi, xlo = _xs_planes(h.reshape(-1), valid.reshape(-1),
+                              wide=wide)
+        shifted = tkeys if wide else tkeys << jnp.uint64(1)
         thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
         tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         size_s = jnp.minimum(size, tkeys.shape[0]).reshape(1).astype(
             jnp.int32)
         return xhi, xlo, thi, tlo, tcnt, size_s
 
-    _STEP_CFG[step] = (k, None, planes_L)
+    _STEP_CFG[step] = (k, None, planes_L, wide)
     return step
 
 
 @lru_cache(maxsize=None)
-def get_count_presort_step_planes(k, cap, planes_L=None):
+def get_count_presort_step_planes(k, cap, planes_L=None, wide=False):
     """get_count_presort_step against a plane-resident table (previous
     fold's raw merge-reduce outputs pass through untouched; the kernel
-    and the in-dispatch search both clear the stream bit)."""
-    assert k <= 31
+    and the in-dispatch search both clear the stream bit — a no-op for
+    wide keys, which carry no stream bit)."""
+    assert wide == (k > 31)
     ext = _extractor(k, planes_L, rmajor=True)
 
     @jax.jit
     def step(codes, ohi, olo, ov, size11):
         h, valid = ext(codes)
-        xhi, xlo = _xs_planes(h.reshape(-1), valid.reshape(-1))
+        xhi, xlo = _xs_planes(h.reshape(-1), valid.reshape(-1),
+                              wide=wide)
         size_s = jnp.minimum(size11[0, 0], cap).reshape(1).astype(
             jnp.int32)
         return xhi, xlo, ohi, olo, ov, size_s
 
-    _STEP_CFG[step] = (k, None, planes_L)
+    _STEP_CFG[step] = (k, None, planes_L, wide)
     return step
 
 
@@ -512,6 +532,75 @@ def _psort_smoke_ok():
     return _PSORT_SMOKE["ok"]
 
 
+_WIDE_SMOKE = {"ok": None, "class": None, "err": None}
+
+
+def wide_smoke_ok():
+    """One-time hardware self-test for the WIDE (k >= 32 raw-u64-key)
+    merge kernel — the _psort_smoke_ok pattern applied to the r4 wide
+    path: one small end-to-end fold (clamped xs planes -> bitonic sort
+    -> wide merge -> finalize) checked against a host dict count.  Any
+    failure poisons the gate (classified like the sort gate) and
+    k >= 32 tables fall back to the multi-operand XLA engine.
+    YAK_TPU_PSORT_SMOKE=0 skips."""
+    import os
+
+    if _WIDE_SMOKE["ok"] is None:
+        if os.environ.get("YAK_TPU_PSORT_SMOKE", "1") == "0":
+            _WIDE_SMOKE["ok"] = True
+            return True
+        import sys
+
+        import numpy as np
+
+        from yak_tpu.ops import pallas_merge, pallas_sort
+        from yak_tpu.ops import sorttable as st_
+
+        try:
+            B = 1 << 14
+            cap = 1 << 14
+            rng = np.random.default_rng(0xD1DE)
+            base = rng.integers(0, 1 << 64, 4096, dtype=np.uint64)
+            base = np.where(base == np.uint64(0xFFFFFFFFFFFFFFFF),
+                            base - np.uint64(1), base)
+            h = rng.choice(base, B).astype(np.uint64)
+            valid = rng.random(B) < 0.9
+            tk, tc, sz = st_.make_table(cap)
+            xhi, xlo = _xs_planes(jnp.asarray(h), jnp.asarray(valid),
+                                  wide=True)
+            Ehi, Elo = pallas_sort.sort_planes(xhi, xlo, neg_keys=True)
+            thi = (tk >> jnp.uint64(32)).astype(jnp.uint32)
+            tlo = (tk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+            size_s = jnp.zeros(1, jnp.int32)
+            out = pallas_merge.merge_reduce_presorted(
+                size_s, thi, tlo, tc, Ehi, Elo, Na=cap, Nb=B,
+                create=True, wide=True)
+            keys, cnt, size, _n, _o = finalize_pmerge(*out, cap=cap,
+                                                      wide=True)
+            n = int(size)
+            got = dict(zip(np.asarray(keys)[:n].tolist(),
+                           np.asarray(cnt)[:n].tolist()))
+            want = {}
+            for x in h[valid].tolist():
+                want[x] = min(want.get(x, 0) + 1, 1023)
+            if got != want:
+                raise _SmokeDataMismatch(
+                    "wide merge output mismatch vs host count")
+            _WIDE_SMOKE["ok"] = True
+        except Exception as e:  # noqa: BLE001 — any failure => fallback
+            cls = _classify_smoke_failure(e)
+            _WIDE_SMOKE["class"] = cls
+            _WIDE_SMOKE["err"] = f"{type(e).__name__}: {e}"
+            print(f"[W::psort] wide merge self-test failed "
+                  f"[class={cls}] ({type(e).__name__}: {e}); k>=32 "
+                  f"tables fall back to the XLA sort-merge engine"
+                  + ("" if cls != "python" else
+                     " — THIS IS A FRAMEWORK BUG, not a backend limit"),
+                  file=sys.stderr)
+            _WIDE_SMOKE["ok"] = False
+    return _WIDE_SMOKE["ok"]
+
+
 def psort_enabled(packable):
     """Gate for the Pallas bitonic-sort count engine: default ON on TPU
     (YAK_TPU_PSORT=0 disables); YAK_TPU_PSORT_INTERPRET=1 runs the sort
@@ -539,12 +628,15 @@ def pmerge_overflow(size11, cap):
     return size11[0, 0] > cap
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def finalize_pmerge(ohi, olo, ov, size11, nnew11, cap):
+@partial(jax.jit, static_argnames=("cap", "wide"))
+def finalize_pmerge(ohi, olo, ov, size11, nnew11, cap, wide=False):
     """One dispatch: merge-reduce outputs -> table state + flags.
-    Emitted keys are the packed hash<<1|stream form — unshift."""
+    Emitted keys are the packed hash<<1|stream form — unshift (wide
+    keys are raw 64-bit hashes, no shift)."""
     keys = ((ohi.reshape(-1)[:cap].astype(jnp.uint64) << jnp.uint64(32))
-            | olo.reshape(-1)[:cap].astype(jnp.uint64)) >> jnp.uint64(1)
+            | olo.reshape(-1)[:cap].astype(jnp.uint64))
+    if not wide:
+        keys = keys >> jnp.uint64(1)
     new_size = size11[0, 0]
     return (keys, ov.reshape(-1)[:cap],
             jnp.minimum(new_size, cap), nnew11[0, 0].astype(jnp.int64),

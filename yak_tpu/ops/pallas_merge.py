@@ -153,10 +153,20 @@ def _butterfly_compact(keep, planes):
 
 
 def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid,
-                 lookup=False):
+                 lookup=False, wide=False):
     """Kernel closure over static (Na = table cap lanes, Nb = REAL batch
     lanes, physical plane lengths na_len/nb_len, create flag, unit =
     batch weights are implicitly 1 (no Bw plane), grid length).
+
+    wide=True (k >= 32, yak_hash_long): keys are RAW full-width 64-bit
+    hashes — no stream tiebreak bit, no hash<<1 packing.  Realness is
+    exact-INF keyed (the prep clamps any valid hash 0xFF..FF to
+    0xFF..FE, countstep._xs_planes, so only pads/invalid/beyond-size
+    lanes are INF; the 2^-64-scale key merge this costs is far below
+    hash_long's own collision rate, main.c:19-24 documents the k>31
+    mode as approximate).  Table-vs-batch ties (same hash both streams)
+    interleave arbitrarily in the tile sort; the run reduction is a sum
+    over equal keys, so order cannot matter.
 
     V2 contract (no prep-side padding or flipping):
       - A planes are RAW: packed (hash<<1 | stream) hi/lo + value; the
@@ -228,14 +238,23 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid,
             bh, bl = bwin
             # count: each batch lane adds 1; lookup: queries weigh 0
             # (only the table's cnt+1 flows through the run sum)
-            bw = jnp.zeros_like(aw) if lookup else \
-                jnp.where(bh < jnp.uint32(1 << 31), 1, 0)
+            if lookup:
+                bw = jnp.zeros_like(aw)
+            elif wide:
+                bw = jnp.where((bh == _INF) & (bl == _INF), 0, 1)
+            else:
+                bw = jnp.where(bh < jnp.uint32(1 << 31), 1, 0)
         else:
             bh, bl, bw = bwin
-        # A lanes carry raw (hash<<1|stream, value): clear the stream
-        # bit (ties must prefer the table stream) and tag table presence
-        al = al & jnp.uint32(0xFFFFFFFE)
-        a_real = ah < jnp.uint32(1 << 31)
+        if wide:
+            # raw 64-bit keys: realness is exact-INF (see docstring)
+            a_real = ~((ah == _INF) & (al == _INF))
+        else:
+            # A lanes carry raw (hash<<1|stream, value): clear the
+            # stream bit (ties must prefer the table stream) and tag
+            # table presence
+            al = al & jnp.uint32(0xFFFFFFFE)
+            a_real = ah < jnp.uint32(1 << 31)
         if lookup:
             # LOOKUP mode: table value rides as cnt+1; the run's
             # inclusive segmented sum propagates it to every query lane
@@ -244,17 +263,30 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid,
         else:
             aw = jnp.where(a_real, aw | jnp.int32(1 << _TBIT), 0)
 
-        # cross-stream min-exchange: bwin[i] = B_asc[b_t + T-1-i]
-        selb = _less(bh, bl, ah, al)
+        # cross-stream min-exchange: bwin[i] = B_asc[b_t + T-1-i].
+        # Tie rule must MATCH the diagonal search's (pred Am < Bv
+        # strict => B consumed first on equal keys): wide keys can tie
+        # across streams (no stream bit), and keeping the A copy of a
+        # tied pair here while the partition already consumed the B
+        # copy double-reads A's weight in the next tile (re-read
+        # window) and drops one B instance.  Packed keys cannot tie.
+        if wide:
+            selb = ~_less(ah, al, bh, bl)   # b <= a: take b
+        else:
+            selb = _less(bh, bl, ah, al)
         hi = jnp.where(selb, bh, ah)
         lo = jnp.where(selb, bl, al)
         w = jnp.where(selb, bw, aw)
         hi, lo, w = _bitonic_clean(hi, lo, w)
 
         fi = _flat_iota(hi.shape)
-        real = hi < jnp.uint32(1 << 31)
-        # run identity ignores the stream tiebreak bit (packed bit 0)
-        lo_id = lo | jnp.uint32(1)
+        if wide:
+            real = ~((hi == _INF) & (lo == _INF))
+            lo_id = lo          # no stream bit: raw key IS the identity
+        else:
+            real = hi < jnp.uint32(1 << 31)
+            # run identity ignores the stream tiebreak bit (packed bit 0)
+            lo_id = lo | jnp.uint32(1)
         prev_hi = _shr(hi, 1, jnp.uint32(0))
         prev_lo = _shr(lo_id, 1, jnp.uint32(0))
         neq = (hi != prev_hi) | (lo_id != prev_lo)
@@ -371,13 +403,13 @@ def _make_kernel(Na, Nb, na_len, nb_len, create, unit, grid,
 
 @lru_cache(maxsize=None)
 def _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create, unit,
-                interpret, lookup=False):
+                interpret, lookup=False, wide=False):
     """Build the pallas_call for static (table cap lanes, real batch
     lanes, padded batch lanes, physical input rows, create, unit)."""
     grid = (Na + Nb_real) // T + 1
     out_rows = (grid * T + S) // 128
     kernel = _make_kernel(Na, Nb_pad, a_rows * 128, b_rows * 128,
-                          create, unit, grid, lookup=lookup)
+                          create, unit, grid, lookup=lookup, wide=wide)
 
     win = [
         pltpu.VMEM((2, _WR, 128), jnp.uint32),
@@ -431,26 +463,27 @@ def _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create, unit,
     return jax.jit(fn)
 
 
-def _search32(thi_f, tlo_f, size, cap, Ehi, Elo, B, Bpad):
+def _search32(thi_f, tlo_f, size, cap, Ehi, Elo, B, Bpad, wide=False):
     """The merge-path diagonal search of countstep._pmerge_prep_core in
     pure u32-pair arithmetic, so it can run INSIDE the x64-disabled
     merge dispatch against already-sorted E planes (the Pallas bitonic
     sort emits them).  Table lanes are raw packed (hash<<1|stream):
     bit 0 of the lo plane is cleared unconditionally (u64-table preps
-    emit stream=0 anyway)."""
+    emit stream=0 anyway); wide=True keys are raw 64-bit hashes with no
+    stream bit to clear."""
     grid = (cap + B) // T + 1
     D = jnp.minimum(jnp.arange(grid, dtype=jnp.int32) * T, cap + B)
     lo_b = jnp.maximum(jnp.int32(0), D - B)
     hi_b = jnp.minimum(D, jnp.int32(cap))
     iters = max(cap, 1).bit_length() + 1
     inf = jnp.uint32(0xFFFFFFFF)
+    lo_keep = inf if wide else jnp.uint32(0xFFFFFFFE)
     for _ in range(iters):
         m = (lo_b + hi_b) // 2
         mc = jnp.clip(m, 0, cap - 1)
         oob_a = m >= size
         Ah = jnp.where(oob_a, inf, thi_f[mc])
-        Al = jnp.where(oob_a, inf,
-                       tlo_f[mc] & jnp.uint32(0xFFFFFFFE))
+        Al = jnp.where(oob_a, inf, tlo_f[mc] & lo_keep)
         Bj = D - m - 1
         idx = jnp.clip(Bpad - 1 - Bj, 0, Bpad - 1)
         under = Bj < 0
@@ -468,14 +501,15 @@ def _search32(thi_f, tlo_f, size, cap, Ehi, Elo, B, Bpad):
 
 @lru_cache(maxsize=None)
 def _merge_call_presorted(Na, Nb_real, Nb_pad, a_rows, b_rows, create,
-                          unit, interpret, lookup):
+                          unit, interpret, lookup, wide=False):
     inner = _merge_call(Na, Nb_real, Nb_pad, a_rows, b_rows, create,
-                        unit, interpret, lookup=lookup)
+                        unit, interpret, lookup=lookup, wide=wide)
 
     def fn(size_s, thi, tlo, tw, bhi, blo, bw=None):
         a_starts = _search32(thi.reshape(-1), tlo.reshape(-1),
                              size_s[0], Na, bhi.reshape(-1),
-                             blo.reshape(-1), Nb_real, Nb_pad)
+                             blo.reshape(-1), Nb_real, Nb_pad,
+                             wide=wide)
         args = (a_starts, size_s, thi, tlo, tw, bhi, blo)
         if not unit:
             args += (bw,)
@@ -486,11 +520,13 @@ def _merge_call_presorted(Na, Nb_real, Nb_pad, a_rows, b_rows, create,
 
 def merge_reduce_presorted(size_s, thi, tlo, tw, bhi, blo, bw=None,
                            Na=None, Nb=None, create=True,
-                           interpret=False, lookup=False):
+                           interpret=False, lookup=False, wide=False):
     """merge_reduce for a batch ALREADY in descending-E plane form
     (pallas_sort.sort_planes(..., neg_keys=True)): computes the
     merge-path diagonal splits in-dispatch (u32 pairs, no x64) and runs
-    the kernel.  Must be called OUTSIDE jit (flips the x64 flag)."""
+    the kernel.  wide=True: raw 64-bit keys, the k >= 32 hash_long path
+    (see _make_kernel).  Must be called OUTSIDE jit (flips the x64
+    flag)."""
     def rows(x):
         n = x.shape[0] * x.shape[1] if x.ndim == 2 else x.shape[0]
         return n // 128
@@ -501,10 +537,64 @@ def merge_reduce_presorted(size_s, thi, tlo, tw, bhi, blo, bw=None,
     try:
         call = _merge_call_presorted(Na, Nb, b_rows * 128, a_rows,
                                      b_rows, create, unit, interpret,
-                                     lookup)
+                                     lookup, wide=wide)
         if unit:
             return call(size_s, thi, tlo, tw, bhi, blo)
         return call(size_s, thi, tlo, tw, bhi, blo, bw)
+    finally:
+        jax.config.update("jax_enable_x64", x64)
+
+
+@lru_cache(maxsize=None)
+def _fold_call_fused(Na, Nb_real, Bpad, a_rows, create, interpret,
+                     wide, window):
+    """ONE jit for the whole count fold after the extract pre-jit: the
+    bitonic sort pass chain + the merge-path diagonal search + the
+    merge-reduce kernel.  Rationale: each jit dispatch costs ~6ms of
+    remote-tunnel latency (measured r4); the split engine paid ~30 per
+    fold.  All Mosaic kernels inside are hash-cached from the per-pass
+    builds, so the fused program only adds one XLA glue compile."""
+    from yak_tpu.ops.pallas_sort import _build_steps, _kjit, _mode
+
+    raw = _build_steps(Bpad, 2, ("uint32", "uint32"), True, window,
+                       interpret, 2, _mode())
+    b_rows = Bpad // 128
+    inner = _merge_call(Na, Nb_real, Bpad, a_rows, b_rows, create,
+                        True, interpret, wide=wide)
+
+    def fn(size_s, thi, tlo, tw, xhi, xlo):
+        ps = [x.reshape(b_rows, 128) for x in (xhi, xlo)]
+        for call, s in raw:
+            ps = call(ps) if s is None else call(s, ps)
+        Ehi, Elo = (x.reshape(-1) for x in ps)
+        a_starts = _search32(thi.reshape(-1), tlo.reshape(-1),
+                             size_s[0], Na, Ehi, Elo, Nb_real, Bpad,
+                             wide=wide)
+        return inner(a_starts, size_s, thi, tlo, tw, Ehi, Elo)
+
+    return _kjit(fn, interpret)
+
+
+def fold_sort_merge(size_s, thi, tlo, tw, xhi, xlo, Na, Nb,
+                    create=True, interpret=False, wide=False,
+                    window=None):
+    """The count fold's sort + search + merge as ONE dispatch: consumes
+    the extract pre-jit's UNSORTED complement-packed batch planes
+    (countstep._xs_planes) and the raw table planes, returns the
+    merge-reduce plane state.  Unit batch weights only (the Bloom path
+    needs its u64 gate dispatch between sort and merge, so it composes
+    the split pieces).  Must be called OUTSIDE jit (flips x64)."""
+    from yak_tpu.ops.pallas_sort import W_LANES
+
+    window = window or W_LANES
+    Bpad = int(np.prod(xhi.shape))
+    a_rows = int(np.prod(thi.shape)) // 128
+    x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        call = _fold_call_fused(Na, Nb, Bpad, a_rows, create,
+                                interpret, wide, window)
+        return call(size_s, thi, tlo, tw, xhi, xlo)
     finally:
         jax.config.update("jax_enable_x64", x64)
 

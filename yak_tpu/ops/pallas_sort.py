@@ -562,26 +562,56 @@ def _build_steps(Bpad, nplanes, dtypes, neg_keys, window, interpret,
     return steps
 
 
+def _fused():
+    """One jit around the WHOLE pass chain (default) vs one jit per
+    pass (YAK_TPU_PSORT_FUSE=0).
+
+    Measured on hardware (r4 first psort bench): per-pass jits cost
+    ~6ms of remote-tunnel dispatch latency EACH — ~30 dispatches per
+    2^24-lane fold added ~180ms/group against ~25ms of actual kernel
+    time, making the engine 2.9x slower than the r2 XLA sort it was
+    built to beat.  Fusing the chain into one program removes all but
+    one dispatch; the Mosaic kernels inside are hash-cached from the
+    per-pass builds (loop mode = 3 programs/family), so the one-time
+    cost is only the XLA glue compile.  Per-pass mode remains the
+    fallback (and the cache-priming order for a cold machine)."""
+    import os
+
+    return os.environ.get("YAK_TPU_PSORT_FUSE", "1") != "0"
+
+
 @lru_cache(maxsize=None)
 def _sort_fn(Bpad, nplanes, dtypes, neg_keys, window, interpret,
-             key_planes=2, mode="loop"):
+             key_planes=2, mode="loop", fused=True):
     """Pass chain for a static padded lane count (power of two,
-    >= 1024).  Every pass runs as its OWN jit: the remote-compile
-    tunnel compiles Mosaic kernels serially and caches per-executable,
-    so one giant 28-kernel jit would compile for the better part of an
-    hour with nothing cached until the end; per-pass jits compile (and
-    cache, and recover from interrupted runs) incrementally — and the
-    dynamic exchange/tail passes all share ONE jit + executable,
-    re-steered per pass by their (k, j) scalar operand.  The local
-    window sort is split into level groups to bound single-kernel
-    program size (the full levels-1..17 network is ~150 unrolled
-    stages)."""
+    >= 1024).
+
+    fused=True: the whole chain is ONE jit = one tunnel dispatch (see
+    _fused).  fused=False: every pass runs as its OWN jit — the
+    remote-compile tunnel compiles Mosaic kernels serially and caches
+    per-executable, so per-pass jits compile (and cache, and recover
+    from interrupted runs) incrementally; the dynamic exchange/tail
+    passes all share ONE jit + executable, re-steered per pass by
+    their (k, j) scalar operand.  The fused build reuses those same
+    Mosaic binaries via the kernel hash cache.  The local window sort
+    is split into level groups to bound single-kernel program size
+    (the full levels-1..17 network is ~150 unrolled stages)."""
     assert mode in ("loop", "dyn", "static"), mode
+    raw = _build_steps(Bpad, nplanes, dtypes, neg_keys, window,
+                       interpret, key_planes, mode)
+
+    if fused:
+        def chain(*planes):
+            ps = [x.reshape(Bpad // 128, 128) for x in planes]
+            for call, s in raw:
+                ps = call(ps) if s is None else call(s, ps)
+            return tuple(x.reshape(-1) for x in ps)
+
+        return _kjit(chain, interpret)
+
     steps = []
     seen = {}
-    for call, s in _build_steps(Bpad, nplanes, dtypes, neg_keys,
-                                window, interpret, key_planes,
-                                mode):
+    for call, s in raw:
         if id(call) not in seen:
             seen[id(call)] = _kjit(call, interpret)
         steps.append((seen[id(call)], s))
@@ -599,27 +629,43 @@ _MESH_SORT_CACHE = {}
 
 
 def _sort_calls_mesh(mesh, Bpad, nplanes, dtypes, neg_keys, window,
-                     interpret, key_planes=2, mode="loop"):
-    """The per-pass steps of _sort_fn, each wrapped in shard_map over
-    the 1-D mesh: every chip runs the identical bitonic pass on its own
+                     interpret, key_planes=2, mode="loop", fused=True):
+    """The pass steps of _sort_fn wrapped in shard_map over the 1-D
+    mesh: every chip runs the identical bitonic pass chain on its own
     [rows, 128] plane slice (one per-chip sort per device — the mesh
     count engine's per-chip batch sort).  Cached per (mesh, shape) in a
-    plain dict (Mesh identity keys); the dynamic passes share one
-    shard_map jit, steered by their replicated (k, j) scalar."""
+    plain dict (Mesh identity keys).  fused=True (default, see _fused)
+    runs the WHOLE chain in one shard_map jit = one dispatch; per-pass
+    mode shares one shard_map jit across the dynamic passes, steered by
+    their replicated (k, j) scalar."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     assert mode in ("loop", "dyn", "static"), mode
     key = (id(mesh), Bpad, nplanes, dtypes, neg_keys, window, interpret,
-           key_planes, mode)
+           key_planes, mode, fused)
     if key in _MESH_SORT_CACHE:
+        return _MESH_SORT_CACHE[key]
+
+    raw = _build_steps(Bpad, nplanes, dtypes, neg_keys, window,
+                       interpret, key_planes, mode)
+
+    if fused:
+        def local_chain(*ps):
+            planes = [p[0] for p in ps]
+            for call, s in raw:
+                planes = call(planes) if s is None else call(s, planes)
+            return tuple(o[None] for o in planes)
+
+        fn = _kjit(shard_map(
+            local_chain, mesh=mesh, in_specs=(P("d"),) * nplanes,
+            out_specs=(P("d"),) * nplanes, check_vma=False), interpret)
+        _MESH_SORT_CACHE[key] = ([(fn, None)], Bpad)
         return _MESH_SORT_CACHE[key]
 
     steps = []
     seen = {}
-    for call, s in _build_steps(Bpad, nplanes, dtypes, neg_keys,
-                                window, interpret, key_planes,
-                                mode):
+    for call, s in raw:
         if id(call) not in seen:
             if s is None:
                 def local(*ps, _c=call):
@@ -679,7 +725,7 @@ def _sort_entry_mesh(mesh, planes, key_planes, neg_keys, window,
         steps, _ = _sort_calls_mesh(mesh, B, len(planes), dtypes,
                                     neg_keys, window, interpret,
                                     key_planes=key_planes,
-                                    mode=_mode())
+                                    mode=_mode(), fused=_fused())
         ps = list(_to_rows(*planes))
         for call, s in steps:
             ps = list(call(*ps) if s is None else call(s, *ps))
@@ -719,7 +765,7 @@ def _sort_entry(planes, key_planes, neg_keys, window, interpret):
     try:
         fn = _sort_fn(B, len(planes), dtypes, neg_keys, window,
                       interpret, key_planes=key_planes,
-                      mode=_mode())
+                      mode=_mode(), fused=_fused())
         return fn(*planes)
     finally:
         jax.config.update("jax_enable_x64", x64)

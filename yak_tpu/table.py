@@ -209,9 +209,11 @@ class KmerTable:
                 get_count_presort_step, get_count_presort_step_planes)
             if self._plane_state is not None:
                 step = get_count_presort_step_planes(
-                    self.k, self.cap, planes_L=planes_L)
+                    self.k, self.cap, planes_L=planes_L,
+                    wide=not self._packable)
             else:
-                step = get_count_presort_step(self.k, planes_L=planes_L)
+                step = get_count_presort_step(
+                    self.k, planes_L=planes_L, wide=not self._packable)
         elif mode == "pmerge":
             if self._plane_state is not None:
                 step = get_count_step_pmerge_planes(
@@ -236,19 +238,18 @@ class KmerTable:
 
         "psort": Pallas bitonic batch sort (ops/pallas_sort) + in-
           dispatch merge-path search + Pallas merge-reduce — NO XLA
-          sort anywhere in the fold; the non-Bloom hot path on TPU.
-        "pmerge": XLA batch sort + Pallas merge-reduce (the Bloom
-          pmerge path, and YAK_TPU_PSORT=0).
-        "compact": XLA merge sort + Pallas streaming compactor — the
-          Bloom path (dedup/gate reshape the batch inside the step).
-        "xla": pure XLA (CPU tests, k >= 32 full-width hashes).
+          sort anywhere in the fold; the hot path on TPU for k <= 31
+          (packed keys) AND k >= 32 (wide raw-u64 keys, r4).
+        "pmerge": XLA batch sort + Pallas merge-reduce
+          (YAK_TPU_PSORT=0 / YAK_TPU_PSORT_BLOOM=0 Bloom fallback).
+        "compact": XLA merge sort + Pallas streaming compactor.
+        "xla": pure XLA (CPU tests, fallbacks).
         """
         import os
 
-        if (os.environ.get("YAK_TPU_PSORT_INTERPRET", "0") == "1"
-                and self._packable):
+        if os.environ.get("YAK_TPU_PSORT_INTERPRET", "0") == "1":
             # test hook: bitonic sort + merge kernels in interpret mode
-            # (covers the Bloom-gated psort path too)
+            # (covers the Bloom-gated and wide k>=32 psort paths too)
             self._interp = True
             return "psort"
         if (os.environ.get("YAK_TPU_PMERGE_INTERPRET", "0") == "1"
@@ -259,12 +260,22 @@ class KmerTable:
             return "pmerge"
         self._interp = False
         forced = os.environ.get("YAK_TPU_ENGINE", "auto")
-        if forced == "xla" or not self._packable \
-                or not pallas_compact.enabled():
+        if forced == "xla" or not pallas_compact.enabled():
             return "xla"
         import jax
 
         if jax.default_backend() != "tpu":
+            return "xla"
+        from yak_tpu.ops.countstep import psort_enabled, wide_smoke_ok
+
+        if not self._packable:
+            # k >= 32 wide path (r4): raw 64-bit hash_long keys through
+            # the same bitonic sort kernels + the wide merge kernel.
+            # Gated on BOTH self-tests; YAK_TPU_PSORT_WIDE=0 reverts to
+            # the multi-operand XLA sort-merge.
+            if (os.environ.get("YAK_TPU_PSORT_WIDE", "1") != "0"
+                    and psort_enabled(True)[0] and wide_smoke_ok()):
+                return "psort"
             return "xla"
         if forced in ("pmerge", "compact", "psort"):
             return forced
@@ -272,8 +283,6 @@ class KmerTable:
         # runs the one-time kernel self-test, so a Mosaic failure on
         # this toolchain degrades to the XLA engine instead of
         # crashing deep inside the fold (countstep._psort_smoke_ok)
-        from yak_tpu.ops.countstep import psort_enabled
-
         ok, _ = psort_enabled(self._packable)
         if use_bf:
             # Bloom-gated create pass on the bitonic engine (r4):
@@ -315,18 +324,36 @@ class KmerTable:
                 # sort and the merge (dedup on the sorted stream + the
                 # filter probe; the add weights ride the bw plane).
                 from yak_tpu.ops import pallas_sort
+                wide = not self._packable
                 xhi, xlo, thi, tlo, tw, size_s = step(carg, *targs)
-                Ehi, Elo = pallas_sort.sort_planes(
-                    xhi, xlo, neg_keys=True, interpret=interp)
-                bw = None
                 if use_bf:
+                    # Bloom path: the u64 gate dispatch must run
+                    # between sort and merge (x64 on), so compose the
+                    # split pieces (sort itself is one fused dispatch)
                     from yak_tpu.ops.countstep import get_bloom_gate_post
+                    Ehi, Elo = pallas_sort.sort_planes(
+                        xhi, xlo, neg_keys=True, interpret=interp)
                     gate = get_bloom_gate_post(
-                        self.pre, self.bf_shift, self.bf_n_hash)
+                        self.pre, self.bf_shift, self.bf_n_hash,
+                        wide=wide)
                     bw, self.bf = gate(Ehi, Elo, bf)
-                out = pallas_merge.merge_reduce_presorted(
-                    size_s, thi, tlo, tw, Ehi, Elo, bw=bw, Na=cap, Nb=B,
-                    create=self._pend_create, interpret=interp)
+                    out = pallas_merge.merge_reduce_presorted(
+                        size_s, thi, tlo, tw, Ehi, Elo, bw=bw, Na=cap,
+                        Nb=B, create=self._pend_create,
+                        interpret=interp, wide=wide)
+                elif pallas_sort._fused():
+                    # hot path: sort + search + merge in ONE dispatch
+                    out = pallas_merge.fold_sort_merge(
+                        size_s, thi, tlo, tw, xhi, xlo, Na=cap, Nb=B,
+                        create=self._pend_create, interpret=interp,
+                        wide=wide)
+                else:
+                    Ehi, Elo = pallas_sort.sort_planes(
+                        xhi, xlo, neg_keys=True, interpret=interp)
+                    out = pallas_merge.merge_reduce_presorted(
+                        size_s, thi, tlo, tw, Ehi, Elo, Na=cap, Nb=B,
+                        create=self._pend_create, interpret=interp,
+                        wide=wide)
             else:
                 if use_bf:
                     *prep, self.bf = step(carg, *targs, bf)
@@ -380,7 +407,7 @@ class KmerTable:
                 # the one-time materialize is off the hot path)
                 _, ps, bf = prev
                 keys, cnt, size, _n, _o = finalize_pmerge(
-                    *ps, cap=self.cap)
+                    *ps, cap=self.cap, wide=not self._packable)
                 step = self._u64_twin_step(step, use_bf, mode)
             else:
                 keys, cnt, size, bf = prev
@@ -399,9 +426,12 @@ class KmerTable:
         from yak_tpu.ops.countstep import (_STEP_CFG,
                                            get_count_presort_step)
 
-        k, bloom_cfg, planes_L = _STEP_CFG[step]
+        cfg = _STEP_CFG[step]
         if mode == "psort":
-            return get_count_presort_step(k, planes_L=planes_L)
+            k, _bc, planes_L, wide = cfg
+            return get_count_presort_step(k, planes_L=planes_L,
+                                          wide=wide)
+        k, bloom_cfg, planes_L = cfg
         return get_count_step_pmerge(k, bloom_cfg, planes_L=planes_L)
 
     def insert_hashes(self, h, valid, create_new=True):
@@ -437,7 +467,7 @@ class KmerTable:
             return
         ps, self._plane_state = self._plane_state, None
         self.keys, self.cnt, self.size, _n, _o = finalize_pmerge(
-            *ps, cap=self.cap)
+            *ps, cap=self.cap, wide=not self._packable)
 
     def flush(self):
         """Fold all pending inserts into the table and settle overflow."""
