@@ -81,13 +81,34 @@ def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes, shard_shift=0):
         zs.append(z)
         z = (z + h2) & _BLK_MASK
 
-    # 1. count already-set bits (pre-update state + intra-key self hits)
+    # 1. count already-set bits (pre-update state + intra-key self hits).
+    # All n_hashes probes of one key land in ITS 512-bit block, so ONE
+    # 64-byte block gather replaces n_hashes random word gathers
+    # (measured r4: the per-word gathers were a dominant slice of the
+    # ~6.3s/group gated fold; random-access count, not bytes, is what
+    # TPU gathers charge for).  The word within the block is then picked
+    # with a 16-way one-hot select — pure vector ops, no second gather.
+    blk_words = 1 << (YAK_BLK_SHIFT - 5)          # 16 u32s per block
     n_before = jnp.zeros(n, jnp.int32)
+    if bf.shape[0] % blk_words == 0:
+        blocks = bf.reshape(-1, blk_words)
+        blk_ix = (base >> jnp.uint64(YAK_BLK_SHIFT)).astype(jnp.int64)
+        rows = blocks[jnp.clip(blk_ix, 0, blocks.shape[0] - 1)]  # [n,16]
+        wsel = jax.lax.broadcasted_iota(jnp.int32, (n, blk_words), 1)
+
+        def probe_word(z):
+            wcol = (z >> 5).astype(jnp.int32)
+            return jnp.sum(jnp.where(wsel == wcol[:, None], rows, 0),
+                           axis=1, dtype=jnp.uint32)
+    else:  # degenerate sub-block filter: plain per-word gathers
+
+        def probe_word(z):
+            pos = base + z.astype(jnp.uint64)
+            return bf[(pos >> jnp.uint64(5)).astype(jnp.int64)]
+
     for i in range(n_hashes):
-        pos = base + zs[i].astype(jnp.uint64)
-        w = (pos >> jnp.uint64(5)).astype(jnp.int64)
-        b = (pos & jnp.uint64(31)).astype(jnp.uint32)
-        word = bf[w]
+        word = probe_word(zs[i])
+        b = zs[i] & jnp.uint32(31)
         was_set = (word >> b) & jnp.uint32(1)
         self_set = jnp.zeros(n, jnp.uint32)
         for j in range(i):
@@ -106,19 +127,34 @@ def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes, shard_shift=0):
     firstlane = jnp.concatenate(
         [jnp.ones((1,), bool), jnp.zeros((pos_s.shape[0] - 1,), bool)])
     uniq = valid_s & (firstlane | (pos_s != prev))
-    w_s = (pos_s >> jnp.uint64(5)).astype(jnp.int64)
+    # invalid lanes (contiguous tail after the sort) get a sentinel word
+    # ABOVE every real one so w_s stays globally monotone
+    w_s = jnp.where(valid_s, (pos_s >> jnp.uint64(5)).astype(jnp.int64),
+                    jnp.int64(bf.shape[0]))
     m_s = jnp.where(uniq, jnp.uint32(1) << (pos_s & jnp.uint64(31)).astype(jnp.uint32),
                     jnp.uint32(0))
     # unique bits per word => per-word OR == per-word sum; merge via cumsum
-    csum = jnp.cumsum(m_s.astype(jnp.uint64))
+    csum0 = jnp.concatenate([jnp.zeros((1,), jnp.uint64),
+                             jnp.cumsum(m_s.astype(jnp.uint64))])
+    nwords = bf.shape[0]
+    if nwords <= (1 << 22):
+        # DENSE update (filters <= 16MB, e.g. -b24's 2^19 words): word
+        # w's probe lanes are the sorted range [bounds[w], bounds[w+1]);
+        # its OR mask is a cumsum difference, and the filter update is a
+        # pure elementwise OR — the old path's 2^26-lane scatter (+ its
+        # gather of the old words) measured as the dominant cost of the
+        # gated fold (TPU scatter ~7M lanes/s, CLAUDE.md).
+        bounds = jnp.searchsorted(w_s, jnp.arange(nwords + 1,
+                                                  dtype=jnp.int64))
+        word_mask = (csum0[bounds[1:]] - csum0[bounds[:-1]]).astype(
+            jnp.uint32)
+        return bf | word_mask, n_before
+    # SPARSE fallback (sharded giant filters, e.g. -b37): scatter only
+    # run-end lanes' accumulated masks
     word_start = valid_s & (firstlane | (w_s != jnp.concatenate([w_s[:1] - 1, w_s[:-1]])))
-    # run-end detection: lane is last of its word-run
     nxt_w = jnp.concatenate([w_s[1:], w_s[-1:] - 1])
     nxt_valid = jnp.concatenate([valid_s[1:], jnp.zeros((1,), bool)])
     word_end = valid_s & (~nxt_valid | (w_s != nxt_w))
-    csum0 = jnp.concatenate([jnp.zeros((1,), jnp.uint64), csum])
-    # for an end lane e, need csum at its run start-1; get start positions via
-    # propagating the last start index with a max-scan
     lane_ix = jax.lax.broadcasted_iota(jnp.int64, w_s.shape, 0)
     start_ix = jax.lax.cummax(jnp.where(word_start, lane_ix, jnp.int64(-1)))
     run_mask_sum = csum0[lane_ix + 1] - csum0[jnp.maximum(start_ix, 0)]

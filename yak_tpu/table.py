@@ -292,7 +292,10 @@ class KmerTable:
             if ok and os.environ.get("YAK_TPU_PSORT_BLOOM", "1") != "0":
                 return "psort"
             return "pmerge"
-        return "psort" if ok else "xla"
+        # measured-fastest default (r4): XLA batch sort + Pallas
+        # merge-reduce; the bitonic psort engine is opt-in
+        # (YAK_TPU_PSORT=1 — see countstep.psort_enabled's finding)
+        return "psort" if ok else "pmerge"
 
     def _run_step(self, step, codes, state, use_bf, mode):
         """Queue one fused fold against `state` (a (keys, cnt, size, bf)
