@@ -110,6 +110,46 @@ def test_long_k_parity_psort(data, monkeypatch):
             == dict(zip(h_ref.tolist(), c_ref.tolist())))
 
 
+def test_long_k_parity_wide_pmerge(data, monkeypatch):
+    """k=33 on the r4 default wide pmerge engine (interpret mode): raw
+    64-bit keys via the in-jit XLA u64 sort + the wide merge kernel
+    (countstep.get_count_wide_step) vs the oracle — incl. the overflow
+    replay (cap_log2=12 undershoots, so the fold grows and replays
+    through the wide u64-twin step)."""
+    monkeypatch.setenv("YAK_TPU_PMERGE_INTERPRET", "1")
+    k = 33
+    run_oracle(["count", f"-k{k}", "-K50000", "-o",
+                str(data / "k33wp.yak"), data / "reads.fa"])
+    from yak_tpu.models.count import count_file, CountOpts
+    t = count_file(str(data / "reads.fa"),
+                   CountOpts(k=k, chunk_size=50000, cap_log2=12))
+    import yak_tpu.io.yakfmt as yakfmt
+    t.dump(str(data / "k33wp_ours.yak"))
+    _, _, h_ref, c_ref = yakfmt.restore_yak(str(data / "k33wp.yak"))
+    _, _, h_our, c_our = yakfmt.restore_yak(str(data / "k33wp_ours.yak"))
+    assert (dict(zip(h_our.tolist(), c_our.tolist()))
+            == dict(zip(h_ref.tolist(), c_ref.tolist())))
+
+
+def test_long_k_bloom_wide_pmerge(data, monkeypatch):
+    """k=33 -b two-pass on the wide pmerge engine: the Bloom gate runs
+    as a separate dispatch on the XLA-sorted planes
+    (get_bloom_gate_post(wide=True)) — parity vs the oracle."""
+    monkeypatch.setenv("YAK_TPU_PMERGE_INTERPRET", "1")
+    k = 33
+    run_oracle(["count", "-b18", f"-k{k}", "-K50000", "-o",
+                str(data / "k33wb.yak"), data / "reads.fa"])
+    from yak_tpu.models.count import count, CountOpts
+    t = count([str(data / "reads.fa")],
+              CountOpts(k=k, chunk_size=50000, cap_log2=12, bf_shift=18))
+    import yak_tpu.io.yakfmt as yakfmt
+    t.dump(str(data / "k33wb_ours.yak"))
+    _, _, h_ref, c_ref = yakfmt.restore_yak(str(data / "k33wb.yak"))
+    _, _, h_our, c_our = yakfmt.restore_yak(str(data / "k33wb_ours.yak"))
+    assert (dict(zip(h_our.tolist(), c_our.tolist()))
+            == dict(zip(h_ref.tolist(), c_ref.tolist())))
+
+
 def test_dump_restore_interop(data):
     ref = _oracle_counts(["count", "-k17", "-K50000", data / "reads.fa"],
                          data / "int_ref.yak")

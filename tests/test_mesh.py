@@ -57,6 +57,25 @@ def test_mesh_equals_single_chip(data, n_dev, tmp_path):
     assert p1.read_bytes() == p2.read_bytes()
 
 
+def test_mesh_wide_k_equals_single_chip(data):
+    """k=33 (wide raw-u64 hash_long keys) on the mesh: the all_to_all
+    routing and per-chip merge must give the same (hash, count) set as
+    a single chip — the low-bit owner split works on full-width hashes
+    exactly as on packed ones (count.c:45-60 semantics)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough virtual devices")
+    opt = CountOpts(k=33, chunk_size=1 << 14, cap_log2=12)
+    single = count_file(str(data / "reads.fa"), opt)
+    mesh = make_mesh(4)
+    sharded = count_file_mesh(str(data / "reads.fa"), opt, mesh,
+                              cap_log2=14)
+    h1, c1 = single.items()
+    h2, c2 = sharded.items()
+    o1, o2 = np.argsort(h1), np.argsort(h2)
+    np.testing.assert_array_equal(h1[o1], h2[o2])
+    np.testing.assert_array_equal(c1[o1], c2[o2])
+
+
 def test_mesh_histogram_matches(data):
     if len(jax.devices()) < 4:
         pytest.skip("not enough virtual devices")

@@ -336,6 +336,27 @@ def _xs_planes(h, valid, lookup=False, wide=False):
             (xs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
 
 
+def _xs_wide_sorted(h, valid):
+    """Descending raw-hash planes via ONE single-operand XLA u64 sort —
+    the wide (k >= 32) pmerge engine's sort, run inside the caller's
+    fused step jit.  Same clamped complement encoding as
+    _xs_planes(wide=True) (xs = ~h, invalid/pad = 0, valid 0 clamped
+    to 1), same power-of-two pad, so the output plane contract is
+    identical to pallas_sort.sort_planes(neg_keys=True) on the wide xs
+    planes: descending raw hashes with exact-INF = pads + invalid
+    lanes at the front."""
+    B = h.shape[0]
+    xs = jnp.where(valid, ~h, jnp.uint64(0))
+    xs = jnp.where(valid & (xs == jnp.uint64(0)), jnp.uint64(1), xs)
+    Bpad = max(1 << 14, 1 << max(B - 1, 1).bit_length())
+    if Bpad != B:
+        xs = jnp.concatenate([xs, jnp.zeros(Bpad - B, jnp.uint64)])
+    (xs,) = jax.lax.sort((xs,), num_keys=1, is_stable=False)
+    E = ~xs
+    return ((E >> jnp.uint64(32)).astype(jnp.uint32),
+            (E & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+
+
 @lru_cache(maxsize=None)
 def get_bloom_gate_post(pre, bf_shift, bf_n_hash, shard_shift=0,
                         wide=False):
@@ -437,6 +458,55 @@ def get_count_presort_step_planes(k, cap, planes_L=None, wide=False):
     return step
 
 
+@lru_cache(maxsize=None)
+def get_count_wide_step(k, planes_L=None):
+    """Wide (k >= 32) pmerge pre-jit: fused extract + single-operand
+    XLA u64 batch sort -> descending raw yak_hash_long planes; the wide
+    Pallas merge-reduce kernel (pallas_merge.merge_reduce_presorted
+    wide=True) consumes them.  The r4 default k >= 32 engine — the
+    multi-operand XLA sort-merge it replaces paid ~2.6x the packed
+    path's sort cost (r2 bench) plus full-lane XLA merge passes; here
+    the sort is one u64 operand and the merge streams the table once
+    through the kernel.  Reference semantics: count.c:45-60 (hash_long
+    counting); the Bloom -b gate, when present, runs as a separate
+    dispatch on the sorted planes (get_bloom_gate_post(wide=True))."""
+    assert k > 31
+    ext = _extractor(k, planes_L, rmajor=True)
+
+    @jax.jit
+    def step(codes, tkeys, tcnt, size):
+        h, valid = ext(codes)
+        Ehi, Elo = _xs_wide_sorted(h.reshape(-1), valid.reshape(-1))
+        thi = (tkeys >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = (tkeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        size_s = jnp.minimum(size, tkeys.shape[0]).reshape(1).astype(
+            jnp.int32)
+        return Ehi, Elo, thi, tlo, tcnt, size_s
+
+    _STEP_CFG[step] = (k, None, planes_L, True)
+    return step
+
+
+@lru_cache(maxsize=None)
+def get_count_wide_step_planes(k, cap, planes_L=None):
+    """get_count_wide_step against a plane-resident table (the previous
+    fold's raw merge-reduce outputs pass through untouched; wide keys
+    carry no stream bit so no clearing is needed anywhere)."""
+    assert k > 31
+    ext = _extractor(k, planes_L, rmajor=True)
+
+    @jax.jit
+    def step(codes, ohi, olo, ov, size11):
+        h, valid = ext(codes)
+        Ehi, Elo = _xs_wide_sorted(h.reshape(-1), valid.reshape(-1))
+        size_s = jnp.minimum(size11[0, 0], cap).reshape(1).astype(
+            jnp.int32)
+        return Ehi, Elo, ohi, olo, ov, size_s
+
+    _STEP_CFG[step] = (k, None, planes_L, True)
+    return step
+
+
 _PSORT_SMOKE = {"ok": None, "class": None, "err": None}
 
 
@@ -533,22 +603,28 @@ def _psort_smoke_ok():
     return _PSORT_SMOKE["ok"]
 
 
-_WIDE_SMOKE = {"ok": None, "class": None, "err": None}
+_WIDE_SMOKE = {False: {"ok": None, "class": None, "err": None},
+               True: {"ok": None, "class": None, "err": None}}
 
 
-def wide_smoke_ok():
+def wide_smoke_ok(xla_sort=False):
     """One-time hardware self-test for the WIDE (k >= 32 raw-u64-key)
-    merge kernel — the _psort_smoke_ok pattern applied to the r4 wide
-    path: one small end-to-end fold (clamped xs planes -> bitonic sort
-    -> wide merge -> finalize) checked against a host dict count.  Any
-    failure poisons the gate (classified like the sort gate) and
-    k >= 32 tables fall back to the multi-operand XLA engine.
-    YAK_TPU_PSORT_SMOKE=0 skips."""
+    merge kernel — the _psort_smoke_ok pattern applied to the wide
+    path: one small end-to-end fold (clamped xs planes -> sort -> wide
+    merge -> finalize) checked against a host dict count.  Two
+    variants, gated independently: xla_sort=False exercises the bitonic
+    psort sort kernels (the YAK_TPU_PSORT=1 wide engine), xla_sort=True
+    exercises the r4 default wide pmerge engine (single-operand XLA u64
+    sort inside the step jit, _xs_wide_sorted).  Any failure poisons
+    that variant's gate (classified like the sort gate) and k >= 32
+    tables fall back to the next engine down (pmerge -> multi-operand
+    XLA).  YAK_TPU_PSORT_SMOKE=0 skips."""
     import os
 
-    if _WIDE_SMOKE["ok"] is None:
+    s = _WIDE_SMOKE[xla_sort]
+    if s["ok"] is None:
         if os.environ.get("YAK_TPU_PSORT_SMOKE", "1") == "0":
-            _WIDE_SMOKE["ok"] = True
+            s["ok"] = True
             return True
         import sys
 
@@ -567,9 +643,14 @@ def wide_smoke_ok():
             h = rng.choice(base, B).astype(np.uint64)
             valid = rng.random(B) < 0.9
             tk, tc, sz = st_.make_table(cap)
-            xhi, xlo = _xs_planes(jnp.asarray(h), jnp.asarray(valid),
-                                  wide=True)
-            Ehi, Elo = pallas_sort.sort_planes(xhi, xlo, neg_keys=True)
+            if xla_sort:
+                Ehi, Elo = jax.jit(_xs_wide_sorted)(jnp.asarray(h),
+                                                    jnp.asarray(valid))
+            else:
+                xhi, xlo = _xs_planes(jnp.asarray(h),
+                                      jnp.asarray(valid), wide=True)
+                Ehi, Elo = pallas_sort.sort_planes(xhi, xlo,
+                                                   neg_keys=True)
             thi = (tk >> jnp.uint64(32)).astype(jnp.uint32)
             tlo = (tk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
             size_s = jnp.zeros(1, jnp.int32)
@@ -587,19 +668,20 @@ def wide_smoke_ok():
             if got != want:
                 raise _SmokeDataMismatch(
                     "wide merge output mismatch vs host count")
-            _WIDE_SMOKE["ok"] = True
+            s["ok"] = True
         except Exception as e:  # noqa: BLE001 — any failure => fallback
             cls = _classify_smoke_failure(e)
-            _WIDE_SMOKE["class"] = cls
-            _WIDE_SMOKE["err"] = f"{type(e).__name__}: {e}"
-            print(f"[W::psort] wide merge self-test failed "
+            s["class"] = cls
+            s["err"] = f"{type(e).__name__}: {e}"
+            variant = "xla-sort" if xla_sort else "bitonic-sort"
+            print(f"[W::psort] wide merge self-test ({variant}) failed "
                   f"[class={cls}] ({type(e).__name__}: {e}); k>=32 "
-                  f"tables fall back to the XLA sort-merge engine"
+                  f"tables fall back to the next engine down"
                   + ("" if cls != "python" else
                      " — THIS IS A FRAMEWORK BUG, not a backend limit"),
                   file=sys.stderr)
-            _WIDE_SMOKE["ok"] = False
-    return _WIDE_SMOKE["ok"]
+            s["ok"] = False
+    return s["ok"]
 
 
 def psort_enabled(packable):

@@ -604,7 +604,8 @@ _MESH_MERGE_CACHE = {}
 
 def merge_reduce_presorted_mesh(mesh, size_s, thi, tlo, tw, bhi, blo,
                                 Na=None, Nb=None, create=True,
-                                interpret=False, lookup=False):
+                                interpret=False, lookup=False,
+                                wide=False):
     """merge_reduce_presorted with every input carrying a leading
     mesh-sharded device axis: each chip runs the diagonal search + the
     merge-reduce kernel on its own table slice and (already routed +
@@ -619,13 +620,14 @@ def merge_reduce_presorted_mesh(mesh, size_s, thi, tlo, tw, bhi, blo,
         return n // 128
     a_rows, b_rows = rows(thi), rows(bhi)
     key = (id(mesh), Na, Nb, b_rows * 128, a_rows, b_rows, create,
-           interpret, lookup)
+           interpret, lookup, wide)
     x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", False)
     try:
         if key not in _MESH_MERGE_CACHE:
             inner = _merge_call(Na, Nb, b_rows * 128, a_rows, b_rows,
-                                create, True, interpret, lookup=lookup)
+                                create, True, interpret, lookup=lookup,
+                                wide=wide)
 
             def local(size_s, thi, tlo, tw, bhi, blo):
                 sz = jnp.minimum(size_s.reshape(-1)[0],
@@ -633,7 +635,7 @@ def merge_reduce_presorted_mesh(mesh, size_s, thi, tlo, tw, bhi, blo,
                 a_starts = _search32(
                     thi.reshape(-1), tlo.reshape(-1), sz, Na,
                     bhi.reshape(-1), blo.reshape(-1), Nb,
-                    b_rows * 128)
+                    b_rows * 128, wide=wide)
                 out = inner(a_starts, sz.reshape(1), thi[0], tlo[0],
                             tw[0], bhi[0], blo[0])
                 return tuple(o[None] for o in out)

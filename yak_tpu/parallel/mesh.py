@@ -507,16 +507,23 @@ def _psort_pad(B):
 
 
 def build_mesh_presort_step(mesh, k, capd, chunk, route_cap,
-                            from_planes=False, state_rows=None):
-    """x64 pre-jit of the mesh psort engine (the per-chip twin of
-    countstep.get_count_presort_step): data-parallel extract from the
-    plane block, all_to_all hash routing to owner chips, then each
-    chip's received stream packed as UNSORTED complement-key u32 planes
-    for the per-chip Pallas bitonic sort + merge-reduce dispatches.
+                            from_planes=False, state_rows=None,
+                            wide=False):
+    """x64 pre-jit of the mesh psort/wide-pmerge engines (the per-chip
+    twin of countstep.get_count_presort_step / get_count_wide_step):
+    data-parallel extract from the plane block, all_to_all hash routing
+    to owner chips, then each chip's received stream packed as
+    complement-key u32 planes for the per-chip merge-reduce dispatch.
+
+    wide=False (packed k <= 31): UNSORTED planes — the Pallas bitonic
+    sort runs as its own shard_mapped dispatch between this step and
+    the merge.  wide=True (k >= 32 raw hash_long keys): the per-chip
+    single-operand XLA u64 sort runs INSIDE this jit (the r4 wide
+    pmerge engine), so the output planes are already descending-E.
 
     from_planes=False: step(planes, keys, cnt, size) additionally
-    splits the u64 table slice to raw shifted planes ->
-      (xhi, xlo, thi, tlo, tw, size11, route_ovf), all [D, ...].
+    splits the u64 table slice to raw (shifted for packed keys) planes
+    -> (xhi, xlo, thi, tlo, tw, size11, route_ovf), all [D, ...].
     from_planes=True: the table stays in the previous merge's raw
     plane-state (driver passes it straight to the merge dispatch), so
     the step is table-free: step(planes) -> (xhi, xlo, route_ovf)."""
@@ -527,12 +534,22 @@ def build_mesh_presort_step(mesh, k, capd, chunk, route_cap,
     Bpad = _psort_pad(B)
 
     def xs_of(recv_h, recv_v):
-        xs = jnp.where(recv_v,
-                       ~((recv_h << jnp.uint64(1)) | jnp.uint64(1)),
-                       jnp.uint64(0))
+        if wide:
+            xs = jnp.where(recv_v, ~recv_h, jnp.uint64(0))
+            xs = jnp.where(recv_v & (xs == jnp.uint64(0)),
+                           jnp.uint64(1), xs)
+        else:
+            xs = jnp.where(recv_v,
+                           ~((recv_h << jnp.uint64(1)) | jnp.uint64(1)),
+                           jnp.uint64(0))
         if Bpad != B:
             xs = jnp.concatenate(
                 [xs, jnp.zeros(Bpad - B, jnp.uint64)])
+        if wide:
+            # wide pmerge: sort per chip here; re-complement to the
+            # descending-E plane contract (countstep._xs_wide_sorted)
+            (xs,) = jax.lax.sort((xs,), num_keys=1, is_stable=False)
+            xs = ~xs
         return ((xs >> jnp.uint64(32)).astype(jnp.uint32),
                 (xs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
 
@@ -568,7 +585,8 @@ def build_mesh_presort_step(mesh, k, capd, chunk, route_cap,
     def local(planes, keys, cnt, size):
         recv_h, recv_v, ovf = extract_route(planes)
         xhi, xlo = xs_of(recv_h, recv_v)
-        shifted = keys.reshape(-1) << jnp.uint64(1)
+        shifted = keys.reshape(-1) if wide \
+            else keys.reshape(-1) << jnp.uint64(1)
         thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
         tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         tw = cnt.reshape(-1)
@@ -734,14 +752,16 @@ def build_lookup_psort(mesh, k, chunk, route_cap):
     return run
 
 
-def mesh_finalize_psort(mesh, capd):
+def mesh_finalize_psort(mesh, capd, wide=False):
     """x64 jit: per-chip merge plane-state -> u64 table state (the mesh
-    twin of countstep.finalize_pmerge)."""
+    twin of countstep.finalize_pmerge).  wide keys carry no stream bit,
+    so no shift-out."""
     def local(ohi, olo, ov, size11):
         keys = ((ohi.reshape(-1)[:capd].astype(jnp.uint64)
                  << jnp.uint64(32))
-                | olo.reshape(-1)[:capd].astype(jnp.uint64)
-                ) >> jnp.uint64(1)
+                | olo.reshape(-1)[:capd].astype(jnp.uint64))
+        if not wide:
+            keys = keys >> jnp.uint64(1)
         sz = jnp.minimum(size11.reshape(()), capd).astype(jnp.int32)
         return keys[None], ov.reshape(-1)[:capd][None], sz[None]
 
@@ -868,14 +888,26 @@ class _MeshCountDriver:
             self.bloom_cfg = (table.pre, table.bf_shift, table.bf_n_hash)
         self._steps = {}
         self._last = None
-        # engine: per-chip Pallas bitonic sort + merge-reduce (the
-        # single-chip psort engine under shard_map; table._pallas_mode
-        # semantics) when non-Bloom and enabled; XLA sort-merge
-        # otherwise
-        from yak_tpu.ops.countstep import psort_enabled
+        # engine (table._pallas_mode semantics): per-chip Pallas
+        # bitonic sort + merge-reduce under shard_map when opted in
+        # (packed keys); for wide k >= 32 the r4 default per-chip
+        # engine is wide pmerge — in-jit XLA u64 sort + the wide merge
+        # kernel (build_mesh_presort_step(wide=True)); XLA sort-merge
+        # otherwise (incl. every Bloom-gated mesh fold)
+        import os
+
+        from yak_tpu.ops.countstep import psort_enabled, wide_smoke_ok
         use_ps, ps_interp = psort_enabled(table.k <= 31)
         self.psort = (use_ps or ps_interp) and self.bloom_cfg is None
         self._interp = ps_interp
+        self.wide = False
+        if table.k > 31 and self.bloom_cfg is None:
+            if os.environ.get("YAK_TPU_PMERGE_INTERPRET", "0") == "1":
+                self.psort, self.wide, self._interp = True, True, True
+            elif (jax.default_backend() == "tpu"
+                    and os.environ.get("YAK_TPU_WIDE", "1") != "0"
+                    and wide_smoke_ok(xla_sort=True)):
+                self.psort, self.wide = True, True
         self._pstate = None       # chained per-chip merge plane-state
 
     def _step(self):
@@ -892,7 +924,7 @@ class _MeshCountDriver:
         if key not in self._steps:
             self._steps[key] = build_mesh_presort_step(
                 self.t.mesh, self.t.k, self.t.cap, self.chunk, self.C,
-                from_planes=from_planes)
+                from_planes=from_planes, wide=self.wide)
         return self._steps[key]
 
     def _dispatch(self, planes_d):
@@ -910,10 +942,12 @@ class _MeshCountDriver:
         self._last = (prev, planes_d, r_ovf, t_ovf)
 
     def _dispatch_psort(self, planes_d):
-        """Per-chip 3-dispatch split mirroring table._run_step's psort
-        engine: sharded pre-jit (extract + route + complement planes)
-        -> per-chip Pallas bitonic sort -> per-chip diagonal search +
-        merge-reduce kernel (all under shard_map)."""
+        """Per-chip dispatch split mirroring table._run_step's psort /
+        wide-pmerge engines: sharded pre-jit (extract + route +
+        complement planes) -> per-chip Pallas bitonic sort (packed
+        keys; wide planes leave the pre-jit already XLA-sorted) ->
+        per-chip diagonal search + merge-reduce kernel (all under
+        shard_map)."""
         from yak_tpu.ops import pallas_merge, pallas_sort
 
         t = self.t
@@ -927,11 +961,16 @@ class _MeshCountDriver:
             prev = ("planes", self._pstate)
             xhi, xlo, r_ovf = self._pre_step(True)(planes_d)
             thi, tlo, tw, size11 = self._pstate[:4]
-        Ehi, Elo = pallas_sort.sort_planes_mesh(
-            t.mesh, xhi, xlo, neg_keys=True, interpret=self._interp)
+        if self.wide:
+            Ehi, Elo = xhi, xlo
+        else:
+            Ehi, Elo = pallas_sort.sort_planes_mesh(
+                t.mesh, xhi, xlo, neg_keys=True,
+                interpret=self._interp)
         out = pallas_merge.merge_reduce_presorted_mesh(
             t.mesh, size11, thi, tlo, tw, Ehi, Elo, Na=t.cap, Nb=B,
-            create=self.create_new, interpret=self._interp)
+            create=self.create_new, interpret=self._interp,
+            wide=self.wide)
         self._pstate = out
         self._last = (prev, planes_d, r_ovf, out[3])
 
@@ -954,7 +993,7 @@ class _MeshCountDriver:
         t = self.t
         fin = self._steps.get(("fin", t.cap))
         if fin is None:
-            fin = mesh_finalize_psort(t.mesh, t.cap)
+            fin = mesh_finalize_psort(t.mesh, t.cap, wide=self.wide)
             self._steps[("fin", t.cap)] = fin
         t.keys, t.cnt, t.size = fin(*self._pstate[:4])
         self._pstate = None

@@ -215,7 +215,19 @@ class KmerTable:
                 step = get_count_presort_step(
                     self.k, planes_L=planes_L, wide=not self._packable)
         elif mode == "pmerge":
-            if self._plane_state is not None:
+            if not self._packable:
+                # wide k >= 32: the XLA u64 sort lives inside the step;
+                # the Bloom gate (if any) runs on the sorted planes in
+                # _run_step, so the step itself is bloom-free
+                from yak_tpu.ops.countstep import (
+                    get_count_wide_step, get_count_wide_step_planes)
+                if self._plane_state is not None:
+                    step = get_count_wide_step_planes(
+                        self.k, self.cap, planes_L=planes_L)
+                else:
+                    step = get_count_wide_step(self.k,
+                                               planes_L=planes_L)
+            elif self._plane_state is not None:
                 step = get_count_step_pmerge_planes(
                     self.k, self.cap, bloom_cfg, planes_L=planes_L)
             else:
@@ -236,12 +248,14 @@ class KmerTable:
     def _pallas_mode(self, use_bf):
         """Pick the merge engine for this fold.
 
+        "pmerge": XLA batch sort + Pallas merge-reduce — the measured-
+          fastest TPU default (r4) for k <= 31 (packed keys) AND
+          k >= 32 (wide raw-u64 keys; one single-operand u64 sort
+          inside the step jit + the wide merge kernel).
         "psort": Pallas bitonic batch sort (ops/pallas_sort) + in-
           dispatch merge-path search + Pallas merge-reduce — NO XLA
-          sort anywhere in the fold; the hot path on TPU for k <= 31
-          (packed keys) AND k >= 32 (wide raw-u64 keys, r4).
-        "pmerge": XLA batch sort + Pallas merge-reduce
-          (YAK_TPU_PSORT=0 / YAK_TPU_PSORT_BLOOM=0 Bloom fallback).
+          sort anywhere in the fold; opt-in via YAK_TPU_PSORT=1
+          (measured ~3x slower on v5e, see countstep.psort_enabled).
         "compact": XLA merge sort + Pallas streaming compactor.
         "xla": pure XLA (CPU tests, fallbacks).
         """
@@ -252,10 +266,10 @@ class KmerTable:
             # (covers the Bloom-gated and wide k>=32 psort paths too)
             self._interp = True
             return "psort"
-        if (os.environ.get("YAK_TPU_PMERGE_INTERPRET", "0") == "1"
-                and self._packable):
+        if os.environ.get("YAK_TPU_PMERGE_INTERPRET", "0") == "1":
             # test hook: run the full pmerge path with the Pallas kernel
-            # in interpret mode (CPU engine-parity and replay tests)
+            # in interpret mode (CPU engine-parity and replay tests;
+            # covers the wide k >= 32 pmerge variant too)
             self._interp = True
             return "pmerge"
         self._interp = False
@@ -269,13 +283,19 @@ class KmerTable:
         from yak_tpu.ops.countstep import psort_enabled, wide_smoke_ok
 
         if not self._packable:
-            # k >= 32 wide path (r4): raw 64-bit hash_long keys through
-            # the same bitonic sort kernels + the wide merge kernel.
-            # Gated on BOTH self-tests; YAK_TPU_PSORT_WIDE=0 reverts to
-            # the multi-operand XLA sort-merge.
+            # k >= 32 wide path: raw 64-bit hash_long keys.  Default
+            # (r4, measured-fastest): "pmerge" — ONE single-operand XLA
+            # u64 sort inside the step jit + the wide merge kernel
+            # (countstep.get_count_wide_step).  YAK_TPU_PSORT=1 (with
+            # YAK_TPU_PSORT_WIDE) swaps the sort for the bitonic
+            # kernels; YAK_TPU_WIDE=0 or a failed wide-kernel self-test
+            # reverts to the multi-operand XLA sort-merge.
             if (os.environ.get("YAK_TPU_PSORT_WIDE", "1") != "0"
                     and psort_enabled(True)[0] and wide_smoke_ok()):
                 return "psort"
+            if (os.environ.get("YAK_TPU_WIDE", "1") != "0"
+                    and wide_smoke_ok(xla_sort=True)):
+                return "pmerge"
             return "xla"
         if forced in ("pmerge", "compact", "psort"):
             return forced
@@ -357,6 +377,23 @@ class KmerTable:
                         size_s, thi, tlo, tw, Ehi, Elo, Na=cap, Nb=B,
                         create=self._pend_create, interpret=interp,
                         wide=wide)
+            elif not self._packable:
+                # wide (k >= 32) pmerge: the step already XLA-sorted
+                # the raw-hash planes; the Bloom gate (if any) and the
+                # wide merge kernel follow exactly as in the psort
+                # branch
+                Ehi, Elo, thi, tlo, tw, size_s = step(carg, *targs)
+                bw = None
+                if use_bf:
+                    from yak_tpu.ops.countstep import get_bloom_gate_post
+                    gate = get_bloom_gate_post(
+                        self.pre, self.bf_shift, self.bf_n_hash,
+                        wide=True)
+                    bw, self.bf = gate(Ehi, Elo, bf)
+                out = pallas_merge.merge_reduce_presorted(
+                    size_s, thi, tlo, tw, Ehi, Elo, bw=bw, Na=cap,
+                    Nb=B, create=self._pend_create, interpret=interp,
+                    wide=True)
             else:
                 if use_bf:
                     *prep, self.bf = step(carg, *targs, bf)
@@ -434,6 +471,11 @@ class KmerTable:
             k, _bc, planes_L, wide = cfg
             return get_count_presort_step(k, planes_L=planes_L,
                                           wide=wide)
+        if len(cfg) == 4:   # wide pmerge step (k, None, planes_L, True)
+            from yak_tpu.ops.countstep import get_count_wide_step
+
+            k, _bc, planes_L, _wide = cfg
+            return get_count_wide_step(k, planes_L=planes_L)
         k, bloom_cfg, planes_L = cfg
         return get_count_step_pmerge(k, bloom_cfg, planes_L=planes_L)
 
