@@ -6,6 +6,7 @@ sexchr, version — with the same options and text output, plus `groupxy`
 (the reference ships it as a Perl helper, groupxy.pl).
 """
 
+import os
 import resource
 import sys
 import time
@@ -87,7 +88,7 @@ def _mesh_table(t, mesh):
 def main_count(argv):
     from yak_tpu.models.count import count, CountOpts
     o, pos = _getopt(argv, {"k": 1, "p": 1, "K": 1, "t": 1, "b": 1, "H": 1,
-                            "o": 1})
+                            "o": 1, "X": 0})
     opt = CountOpts()
     if "k" in o: opt.k = int(o["k"])
     if "p" in o: opt.pre = int(o["p"])
@@ -105,7 +106,9 @@ def main_count(argv):
                        "  -H INT     use INT hash functions for Bloom filter [4]",
                        "  -t INT     number of worker threads [4]",
                        "  -o FILE    dump the count hash table to FILE []",
-                       "  -K INT     chunk size [100m]"])
+                       "  -K INT     chunk size [100m]",
+                       "  -X         byte-exact dump (reference khashl"
+                       " slot order)"])
     if opt.pre < 10:
         print("ERROR: -p should be at least 10", file=sys.stderr)
         return 1
@@ -122,7 +125,15 @@ def main_count(argv):
     else:
         h = count(pos, opt)
     if fn_out:
-        h.dump(fn_out)
+        # -X / YAK_TPU_EXACT_DUMP: reproduce the reference's khashl
+        # slot order byte-for-byte (io/exactdump.py); default dumps
+        # write sorted key order (equivalent content, yakfmt.py:15-19)
+        if "X" in o or os.environ.get("YAK_TPU_EXACT_DUMP"):
+            from yak_tpu.io.exactdump import dump_yak_exact
+            dump_yak_exact(fn_out, h, pos, bf_shift=opt.bf_shift,
+                           bf_n_hash=opt.bf_n_hash)
+        else:
+            h.dump(fn_out)
     return 0
 
 

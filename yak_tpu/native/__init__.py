@@ -19,7 +19,8 @@ import sys
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "fastx.cpp")
+_SRCS = [os.path.join(_DIR, "fastx.cpp"),
+         os.path.join(_DIR, "khlayout.cpp")]
 _LIB = os.path.join(_DIR, "libyakfastx.so")
 
 _lib = None
@@ -28,7 +29,7 @@ _tried = False
 
 def _build():
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB,
-           _SRC, "-lz", "-lpthread"]
+           *_SRCS, "-lz", "-lpthread"]
     r = subprocess.run(cmd, capture_output=True)
     if r.returncode != 0:
         print(f"[W::native] build failed, using Python reader:\n"
@@ -46,7 +47,8 @@ def _load():
         return None
     try:
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB) < max(map(os.path.getmtime,
+                                                    _SRCS))):
             if not _build():
                 return None
         lib = ctypes.CDLL(_LIB)
@@ -81,12 +83,92 @@ def _load():
     lib.yx_n_seq.argtypes = [ctypes.c_void_p]
     lib.yx_close.restype = None
     lib.yx_close.argtypes = [ctypes.c_void_p]
+    # khashl-layout simulator (khlayout.cpp, byte-exact .yak dumps)
+    lib.ykl_create.restype = ctypes.c_void_p
+    lib.ykl_create.argtypes = [ctypes.c_int] * 4
+    lib.ykl_count_file.restype = ctypes.c_long
+    lib.ykl_count_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_int]
+    lib.ykl_clear_counts.restype = None
+    lib.ykl_clear_counts.argtypes = [ctypes.c_void_p]
+    lib.ykl_shrink.restype = None
+    lib.ykl_shrink.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.ykl_tot.restype = ctypes.c_int64
+    lib.ykl_tot.argtypes = [ctypes.c_void_p]
+    lib.ykl_shard_cap.restype = ctypes.c_uint32
+    lib.ykl_shard_cap.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ykl_shard_size.restype = ctypes.c_uint32
+    lib.ykl_shard_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ykl_shard_keys.restype = ctypes.c_uint32
+    lib.ykl_shard_keys.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_uint64)]
+    lib.ykl_destroy.restype = None
+    lib.ykl_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
 
 def available():
     return _load() is not None
+
+
+class KhashlLayout:
+    """Host-side simulator of the reference insert protocol + khashl slot
+    layout (khlayout.cpp) — produces the byte-exact within-shard key
+    order of a reference-produced `.yak` dump (htab.c:373-394).  Used
+    only by the opt-in exact-order dump path (io/exactdump.py); the TPU
+    table remains the source of truth for contents."""
+
+    def __init__(self, k, pre, bf_shift=0, bf_n_hash=4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.pre = int(pre)
+        self._h = lib.ykl_create(int(k), int(pre), int(bf_shift),
+                                 int(bf_n_hash))
+        if not self._h:
+            raise ValueError("bad khlayout parameters")
+
+    def count_file(self, path, create_new=True):
+        n = self._lib.ykl_count_file(self._h, str(path).encode(),
+                                     1 if create_new else 0)
+        if n < 0:
+            raise FileNotFoundError(path)
+        return int(n)
+
+    def clear_counts(self):
+        self._lib.ykl_clear_counts(self._h)
+
+    def shrink(self, mn, mx):
+        self._lib.ykl_shrink(self._h, int(mn), int(mx))
+
+    @property
+    def tot(self):
+        return int(self._lib.ykl_tot(self._h))
+
+    def shard(self, s):
+        """(capacity, in-table file keys u64[size] in slot order)."""
+        cap = int(self._lib.ykl_shard_cap(self._h, s))
+        size = int(self._lib.ykl_shard_size(self._h, s))
+        out = np.empty(size, np.uint64)
+        if size:
+            n = int(self._lib.ykl_shard_keys(
+                self._h, s,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))))
+            assert n == size, (n, size)
+        return cap, out
+
+    def close(self):
+        if self._h:
+            self._lib.ykl_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class _LazyNames:
