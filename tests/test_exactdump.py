@@ -79,13 +79,9 @@ def test_exact_dump_gz_fastq_env_gate(reads_fa, monkeypatch):
 
 @needs_native
 @pytest.mark.parametrize("bshift", [
-    pytest.param(20, marks=pytest.mark.xfail(
-        reason="device bloom gate diverges from the reference's serial "
-               "order on dense filters (cross-key same-chunk false "
-               "positives flip pass-1 membership) — the host replay "
-               "matches the oracle byte-for-byte and the cross-check "
-               "correctly refuses; device fix in progress",
-        strict=False)),  # real gating: per-shard 2^10-bit filters
+    20,   # real gating: per-shard 2^10-bit filters, DENSE — cross-key
+          # same-chunk false positives flip pass-1 membership, which the
+          # serial-exact device gate (ops/bloom rank path) reproduces
     18,   # per-shard shift 8 < YAK_BLK_SHIFT: yak_bf_init returns NULL,
           # both passes run ungated (bbf.c:9) — the protocol still
           # clears + re-counts + shrinks

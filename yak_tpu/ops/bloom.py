@@ -21,10 +21,22 @@ reference's.  A batch of unique keys is processed as:
      masks per word (sum == OR once bits are unique), and scatter the
      merged masks back with a conflict-free set.
 
-Cross-key read-before-write within one batch is an accepted divergence
-from the reference's serial order; it only perturbs which *singletons*
-hit false positives, and the two-pass `-b` protocol's final output
-(counts >= 2 after shrink) is exact regardless (verified in SURVEY §2.3/BASELINE).
+Serial-order exactness: the reference inserts each shard buffer's keys
+one at a time (htab.c:57-70), so a key's gate also sees bits set by
+*other* keys earlier in the same chunk (cross-key false positives).
+When the caller supplies each unique key's first-occurrence `rank`
+(its serial position in the chunk's buffer order), the update sort is
+keyed by (bit position, rank) and a per-position "earliest setter"
+cummax recovers exactly which probes were visible at each key's first
+occurrence — the device gate then matches the reference's serial
+semantics bit-for-bit, and the result becomes chunk-size-invariant
+(the filter state before rank r is the start state plus every
+lower-rank key's bits, exactly as in the serial loop).  Without ranks
+(or when the packed sort key would not fit 64 bits) the gate falls
+back to chunk-start state + intra-key self hits; that only perturbs
+which *singletons* hit false positives, and the two-pass `-b`
+protocol's final output (counts >= 2 after shrink) is exact regardless
+(verified in SURVEY §2.3/BASELINE).
 """
 
 from functools import partial
@@ -35,6 +47,7 @@ import jax.numpy as jnp
 from yak_tpu import YAK_BLK_SHIFT
 
 _BLK_MASK = (1 << YAK_BLK_SHIFT) - 1  # 511
+_U64_MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def make_bloom(n_shift):
@@ -44,14 +57,28 @@ def make_bloom(n_shift):
     return jnp.zeros(1 << (n_shift - 5), jnp.uint32)
 
 
+def exact_gate_fits(n_shift, n_hashes, rank_bound, shard_shift=0):
+    """Whether the serial-exact gate's packed sort key fits 64 bits."""
+    pos_bits = n_shift - shard_shift
+    rank_bits = max(1, int(max(rank_bound - 1, 1)).bit_length())
+    return n_hashes <= 8 and pos_bits + rank_bits + 3 < 64
+
+
 @partial(jax.jit,
-         static_argnames=("pre", "n_shift", "n_hashes", "shard_shift"))
-def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes, shard_shift=0):
+         static_argnames=("pre", "n_shift", "n_hashes", "shard_shift",
+                          "rank_bound"))
+def bloom_insert(bf, h, active, rank=None, *, pre, n_shift, n_hashes,
+                 shard_shift=0, rank_bound=0):
     """Query-and-set a batch of unique hashes.
 
     Returns (bf', n_before) where n_before[i] is the number of probed bits
     already set (reference `yak_bf_insert` return; insert into the table
     iff n_before == n_hashes).
+
+    rank (optional, i32): serial first-occurrence position of each active
+    key in its chunk's buffer order (< rank_bound, static).  When given
+    and the packed key fits (exact_gate_fits), n_before is computed under
+    the reference's exact serial order (see module docstring).
 
     shard_shift (mesh sharding): when chip d of 2^shard_shift owns the
     hashes with h & (2^shard_shift - 1) == d, its LOCAL filter holds only
@@ -73,6 +100,10 @@ def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes, shard_shift=0):
     # global bit offset of this key's block
     base = (shard.astype(jnp.uint64) << jnp.uint64(ns_)) | (
         y.astype(jnp.uint64) << jnp.uint64(YAK_BLK_SHIFT))
+
+    exact = (rank is not None
+             and exact_gate_fits(n_shift, n_hashes, rank_bound,
+                                 shard_shift))
 
     # probe bit positions z_i within the block
     zs = []
@@ -106,27 +137,89 @@ def bloom_insert(bf, h, active, *, pre, n_shift, n_hashes, shard_shift=0):
             pos = base + z.astype(jnp.uint64)
             return bf[(pos >> jnp.uint64(5)).astype(jnp.int64)]
 
-    for i in range(n_hashes):
+    needs = []                        # per probe: active & bit NOT yet
+    for i in range(n_hashes):         # visible (start state + self hits)
         word = probe_word(zs[i])
         b = zs[i] & jnp.uint32(31)
         was_set = (word >> b) & jnp.uint32(1)
         self_set = jnp.zeros(n, jnp.uint32)
         for j in range(i):
             self_set = self_set | (zs[j] == zs[i]).astype(jnp.uint32)
-        n_before = n_before + jnp.where(
-            active, ((was_set | self_set) & 1).astype(jnp.int32), 0)
+        seen = ((was_set | self_set) & 1).astype(jnp.int32)
+        if exact:
+            needs.append(active & (seen == 0))
+        n_before = n_before + jnp.where(active, seen, 0)
 
-    # 2. conflict-free OR of all probed bits into the filter
-    allpos = jnp.stack(
-        [base + zi.astype(jnp.uint64) for zi in zs], axis=0).reshape(-1)
     act = jnp.broadcast_to(active, (n_hashes, n)).reshape(-1)
-    inv = (~act).astype(jnp.uint8)
-    inv_s, pos_s = jax.lax.sort((inv, allpos), num_keys=2, is_stable=False)
-    valid_s = inv_s == 0
-    prev = jnp.concatenate([pos_s[:1], pos_s[:-1]])
-    firstlane = jnp.concatenate(
-        [jnp.ones((1,), bool), jnp.zeros((pos_s.shape[0] - 1,), bool)])
-    uniq = valid_s & (firstlane | (pos_s != prev))
+    if exact:
+        # 2a. serial-exact gate: key the update sort by (bit position,
+        # first-occurrence rank, probe index); the first lane of each
+        # position run is the earliest setter, so a probe lane was
+        # visible at its key's first occurrence iff its rank exceeds
+        # the run head's (cross) — or the start state / an earlier
+        # probe of the same call already covered it (need == False).
+        # A carried (key, probe, need) payload makes the final restore
+        # a single packed u32 sort back to key-major order.
+        rank_bits = max(1, int(max(rank_bound - 1, 1)).bit_length())
+        rmask = jnp.uint64((1 << rank_bits) - 1)
+        r64 = jnp.clip(rank, 0, rank_bound - 1).astype(jnp.uint64)
+        sh_rp = jnp.uint64(rank_bits + 3)
+        vA = jnp.stack(
+            [jnp.where(active,
+                       ((base + zi.astype(jnp.uint64)) << sh_rp)
+                       | (r64 << jnp.uint64(3)) | jnp.uint64(i),
+                       _U64_MAX)
+             for i, zi in enumerate(zs)], axis=0).reshape(-1)
+        key_ix = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        pay = jnp.stack(
+            [(key_ix << 4) | jnp.int32(i << 1)
+             | needs[i].astype(jnp.int32)
+             for i in range(n_hashes)], axis=0).reshape(-1)
+        vA_s, pay_s = jax.lax.sort((vA, pay), num_keys=1,
+                                   is_stable=False)
+        valid_s = vA_s != _U64_MAX
+        pos_s = vA_s >> sh_rp
+        firstlane = jnp.concatenate(
+            [jnp.ones((1,), bool), jnp.zeros((vA_s.shape[0] - 1,), bool)])
+        prev = jnp.concatenate([pos_s[:1], pos_s[:-1]])
+        run_first = firstlane | (pos_s != prev)
+        uniq = valid_s & run_first
+        # earliest setter's packed key, broadcast over the run (vA_s is
+        # globally ascending, so a plain cummax reproduces the run head;
+        # active packed keys are < 2^63 by exact_gate_fits, so the i64
+        # cast is lossless and the u64-sentinel runs turn negative,
+        # which cummax ignores)
+        frk = jax.lax.cummax(
+            jnp.where(run_first & valid_s, vA_s, jnp.uint64(0))
+            .astype(jnp.int64)).astype(jnp.uint64)
+        rk_s = (vA_s >> jnp.uint64(3)) & rmask
+        first_rk = (frk >> jnp.uint64(3)) & rmask
+        crossed = rk_s > first_rk      # an earlier key already set it
+        bad = valid_s & ((pay_s & 1) == 1) & ~crossed
+        v2 = (pay_s & ~1) | bad.astype(jnp.int32)
+        (v2_s,) = jax.lax.sort((v2,), num_keys=1, is_stable=False)
+        badm = (v2_s & 1).reshape(n, n_hashes)   # key-major, probe-minor
+        n_before = jnp.where(
+            active, jnp.int32(n_hashes) - jnp.sum(badm, axis=1,
+                                                  dtype=jnp.int32),
+            0)
+    else:
+        # 2b. conflict-free OR of all probed bits into the filter
+        allpos = jnp.stack(
+            [base + zi.astype(jnp.uint64) for zi in zs],
+            axis=0).reshape(-1)
+        inv = (~act).astype(jnp.uint8)
+        inv_s, pos_s = jax.lax.sort((inv, allpos), num_keys=2,
+                                    is_stable=False)
+        valid_s = inv_s == 0
+        prev = jnp.concatenate([pos_s[:1], pos_s[:-1]])
+        firstlane = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             jnp.zeros((pos_s.shape[0] - 1,), bool)])
+        uniq = valid_s & (firstlane | (pos_s != prev))
+
+    # OR the probed bits into the filter (shared tail; pos_s/valid_s/
+    # uniq come from whichever sort ran above).
     # invalid lanes (contiguous tail after the sort) get a sentinel word
     # ABOVE every real one so w_s stays globally monotone
     w_s = jnp.where(valid_s, (pos_s >> jnp.uint64(5)).astype(jnp.int64),

@@ -94,12 +94,17 @@ def get_count_step(k, create, bloom_cfg=None, compact=True, planes_L=None):
 
     @jax.jit
     def step_bf(codes, tkeys, tcnt, size, bf):
-        # Bloom-gated create pass (yak_ch_insert_list, htab.c:61-70)
+        # Bloom-gated create pass (yak_ch_insert_list, htab.c:61-70);
+        # lane order IS the chunk's serial buffer order, so the iota
+        # rank makes the gate serial-exact (ops/bloom docstring)
         h, valid = ext(codes)
         h, valid = h.reshape(-1), valid.reshape(-1)
-        hs, starts, mult = st.dedup(h, valid, packable=packable)
-        bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,
-                                     n_shift=bf_shift, n_hashes=bf_n_hash)
+        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        hs, starts, mult, rk = st.dedup(h, valid, packable=packable,
+                                        rank=lane)
+        bf2, n_before = bloom_insert(bf, hs, starts, rk, pre=pre,
+                                     n_shift=bf_shift, n_hashes=bf_n_hash,
+                                     rank_bound=h.shape[0])
         add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
         out = st.merge_batch_impl(tkeys, tcnt, size, hs, add,
                                   starts & (add > 0), mode=st.ADD,
@@ -248,9 +253,12 @@ def get_count_step_pmerge(k, bloom_cfg=None, planes_L=None):
     def step_bf(codes, tkeys, tcnt, size, bf):
         h, valid = ext(codes)
         h, valid = h.reshape(-1), valid.reshape(-1)
-        hs, starts, mult = st.dedup(h, valid, packable=True)
-        bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,
-                                     n_shift=bf_shift, n_hashes=bf_n_hash)
+        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        hs, starts, mult, rk = st.dedup(h, valid, packable=True,
+                                        rank=lane)
+        bf2, n_before = bloom_insert(bf, hs, starts, rk, pre=pre,
+                                     n_shift=bf_shift, n_hashes=bf_n_hash,
+                                     rank_bound=h.shape[0])
         add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
         out = _pmerge_prep_impl(tkeys, tcnt, size, hs, add,
                                 starts & (add > 0))
@@ -294,9 +302,12 @@ def get_count_step_pmerge_planes(k, cap, bloom_cfg=None, planes_L=None):
     def step_bf(codes, ohi, olo, ov, size11, bf):
         h, valid = ext(codes)
         h, valid = h.reshape(-1), valid.reshape(-1)
-        hs, starts, mult = st.dedup(h, valid, packable=True)
-        bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,
-                                     n_shift=bf_shift, n_hashes=bf_n_hash)
+        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        hs, starts, mult, rk = st.dedup(h, valid, packable=True,
+                                        rank=lane)
+        bf2, n_before = bloom_insert(bf, hs, starts, rk, pre=pre,
+                                     n_shift=bf_shift, n_hashes=bf_n_hash,
+                                     rank_bound=h.shape[0])
         add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
         size = jnp.minimum(size11[0, 0], cap)
         out = _pmerge_prep_planes_impl(ohi, olo, ov, size, cap, hs, add,

@@ -299,23 +299,40 @@ def compact_where(tkeys, tcnt, size, keep, *, packable=True):
 
 
 @partial(jax.jit, static_argnames=("packable",))
-def dedup(h, valid, *, packable=True):
+def dedup(h, valid, *, packable=True, rank=None):
     """Sort a hash batch and coalesce duplicates (for the Bloom gate,
     which needs per-unique-key multiplicities *before* the table merge).
 
     Returns (hs, starts, mult): hashes sorted with invalid lanes last,
     run-start mask, and the run's multiplicity (defined at start lanes).
     Run length = distance to the next run start (reverse cummin).
+
+    rank (optional i32): serial-order tags (the reference's per-chunk
+    buffer order, htab.c:57-70).  When given, it rides the sort as a
+    secondary key, so each run's START lane carries the run minimum —
+    the key's FIRST-occurrence rank, which the serial-exact Bloom gate
+    needs (ops/bloom.bloom_insert) — and a fourth output returns it.
     """
     n = h.shape[0]
     if packable:
         Kb = h | jnp.where(valid, jnp.uint64(0), _PAD)
-        (hs,) = jax.lax.sort((Kb,), num_keys=1, is_stable=False)
+        if rank is None:
+            (hs,) = jax.lax.sort((Kb,), num_keys=1, is_stable=False)
+            rk = None
+        else:
+            hs, rk = jax.lax.sort((Kb, rank), num_keys=2,
+                                  is_stable=False)
         vs = hs < _PAD
         hs = hs & ~_PAD
     else:
         inv = (~valid).astype(jnp.uint8)
-        inv_s, hs = jax.lax.sort((inv, h), num_keys=2, is_stable=False)
+        if rank is None:
+            inv_s, hs = jax.lax.sort((inv, h), num_keys=2,
+                                     is_stable=False)
+            rk = None
+        else:
+            inv_s, hs, rk = jax.lax.sort((inv, h, rank), num_keys=3,
+                                         is_stable=False)
         vs = inv_s == 0
     starts, _, _ = _run_marks(hs, vs)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
@@ -324,7 +341,9 @@ def dedup(h, valid, *, packable=True):
         [jax.lax.cummin(spos, reverse=True)[1:], jnp.full(1, n, jnp.int32)])
     total_valid = jnp.sum(vs, dtype=jnp.int32)
     mult = jnp.minimum(nxt, total_valid) - lane
-    return hs, starts, mult
+    if rank is None:
+        return hs, starts, mult
+    return hs, starts, mult, rk
 
 
 def grow(tkeys, tcnt, size, new_cap):

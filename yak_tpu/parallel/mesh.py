@@ -113,11 +113,17 @@ def _pack_group_planes(chunks, chunk, n_dev):
     return out
 
 
-def _route(h, valid, n_dev, C, payload=None):
+def _route(h, valid, n_dev, C, payload=None, send_payload=False):
     """Bucket hashes by owner chip (low log2(n_dev) bits) and exchange
     with one tiled all_to_all.  Returns (recv_h, recv_v, overflow) and,
     with payload, the metadata needed to route values back
-    (_route_back): the sorted original indices and slot map."""
+    (_route_back): the sorted original indices and slot map.
+
+    send_payload=True additionally DELIVERS the i32 payload to the
+    owner chip (a third all_to_all plane) — the Bloom pass ships each
+    lane's serial rank this way so the per-chip gate stays exact under
+    the reference's buffer order (ops/bloom docstring); the last tuple
+    element is then (ok, slot, recv_payload)."""
     M = h.shape[0]
     owner = jnp.where(
         valid, (h & jnp.uint64(n_dev - 1)).astype(jnp.uint32),
@@ -146,6 +152,13 @@ def _route(h, valid, n_dev, C, payload=None):
     recv_v = jax.lax.all_to_all(send_v.reshape(n_dev, C), "d",
                                 split_axis=0, concat_axis=0,
                                 tiled=True).reshape(-1)
+    if send_payload:
+        send_p = jnp.zeros(n_dev * C, pay_s.dtype).at[slot].set(
+            pay_s, mode="drop")
+        recv_p = jax.lax.all_to_all(send_p.reshape(n_dev, C), "d",
+                                    split_axis=0, concat_axis=0,
+                                    tiled=True).reshape(-1)
+        return recv_h, recv_v, overflow, (ok, slot, recv_p)
     return recv_h, recv_v, overflow, (ok, slot, pay_s)
 
 
@@ -347,18 +360,32 @@ def build_count_step(mesh, k, capd, chunk, route_cap=None,
         pnn = planes[0, 2][None]
         h, valid = extract_from_planes(plo, phi, pnn, k, chunk)
         h, valid = h.reshape(-1), valid.reshape(-1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        rank = lane
         if n_dev > 1:
-            recv_h, recv_v, overflow, _ = _route(h, valid, n_dev, C)
+            recv_h, recv_v, overflow, meta = _route(
+                h, valid, n_dev, C,
+                payload=lane if bloom_cfg is not None else None,
+                send_payload=bloom_cfg is not None)
+            if bloom_cfg is not None:
+                # serial rank across the step's D chunks: chunk s (one
+                # per source chip, in file order) precedes chunk s+1,
+                # so rank = src * M + original lane in the src chunk —
+                # the same order the single-chip fold walks them
+                src = (jax.lax.broadcasted_iota(
+                    jnp.int32, recv_h.shape, 0) // C)
+                rank = src * M + meta[2]
         else:
             recv_h, recv_v, overflow = h, valid, jnp.int32(0)
         outs_bf = ()
         if bloom_cfg is not None:
             pre, bf_shift, bf_n_hash = bloom_cfg
-            hs, starts, mult = st.dedup(recv_h, recv_v,
-                                        packable=packable)
+            hs, starts, mult, rk = st.dedup(recv_h, recv_v,
+                                            packable=packable, rank=rank)
             bf2, n_before = bloom_insert(
-                bf_opt[0].reshape(-1), hs, starts, pre=pre,
-                n_shift=bf_shift, n_hashes=bf_n_hash, shard_shift=nlog)
+                bf_opt[0].reshape(-1), hs, starts, rk, pre=pre,
+                n_shift=bf_shift, n_hashes=bf_n_hash, shard_shift=nlog,
+                rank_bound=n_dev * M)
             add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
             use_h, use_add = hs, add
             use_v = starts & (add > 0)

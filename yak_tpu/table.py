@@ -488,11 +488,14 @@ class KmerTable:
         """
         add = None
         if self.bf is not None and create_new:
-            hs, starts, mult = st.dedup(h, valid,
-                                        packable=self._packable)
+            lane = jnp.arange(h.shape[0], dtype=jnp.int32)
+            hs, starts, mult, rk = st.dedup(h, valid,
+                                            packable=self._packable,
+                                            rank=lane)
             self.bf, n_before = bloom_insert(
-                self.bf, hs, starts, pre=self.pre, n_shift=self.bf_shift,
-                n_hashes=self.bf_n_hash)
+                self.bf, hs, starts, rk, pre=self.pre,
+                n_shift=self.bf_shift, n_hashes=self.bf_n_hash,
+                rank_bound=h.shape[0])
             add = jnp.where(n_before == self.bf_n_hash, mult, mult - 1)
             h, valid = hs, starts & (add > 0)
         if add is None:
