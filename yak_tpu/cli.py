@@ -96,6 +96,8 @@ def main_count(argv):
     if "t" in o: opt.n_thread = int(o["t"])
     if "b" in o: opt.bf_shift = int(o["b"])
     if "H" in o: opt.bf_n_hash = _parse_num(o["H"])
+    if "X" in o or os.environ.get("YAK_TPU_EXACT_DUMP"):
+        opt.exact = True
     fn_out = o.get("o")
     if not pos:
         return _usage(["Usage: yak_tpu count [options] <in.fa> [in.fa]",

@@ -26,6 +26,12 @@ class CountOpts:
     n_thread: int = 4          # accepted for CLI parity; unused on TPU
     chunk_size: int = 10_000_000
     cap_log2: int = 16         # initial table capacity (grows amortized)
+    # -X byte-exact dumps: run the serial-exact Bloom gate (reference
+    # htab.c:57-70 bit-for-bit) so the pass-1 key set matches the
+    # reference even when pass 2 reads a different file.  The default
+    # cheap gate already yields the exact two-pass OUTPUT for same-file
+    # passes (ops/countstep._gate_batch)
+    exact: bool = False
 
 
 def _device_chunk(opt):
@@ -43,7 +49,8 @@ def count_file(fn, opt, table=None):
     create_new = table is None
     if table is None:
         table = KmerTable(opt.k, opt.pre, cap_log2=opt.cap_log2,
-                          bf_n_hash=opt.bf_n_hash, bf_shift=opt.bf_shift)
+                          bf_n_hash=opt.bf_n_hash, bf_shift=opt.bf_shift,
+                          bf_exact=getattr(opt, "exact", False))
     else:
         assert table.k == opt.k and table.pre == opt.pre
     chunk = _device_chunk(opt)

@@ -23,9 +23,9 @@ import jax.numpy as jnp
 
 from yak_tpu.ops import sorttable as st
 from yak_tpu.ops.bloom import bloom_insert
-from yak_tpu.ops.kmers import (extract_from_planes, extract_from_planes_rm,
-                               extract_kmer_hashes, extract_periodic,
-                               extract_periodic_rm)
+from yak_tpu.ops.kmers import (_rmajor_index, extract_from_planes,
+                               extract_from_planes_rm, extract_kmer_hashes,
+                               extract_periodic, extract_periodic_rm)
 
 
 def _extractor(k, planes_L, rmajor=False):
@@ -56,6 +56,63 @@ def _extractor(k, planes_L, rmajor=False):
     if rmajor:
         return lambda pl3: extract_from_planes_rm(*pl3, k, planes_L)
     return lambda pl3: extract_from_planes(*pl3, k, planes_L)
+
+
+def _serial_rank(h):
+    """Per-lane serial-buffer rank, computed BEFORE flattening.
+
+    The serial-exact Bloom gate (ops/bloom) breaks ties by each key's
+    first-occurrence position in the chunk's serial buffer order
+    (htab.c:57-70).  The r-major extraction's [B, 32, W-1] layout does
+    NOT flatten to that order (window order != base order,
+    kmers._funnel_rm), so the rank must be the base position
+    b*per + (32q + r), not a flat iota over the flattened array."""
+    if h.ndim == 3:
+        _, R, Q = h.shape
+        b = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        return (b * (R * Q) + _rmajor_index(h.shape)).reshape(-1)
+    return jax.lax.broadcasted_iota(jnp.int32, (h.size,), 0)
+
+
+def _bloom_cfg_parse(bloom_cfg):
+    """(pre, bf_shift, bf_n_hash[, exact]) -> 4-tuple with default
+    exact=False (the cheap chunk-start gate; see _gate_batch)."""
+    pre, bf_shift, bf_n_hash, *rest = bloom_cfg
+    return pre, bf_shift, bf_n_hash, (rest[0] if rest else False)
+
+
+def _gate_batch(h, valid, bf, pre, bf_shift, bf_n_hash, exact, *,
+                packable=True):
+    """Dedup an extracted hash batch and run the Bloom create gate
+    (yak_ch_insert_list, htab.c:61-70).
+
+    exact=False (the default): the gate sees the chunk-start filter
+    state plus intra-key self hits — no rank sort operands, no serial
+    replay machinery.  The two-pass `-b` OUTPUT (counts >= 2 after
+    clear + recount + shrink, main.c:53-60) is exact regardless of
+    which pass-1 singletons the gate admits when both passes read the
+    same input (SURVEY §2.3); only the opt-in byte-exact dump path
+    (-X, io/exactdump.py) — where pass 2 may read a different file —
+    needs exact=True, the reference's bit-for-bit serial gate.
+
+    Returns (hs, starts, add, bf') ready for the weighted merge:
+    use valid = starts & (add > 0)."""
+    hf, vf = h.reshape(-1), valid.reshape(-1)
+    if exact:
+        lane = _serial_rank(h)
+        hs, starts, mult, rk = st.dedup(hf, vf, packable=packable,
+                                        rank=lane)
+        bf2, n_before = bloom_insert(bf, hs, starts, rk, pre=pre,
+                                     n_shift=bf_shift,
+                                     n_hashes=bf_n_hash,
+                                     rank_bound=hf.shape[0])
+    else:
+        hs, starts, mult = st.dedup(hf, vf, packable=packable)
+        bf2, n_before = bloom_insert(bf, hs, starts, pre=pre,
+                                     n_shift=bf_shift,
+                                     n_hashes=bf_n_hash)
+    add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+    return hs, starts, add, bf2
 
 
 @lru_cache(maxsize=None)
@@ -90,22 +147,14 @@ def get_count_step(k, create, bloom_cfg=None, compact=True, planes_L=None):
 
         return step
 
-    pre, bf_shift, bf_n_hash = bloom_cfg
+    pre, bf_shift, bf_n_hash, exact = _bloom_cfg_parse(bloom_cfg)
 
     @jax.jit
     def step_bf(codes, tkeys, tcnt, size, bf):
-        # Bloom-gated create pass (yak_ch_insert_list, htab.c:61-70);
-        # lane order IS the chunk's serial buffer order, so the iota
-        # rank makes the gate serial-exact (ops/bloom docstring)
         h, valid = ext(codes)
-        h, valid = h.reshape(-1), valid.reshape(-1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
-        hs, starts, mult, rk = st.dedup(h, valid, packable=packable,
-                                        rank=lane)
-        bf2, n_before = bloom_insert(bf, hs, starts, rk, pre=pre,
-                                     n_shift=bf_shift, n_hashes=bf_n_hash,
-                                     rank_bound=h.shape[0])
-        add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+        hs, starts, add, bf2 = _gate_batch(h, valid, bf, pre, bf_shift,
+                                           bf_n_hash, exact,
+                                           packable=packable)
         out = st.merge_batch_impl(tkeys, tcnt, size, hs, add,
                                   starts & (add > 0), mode=st.ADD,
                                   create=create, packable=packable,
@@ -247,19 +296,13 @@ def get_count_step_pmerge(k, bloom_cfg=None, planes_L=None):
 
         return step
 
-    pre, bf_shift, bf_n_hash = bloom_cfg
+    pre, bf_shift, bf_n_hash, exact = _bloom_cfg_parse(bloom_cfg)
 
     @jax.jit
     def step_bf(codes, tkeys, tcnt, size, bf):
         h, valid = ext(codes)
-        h, valid = h.reshape(-1), valid.reshape(-1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
-        hs, starts, mult, rk = st.dedup(h, valid, packable=True,
-                                        rank=lane)
-        bf2, n_before = bloom_insert(bf, hs, starts, rk, pre=pre,
-                                     n_shift=bf_shift, n_hashes=bf_n_hash,
-                                     rank_bound=h.shape[0])
-        add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+        hs, starts, add, bf2 = _gate_batch(h, valid, bf, pre, bf_shift,
+                                           bf_n_hash, exact)
         out = _pmerge_prep_impl(tkeys, tcnt, size, hs, add,
                                 starts & (add > 0))
         return out + (bf2,)
@@ -296,19 +339,13 @@ def get_count_step_pmerge_planes(k, cap, bloom_cfg=None, planes_L=None):
         _STEP_CFG[step] = (k, bloom_cfg, planes_L)
         return step
 
-    pre, bf_shift, bf_n_hash = bloom_cfg
+    pre, bf_shift, bf_n_hash, exact = _bloom_cfg_parse(bloom_cfg)
 
     @jax.jit
     def step_bf(codes, ohi, olo, ov, size11, bf):
         h, valid = ext(codes)
-        h, valid = h.reshape(-1), valid.reshape(-1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
-        hs, starts, mult, rk = st.dedup(h, valid, packable=True,
-                                        rank=lane)
-        bf2, n_before = bloom_insert(bf, hs, starts, rk, pre=pre,
-                                     n_shift=bf_shift, n_hashes=bf_n_hash,
-                                     rank_bound=h.shape[0])
-        add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+        hs, starts, add, bf2 = _gate_batch(h, valid, bf, pre, bf_shift,
+                                           bf_n_hash, exact)
         size = jnp.minimum(size11[0, 0], cap)
         out = _pmerge_prep_planes_impl(ohi, olo, ov, size, cap, hs, add,
                                        starts & (add > 0))

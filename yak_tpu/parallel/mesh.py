@@ -179,7 +179,7 @@ class MeshTable:
     bf (optional) is the per-chip blocked-Bloom slice."""
 
     def __init__(self, mesh, k, pre=10, cap_log2=16, bf_shift=0,
-                 bf_n_hash=4):
+                 bf_n_hash=4, bf_exact=False):
         self.mesh = mesh
         self.k = k
         self.pre = pre
@@ -203,6 +203,7 @@ class MeshTable:
         self.bf = None
         self.bf_shift = bf_shift
         self.bf_n_hash = bf_n_hash
+        self.bf_exact = bf_exact   # serial-exact gate (-X; see table.py)
         if bf_shift > pre and 9 <= bf_shift - pre <= 64 - 9:
             # per-chip slice: 2^(bf_shift - log2 N) bits (bbf.c:9 bounds
             # checked against the full filter, htab.c:23-27)
@@ -354,6 +355,11 @@ def build_count_step(mesh, k, capd, chunk, route_cap=None,
     C = route_cap or default_route_cap(M, n_dev)
     packable = k <= 31
 
+    exact = False
+    if bloom_cfg is not None:
+        from yak_tpu.ops.countstep import _bloom_cfg_parse
+        pre, bf_shift, bf_n_hash, exact = _bloom_cfg_parse(bloom_cfg)
+
     def local_step(planes, keys, cnt, size, *bf_opt):
         plo = planes[0, 0][None]
         phi = planes[0, 1][None]
@@ -365,9 +371,9 @@ def build_count_step(mesh, k, capd, chunk, route_cap=None,
         if n_dev > 1:
             recv_h, recv_v, overflow, meta = _route(
                 h, valid, n_dev, C,
-                payload=lane if bloom_cfg is not None else None,
-                send_payload=bloom_cfg is not None)
-            if bloom_cfg is not None:
+                payload=lane if exact else None,
+                send_payload=exact)
+            if exact:
                 # serial rank across the step's D chunks: chunk s (one
                 # per source chip, in file order) precedes chunk s+1,
                 # so rank = src * M + original lane in the src chunk —
@@ -379,13 +385,23 @@ def build_count_step(mesh, k, capd, chunk, route_cap=None,
             recv_h, recv_v, overflow = h, valid, jnp.int32(0)
         outs_bf = ()
         if bloom_cfg is not None:
-            pre, bf_shift, bf_n_hash = bloom_cfg
-            hs, starts, mult, rk = st.dedup(recv_h, recv_v,
-                                            packable=packable, rank=rank)
-            bf2, n_before = bloom_insert(
-                bf_opt[0].reshape(-1), hs, starts, rk, pre=pre,
-                n_shift=bf_shift, n_hashes=bf_n_hash, shard_shift=nlog,
-                rank_bound=n_dev * M)
+            if exact:
+                hs, starts, mult, rk = st.dedup(
+                    recv_h, recv_v, packable=packable, rank=rank)
+                bf2, n_before = bloom_insert(
+                    bf_opt[0].reshape(-1), hs, starts, rk, pre=pre,
+                    n_shift=bf_shift, n_hashes=bf_n_hash,
+                    shard_shift=nlog, rank_bound=n_dev * M)
+            else:
+                # default cheap gate: chunk-start state + self hits —
+                # no rank payload rides the route, no rank sort
+                # operands (ops/countstep._gate_batch semantics)
+                hs, starts, mult = st.dedup(recv_h, recv_v,
+                                            packable=packable)
+                bf2, n_before = bloom_insert(
+                    bf_opt[0].reshape(-1), hs, starts, pre=pre,
+                    n_shift=bf_shift, n_hashes=bf_n_hash,
+                    shard_shift=nlog)
             add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
             use_h, use_add = hs, add
             use_v = starts & (add > 0)
@@ -912,7 +928,8 @@ class _MeshCountDriver:
         self.C = default_route_cap(self.M, table.n_dev)
         self.bloom_cfg = None
         if use_bloom and table.bf is not None:
-            self.bloom_cfg = (table.pre, table.bf_shift, table.bf_n_hash)
+            self.bloom_cfg = (table.pre, table.bf_shift, table.bf_n_hash,
+                              getattr(table, "bf_exact", False))
         self._steps = {}
         self._last = None
         # engine (table._pallas_mode semantics): per-chip Pallas
@@ -1104,7 +1121,8 @@ def count_file_mesh(fn, opt, mesh, cap_log2=None, table=None,
     if table is None:
         table = MeshTable(mesh, opt.k, opt.pre, cap_log2,
                           bf_shift=opt.bf_shift,
-                          bf_n_hash=opt.bf_n_hash)
+                          bf_n_hash=opt.bf_n_hash,
+                          bf_exact=getattr(opt, "exact", False))
         create = True if create_new is None else create_new
     else:
         create = False if create_new is None else create_new

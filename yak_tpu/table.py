@@ -43,7 +43,7 @@ class KmerTable:
     for per-occurrence increments."""
 
     def __init__(self, k, pre=10, cap_log2=16, bf_n_hash=4, bf_shift=0,
-                 flush_lanes=None, cap_hinted=None):
+                 flush_lanes=None, cap_hinted=None, bf_exact=False):
         if pre < 10:
             raise ValueError("pre must be at least YAK_COUNTER_BITS (10)")
         self.k = k
@@ -71,6 +71,11 @@ class KmerTable:
         self.bf = None
         self.bf_shift = bf_shift
         self.bf_n_hash = bf_n_hash
+        # serial-exact Bloom gate (reference htab.c:57-70 bit-for-bit):
+        # only the -X byte-exact dump path needs it — the default cheap
+        # gate keeps the two-pass OUTPUT exact whenever both passes read
+        # the same input (ops/countstep._gate_batch docstring)
+        self.bf_exact = bf_exact
         if bf_shift > pre:
             # per-shard filter must hold at least one 512-bit block and at
             # most 2^64 bits, else yak_bf_init returns NULL and counting
@@ -202,7 +207,10 @@ class KmerTable:
         bloom_cfg = None
         use_bf = self.bf is not None and self._pend_create
         if use_bf:
-            bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash)
+            bloom_cfg = (self.pre, self.bf_shift, self.bf_n_hash,
+                         self.bf_exact)
+            if self.bf_exact:
+                self._warn_exact_gate(lanes)
         mode = self._pallas_mode(use_bf)
         if mode == "psort":
             from yak_tpu.ops.countstep import (
@@ -245,6 +253,24 @@ class KmerTable:
         ovf = self._run_step(step, codes, prev, use_bf, mode)
         self._last_step = (prev, codes, ovf, step, use_bf, mode)
 
+    def _warn_exact_gate(self, lanes):
+        """Fail fast when the serial-exact gate (-X) cannot engage for
+        this -b/-H/chunk configuration (the packed sort key would not
+        fit 64 bits): without it the exact-dump cross-check would only
+        surface the divergence AFTER a full count (io/exactdump.py)."""
+        from yak_tpu.ops.bloom import exact_gate_fits
+
+        # conservative bound on the flattened extraction size (the
+        # r-major layout overshoots M = L-k+1 by < 32 lanes per chunk)
+        bound = 2 * lanes + 4096
+        if not exact_gate_fits(self.bf_shift, self.bf_n_hash, bound):
+            raise ValueError(
+                f"-X (byte-exact dump) cannot engage the serial-exact "
+                f"Bloom gate for -b{self.bf_shift} -H{self.bf_n_hash} "
+                f"with {lanes} lanes/fold: the packed (position, rank) "
+                f"sort key exceeds 64 bits.  Use a smaller -b/-K or "
+                f"drop -X (the default dump has identical content).")
+
     def _pallas_mode(self, use_bf):
         """Pick the merge engine for this fold.
 
@@ -261,6 +287,19 @@ class KmerTable:
         """
         import os
 
+        # the serial-exact gate (-X, bf_exact) rides only the fused-step
+        # gate (_gate_batch); the psort engine's gate post has no rank
+        # plane (countstep.get_bloom_gate_post) — fail fast instead of
+        # failing the exact-dump cross-check after a full count
+        exact_bf = use_bf and self.bf_exact
+        if exact_bf and (os.environ.get("YAK_TPU_PSORT") == "1"
+                         or os.environ.get("YAK_TPU_ENGINE") == "psort"
+                         or os.environ.get(
+                             "YAK_TPU_PSORT_INTERPRET") == "1"):
+            raise RuntimeError(
+                "-X (byte-exact dump) requires the default engine's "
+                "serial-exact Bloom gate; unset YAK_TPU_PSORT/"
+                "YAK_TPU_ENGINE=psort or drop -X")
         if os.environ.get("YAK_TPU_PSORT_INTERPRET", "0") == "1":
             # test hook: bitonic sort + merge kernels in interpret mode
             # (covers the Bloom-gated and wide k>=32 psort paths too)
@@ -290,6 +329,11 @@ class KmerTable:
             # YAK_TPU_PSORT_WIDE) swaps the sort for the bitonic
             # kernels; YAK_TPU_WIDE=0 or a failed wide-kernel self-test
             # reverts to the multi-operand XLA sort-merge.
+            if exact_bf:
+                # the wide engines gate via the rank-less gate post —
+                # -X at k >= 32 with -b runs the XLA sort-merge step,
+                # whose _gate_batch carries the rank plane
+                return "xla"
             if (os.environ.get("YAK_TPU_PSORT_WIDE", "1") != "0"
                     and psort_enabled(True)[0] and wide_smoke_ok()):
                 return "psort"
@@ -309,7 +353,8 @@ class KmerTable:
             # sort first, dedup + Bloom gate on the sorted stream
             # (countstep.get_bloom_gate_post), weighted merge.
             # YAK_TPU_PSORT_BLOOM=0 reverts to the r2 pmerge path.
-            if ok and os.environ.get("YAK_TPU_PSORT_BLOOM", "1") != "0":
+            if (ok and not exact_bf
+                    and os.environ.get("YAK_TPU_PSORT_BLOOM", "1") != "0"):
                 return "psort"
             return "pmerge"
         # measured-fastest default (r4): XLA batch sort + Pallas
@@ -488,14 +533,23 @@ class KmerTable:
         """
         add = None
         if self.bf is not None and create_new:
-            lane = jnp.arange(h.shape[0], dtype=jnp.int32)
-            hs, starts, mult, rk = st.dedup(h, valid,
-                                            packable=self._packable,
-                                            rank=lane)
-            self.bf, n_before = bloom_insert(
-                self.bf, hs, starts, rk, pre=self.pre,
-                n_shift=self.bf_shift, n_hashes=self.bf_n_hash,
-                rank_bound=h.shape[0])
+            if self.bf_exact:
+                # raw hash batches arrive in caller (= serial) order,
+                # so the flat iota IS the serial rank here
+                lane = jnp.arange(h.shape[0], dtype=jnp.int32)
+                hs, starts, mult, rk = st.dedup(h, valid,
+                                                packable=self._packable,
+                                                rank=lane)
+                self.bf, n_before = bloom_insert(
+                    self.bf, hs, starts, rk, pre=self.pre,
+                    n_shift=self.bf_shift, n_hashes=self.bf_n_hash,
+                    rank_bound=h.shape[0])
+            else:
+                hs, starts, mult = st.dedup(h, valid,
+                                            packable=self._packable)
+                self.bf, n_before = bloom_insert(
+                    self.bf, hs, starts, pre=self.pre,
+                    n_shift=self.bf_shift, n_hashes=self.bf_n_hash)
             add = jnp.where(n_before == self.bf_n_hash, mult, mult - 1)
             h, valid = hs, starts & (add > 0)
         if add is None:
