@@ -43,6 +43,10 @@ _SECTION_NEED = {
 }
 
 
+_EMITTED = []    # every metric record printed this run (summary line)
+_SKIPPED = []    # sections skipped on budget (summary line)
+
+
 def _section_ok(name):
     left = BENCH_BUDGET_S - (time.time() - _T0)
     if left < _SECTION_NEED.get(name, 120):
@@ -50,6 +54,7 @@ def _section_ok(name):
               f"{BENCH_BUDGET_S:.0f}s budget (< est. "
               f"{_SECTION_NEED.get(name, 120)}s cold cost)",
               file=sys.stderr, flush=True)
+        _SKIPPED.append(name)
         return False
     return True
 
@@ -124,10 +129,14 @@ def _lookup_engine():
 
 
 def _bloom_engine():
-    """Actual engine the -b fold picks (ask the table, don't guess)."""
+    """Actual engine the -b fold picks (ask the table, don't guess).
+    Under the default pmerge mode the gated fold now runs the
+    sorted-stream gate-post structure (countstep.get_count_bloom_step),
+    tagged distinctly so recorded scores name the real engine."""
     from yak_tpu.table import KmerTable
 
-    return KmerTable(K, bf_shift=24)._pallas_mode(use_bf=True)
+    mode = KmerTable(K, bf_shift=24)._pallas_mode(use_bf=True)
+    return mode + ("+gatepost" if mode == "pmerge" else "")
 
 
 def _k33_engine():
@@ -201,6 +210,7 @@ def _emit(metric, value, baseline, engine=None, extra=None):
     }
     if extra:
         rec.update(extra)
+    _EMITTED.append(rec)
     print(json.dumps(rec), flush=True)
 
 
@@ -726,6 +736,33 @@ def main():
             print(f"[bench] device bench failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr,
                   flush=True)
+    # bloom + k33 run BEFORE the lookup workloads: they carry the
+    # newest (least-measured) engines, and a budget kill must never
+    # starve them again (r4: the k33 section was the casualty twice)
+    if _section_ok("bloom"):
+        try:
+            v = bench_count_bloom(times)
+            print(f"[bench] bloom two-pass 96.0M extractions, "
+                  f"{times['bloom']:.3f}s", file=sys.stderr)
+            _emit("count k=31 -b24 Bloom two-pass throughput "
+                  "(1 chip, FASTA ingest both passes)", v,
+                  BASELINE_BLOOM_PER_S, engine=_bloom_engine())
+        except Exception as e:
+            print(f"[bench] bloom bench failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr,
+                  flush=True)
+    if _section_ok("k33"):
+        try:
+            v = bench_count_k33(times)
+            print(f"[bench] k33 count 47.2M k-mers, "
+                  f"{times['k33']:.3f}s", file=sys.stderr)
+            _emit("count k=33 insert throughput "
+                  "(1 chip, in-memory reads)", v, BASELINE_K33_PER_S,
+                  engine=_k33_engine())
+        except Exception as e:
+            print(f"[bench] k33 bench failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr,
+                  flush=True)
     if _section_ok("qv"):
         try:
             v = bench_qv(table, genome, times)
@@ -761,31 +798,26 @@ def main():
             print(f"[bench] trioeval bench failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr,
                   flush=True)
-    if _section_ok("bloom"):
-        try:
-            v = bench_count_bloom(times)
-            print(f"[bench] bloom two-pass 96.0M extractions, "
-                  f"{times['bloom']:.3f}s", file=sys.stderr)
-            _emit("count k=31 -b24 Bloom two-pass throughput "
-                  "(1 chip, FASTA ingest both passes)", v,
-                  BASELINE_BLOOM_PER_S, engine=_bloom_engine())
-        except Exception as e:
-            print(f"[bench] bloom bench failed: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr,
-                  flush=True)
-    if _section_ok("k33"):
-        try:
-            v = bench_count_k33(times)
-            print(f"[bench] k33 count 47.2M k-mers, "
-                  f"{times['k33']:.3f}s", file=sys.stderr)
-            _emit("count k=33 insert throughput "
-                  "(1 chip, in-memory reads)", v, BASELINE_K33_PER_S,
-                  engine=_k33_engine())
-        except Exception as e:
-            print(f"[bench] k33 bench failed: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr,
-                  flush=True)
+def _emit_summary():
+    """ONE self-contained JSON line holding every metric emitted this
+    run (plus budget skips), printed even if a section crashed the run
+    (__main__ finally): the driver's tail capture can never lose
+    scrolled-away metrics again (r4: BENCH_r04.json recorded only the
+    final metric)."""
+    rec = {
+        "metric": "summary (all metrics this run)",
+        "value": len(_EMITTED),
+        "unit": "metrics",
+        "vs_baseline": (round(min(m["vs_baseline"] for m in _EMITTED), 3)
+                        if _EMITTED else 0.0),
+        "all": _EMITTED,
+        "skipped_on_budget": _SKIPPED,
+    }
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        _emit_summary()

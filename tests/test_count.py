@@ -176,6 +176,20 @@ def test_bloom_two_pass(data, bshift):
     assert ours == ref
 
 
+def test_bloom_two_pass_pmerge(data, monkeypatch):
+    """The -b protocol end-to-end on the cheap-gate pmerge engine
+    (interpret mode): ONE in-jit packed XLA sort + Bloom gate post on
+    the sorted stream + bw-weighted merge kernel
+    (countstep.get_count_bloom_step) vs the oracle."""
+    monkeypatch.setenv("YAK_TPU_PMERGE_INTERPRET", "1")
+    ref = _oracle_counts(["count", "-k21", "-b20", "-K50000",
+                          data / "reads.fa", data / "reads.fa"],
+                         data / "bfpm_ref.yak")
+    ours, _ = _our_counts(data / "reads.fa", 21, bf_shift=20,
+                          second=data / "reads.fa")
+    assert ours == ref
+
+
 def test_bloom_two_pass_psort(data, monkeypatch):
     """The -b protocol end-to-end on the psort engine (interpret mode):
     sort-first dedup + Bloom gate + weighted merge vs the oracle."""

@@ -204,14 +204,36 @@ def bloom_insert(bf, h, active, rank=None, *, pre, n_shift, n_hashes,
                                                   dtype=jnp.int32),
             0)
     else:
-        # 2b. conflict-free OR of all probed bits into the filter
+        # 2b. conflict-free OR of all probed bits into the filter.
+        # Bit positions fit pos_bits = n_shift - shard_shift bits, so
+        # the inactive marker packs into the same word and the sort is
+        # SINGLE-operand (u32 when it fits — sort cost scales with
+        # operand count and width on this backend, ops/sorttable).
+        pos_bits = n_shift - shard_shift
         allpos = jnp.stack(
             [base + zi.astype(jnp.uint64) for zi in zs],
             axis=0).reshape(-1)
-        inv = (~act).astype(jnp.uint8)
-        inv_s, pos_s = jax.lax.sort((inv, allpos), num_keys=2,
-                                    is_stable=False)
-        valid_s = inv_s == 0
+        if pos_bits <= 31:
+            packed = (allpos.astype(jnp.uint32)
+                      | (act.astype(jnp.uint32) ^ 1) << pos_bits)
+            (p_s,) = jax.lax.sort((packed,), num_keys=1,
+                                  is_stable=False)
+            valid_s = p_s < jnp.uint32(1 << pos_bits)
+            pos_s = (p_s & jnp.uint32((1 << pos_bits) - 1)).astype(
+                jnp.uint64)
+        elif pos_bits <= 63:
+            packed = (allpos | (act.astype(jnp.uint64) ^ jnp.uint64(1))
+                      << jnp.uint64(pos_bits))
+            (p_s,) = jax.lax.sort((packed,), num_keys=1,
+                                  is_stable=False)
+            valid_s = p_s < (jnp.uint64(1) << jnp.uint64(pos_bits))
+            pos_s = p_s & ((jnp.uint64(1) << jnp.uint64(pos_bits))
+                           - jnp.uint64(1))
+        else:
+            inv = (~act).astype(jnp.uint8)
+            inv_s, pos_s = jax.lax.sort((inv, allpos), num_keys=2,
+                                        is_stable=False)
+            valid_s = inv_s == 0
         prev = jnp.concatenate([pos_s[:1], pos_s[:-1]])
         firstlane = jnp.concatenate(
             [jnp.ones((1,), bool),

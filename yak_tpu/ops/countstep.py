@@ -384,6 +384,26 @@ def _xs_planes(h, valid, lookup=False, wide=False):
             (xs & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
 
 
+def _xs_packed_sorted(h, valid):
+    """Descending PACKED-key planes (hash<<1 | stream=1) via ONE
+    single-operand XLA u64 sort — the gated (k <= 31) pmerge engine's
+    sort, run inside the caller's fused step jit.  Same complement
+    encoding as _xs_planes(wide=False) (invalid/pad xs = 0 -> exact-INF
+    E at the descending front), so the plane contract matches
+    pallas_sort.sort_planes(neg_keys=True) and the merge kernel /
+    gate post consume it unchanged."""
+    B = h.shape[0]
+    xs = jnp.where(valid, ~((h << jnp.uint64(1)) | jnp.uint64(1)),
+                   jnp.uint64(0))
+    Bpad = max(1 << 14, 1 << max(B - 1, 1).bit_length())
+    if Bpad != B:
+        xs = jnp.concatenate([xs, jnp.zeros(Bpad - B, jnp.uint64)])
+    (xs,) = jax.lax.sort((xs,), num_keys=1, is_stable=False)
+    E = ~xs
+    return ((E >> jnp.uint64(32)).astype(jnp.uint32),
+            (E & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
+
+
 def _xs_wide_sorted(h, valid):
     """Descending raw-hash planes via ONE single-operand XLA u64 sort —
     the wide (k >= 32) pmerge engine's sort, run inside the caller's
@@ -552,6 +572,56 @@ def get_count_wide_step_planes(k, cap, planes_L=None):
         return Ehi, Elo, ohi, olo, ov, size_s
 
     _STEP_CFG[step] = (k, None, planes_L, True)
+    return step
+
+
+@lru_cache(maxsize=None)
+def get_count_bloom_step(k, planes_L=None):
+    """Gated (k <= 31, -b pass 1, cheap gate) pmerge pre-jit: fused
+    extract + ONE single-operand packed u64 XLA sort -> descending
+    packed planes.  The Bloom gate runs as a separate dispatch on the
+    sorted stream (get_bloom_gate_post: neighbor-compare dedup, no
+    second sort) and the merge kernel consumes the SAME planes with the
+    gate's bw weight plane — replacing the r4 structure's three full-
+    lane sorts per gated fold (dedup rank sort + prep sort + the exact
+    gate's u64+payload sorts) with one.  The serial-exact gate (-X)
+    keeps the old _gate_batch steps (table._fold_codes)."""
+    assert k <= 31
+    ext = _extractor(k, planes_L, rmajor=True)
+
+    @jax.jit
+    def step(codes, tkeys, tcnt, size):
+        h, valid = ext(codes)
+        Ehi, Elo = _xs_packed_sorted(h.reshape(-1), valid.reshape(-1))
+        shifted = tkeys << jnp.uint64(1)
+        thi = (shifted >> jnp.uint64(32)).astype(jnp.uint32)
+        tlo = (shifted & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        size_s = jnp.minimum(size, tkeys.shape[0]).reshape(1).astype(
+            jnp.int32)
+        return Ehi, Elo, thi, tlo, tcnt, size_s
+
+    _STEP_CFG[step] = (k, "bloom", planes_L, False)
+    return step
+
+
+@lru_cache(maxsize=None)
+def get_count_bloom_step_planes(k, cap, planes_L=None):
+    """get_count_bloom_step against a plane-resident table: the previous
+    fold's raw merge-reduce outputs pass through untouched (packed keys
+    keep their stream bit — the kernel clears it, exactly as in
+    _pmerge_prep_planes_impl)."""
+    assert k <= 31
+    ext = _extractor(k, planes_L, rmajor=True)
+
+    @jax.jit
+    def step(codes, ohi, olo, ov, size11):
+        h, valid = ext(codes)
+        Ehi, Elo = _xs_packed_sorted(h.reshape(-1), valid.reshape(-1))
+        size_s = jnp.minimum(size11[0, 0], cap).reshape(1).astype(
+            jnp.int32)
+        return Ehi, Elo, ohi, olo, ov, size_s
+
+    _STEP_CFG[step] = (k, "bloom", planes_L, False)
     return step
 
 

@@ -235,6 +235,19 @@ class KmerTable:
                 else:
                     step = get_count_wide_step(self.k,
                                                planes_L=planes_L)
+            elif use_bf and not self.bf_exact:
+                # cheap-gate -b pass 1: ONE packed in-jit XLA sort; the
+                # gate + merge kernel run on the sorted planes in
+                # _run_step (countstep.get_count_bloom_step) — the
+                # serial-exact gate (-X) keeps the _gate_batch steps
+                from yak_tpu.ops.countstep import (
+                    get_count_bloom_step, get_count_bloom_step_planes)
+                if self._plane_state is not None:
+                    step = get_count_bloom_step_planes(
+                        self.k, self.cap, planes_L=planes_L)
+                else:
+                    step = get_count_bloom_step(self.k,
+                                                planes_L=planes_L)
             elif self._plane_state is not None:
                 step = get_count_step_pmerge_planes(
                     self.k, self.cap, bloom_cfg, planes_L=planes_L)
@@ -422,23 +435,26 @@ class KmerTable:
                         size_s, thi, tlo, tw, Ehi, Elo, Na=cap, Nb=B,
                         create=self._pend_create, interpret=interp,
                         wide=wide)
-            elif not self._packable:
-                # wide (k >= 32) pmerge: the step already XLA-sorted
-                # the raw-hash planes; the Bloom gate (if any) and the
-                # wide merge kernel follow exactly as in the psort
+            elif (not self._packable
+                  or (use_bf and not self.bf_exact)):
+                # presorted pmerge: the step already XLA-sorted the
+                # key planes in-jit (wide k >= 32 raw hashes, or the
+                # packed cheap-gate -b pass); the Bloom gate (if any)
+                # and the merge kernel follow exactly as in the psort
                 # branch
+                wide = not self._packable
                 Ehi, Elo, thi, tlo, tw, size_s = step(carg, *targs)
                 bw = None
                 if use_bf:
                     from yak_tpu.ops.countstep import get_bloom_gate_post
                     gate = get_bloom_gate_post(
                         self.pre, self.bf_shift, self.bf_n_hash,
-                        wide=True)
+                        wide=wide)
                     bw, self.bf = gate(Ehi, Elo, bf)
                 out = pallas_merge.merge_reduce_presorted(
                     size_s, thi, tlo, tw, Ehi, Elo, bw=bw, Na=cap,
                     Nb=B, create=self._pend_create, interpret=interp,
-                    wide=True)
+                    wide=wide)
             else:
                 if use_bf:
                     *prep, self.bf = step(carg, *targs, bf)
@@ -516,10 +532,13 @@ class KmerTable:
             k, _bc, planes_L, wide = cfg
             return get_count_presort_step(k, planes_L=planes_L,
                                           wide=wide)
-        if len(cfg) == 4:   # wide pmerge step (k, None, planes_L, True)
-            from yak_tpu.ops.countstep import get_count_wide_step
+        if len(cfg) == 4:   # presorted pmerge step (k, tag, planes_L, wide)
+            from yak_tpu.ops.countstep import (get_count_bloom_step,
+                                               get_count_wide_step)
 
-            k, _bc, planes_L, _wide = cfg
+            k, tag, planes_L, wide = cfg
+            if tag == "bloom":
+                return get_count_bloom_step(k, planes_L=planes_L)
             return get_count_wide_step(k, planes_L=planes_L)
         k, bloom_cfg, planes_L = cfg
         return get_count_step_pmerge(k, bloom_cfg, planes_L=planes_L)
