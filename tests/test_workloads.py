@@ -398,6 +398,26 @@ def test_trioeval_long_k(trio33):
                  trio33 / "child.fa"]) == ref
 
 
+def test_qv_long_k(trio33):
+    """k=33 qv rides the fused device fold (hash_long extract + wide
+    table lookup in get_qv_step) — the reference ASSERTS k < 32
+    (qv.c:43), so parity is fused-vs-scan: identical SQ rows and
+    cnt vector to the per-position scan path."""
+    import io as _io
+    from yak_tpu.models.qv import run_qv, QvOpts
+    from yak_tpu.models.scan import scan_file
+    from yak_tpu.table import KmerTable
+
+    t = KmerTable.restore(str(trio33 / "pat.yak"))
+    o1, o2 = _io.StringIO(), _io.StringIO()
+    opt = QvOpts(chunk_size=16000, print_each=True)
+    cnt_f = run_qv(opt, str(trio33 / "child.fa"), t, out=o1)
+    cnt_s = run_qv(opt, str(trio33 / "child.fa"), t, out=o2,
+                   scan=scan_file)
+    assert o1.getvalue() == o2.getvalue() != ""
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_s))
+
+
 def test_chkerr_long_k(trio33):
     ref = run_oracle(["chkerr", "-t1", trio33 / "pat.yak",
                       trio33 / "child.fa"])

@@ -105,10 +105,15 @@ def run_qv(opt, fn, table, out=None, scan=None):
     from yak_tpu.parallel.mesh import MeshTable
 
     is_mesh = isinstance(table, MeshTable)
-    if scan is None and table.k < 32:
+    if scan is None:
+        # single-chip: always the fused fold — k >= 32 rides the
+        # hash_long extractors + the wide table lookup inside
+        # get_qv_step (the reference ABORTS there, qv.c:43 assert;
+        # we run it at fused speed).  The JOIN engages only for
+        # k <= 31 inside _run_qv_fused.
         if not is_mesh:
             return _run_qv_fused(opt, fn, table, out or sys.stdout)
-        if not opt.print_err_kmer:
+        if table.k < 32 and not opt.print_err_kmer:
             return _run_qv_fused_mesh(opt, fn, table, out or sys.stdout)
     if scan is None and is_mesh:
         from yak_tpu.models.scan import scan_file_mesh
@@ -532,7 +537,8 @@ def _run_qv_scan(opt, fn, table, out=None, scan=None):
     out = out or sys.stdout
     scan = scan or scan_file
     k = table.k
-    assert k < 32
+    # (the REFERENCE asserts k < 32 here, qv.c:43; our scan and fused
+    # paths both handle k >= 32 through the hash_long extractors)
     cnt = np.zeros(YAK_N_COUNTS, np.int64)
     chunk = max(1 << 14, min(int(opt.chunk_size), 1 << 23))
     chunk = -(-chunk // 1024) * 1024
@@ -628,10 +634,12 @@ def qv_solve(hist, cnt, kmer, fpr):
     if n_ext < 3:
         return -1, qs
 
-    # sampling-error adjustment in [min_c, max_c)
-    for c in range(max_c - 1, min_c - 1, -1):
-        err = (hist[c] - cnt[c] / qs.cov) / (1.0 - fpr)
-        qs.adj_cnt[c] = max(cnt[c] - err * qs.cov * fpr, 0.0)
+    # sampling-error adjustment in [min_c, max_c); cov == 0 or fpr == 1
+    # must propagate nan/inf exactly as the C arithmetic does
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for c in range(max_c - 1, min_c - 1, -1):
+            err = (hist[c] - cnt[c] / qs.cov) / (1.0 - fpr)
+            qs.adj_cnt[c] = max(cnt[c] - err * qs.cov * fpr, 0.0)
 
     # degree-2 polynomial fit of adjacent-count ratios (normal equations)
     x = np.arange(min_c, min_c + n_ext, dtype=np.float64)

@@ -18,12 +18,20 @@ text: each mix step is `key = f(key) & mask` where f is one of
 (~k + (k<<21)), (k ^ k>>s), (k * small-odd), (k + (k<<31)).
 """
 
+from contextlib import nullcontext
+
 import numpy as np
 
 # Modular inverses of the two multiplicative steps (mod 2^64):
 #   265 * INV_265 == 1,  21 * INV_21 == 1.
 _INV_265 = np.uint64(15244667743933553977)
 _INV_21 = np.uint64(14933078535860113213)
+
+
+def _quiet(ns):
+    """The mixes overflow uint64 by DESIGN (wrapping arithmetic);
+    silence numpy's per-scalar RuntimeWarnings on the host path."""
+    return np.errstate(over="ignore") if ns is np else nullcontext()
 
 
 def _u64(ns, v):
@@ -36,30 +44,33 @@ def hash64(key, mask, ns=None):
     `ns` is the array namespace (jax.numpy or numpy); inferred if None.
     """
     ns = _namespace(key) if ns is None else ns
-    key = ns.asarray(key, dtype=ns.uint64)
-    mask = ns.uint64(mask) if np.isscalar(mask) else ns.asarray(mask, ns.uint64)
-    key = (~key + (key << ns.uint64(21))) & mask
-    key = key ^ (key >> ns.uint64(24))
-    key = ((key + (key << ns.uint64(3))) + (key << ns.uint64(8))) & mask  # * 265
-    key = key ^ (key >> ns.uint64(14))
-    key = ((key + (key << ns.uint64(2))) + (key << ns.uint64(4))) & mask  # * 21
-    key = key ^ (key >> ns.uint64(28))
-    key = (key + (key << ns.uint64(31))) & mask
-    return key
+    with _quiet(ns):
+        key = ns.asarray(key, dtype=ns.uint64)
+        mask = ns.uint64(mask) if np.isscalar(mask) \
+            else ns.asarray(mask, ns.uint64)
+        key = (~key + (key << ns.uint64(21))) & mask
+        key = key ^ (key >> ns.uint64(24))
+        key = ((key + (key << ns.uint64(3))) + (key << ns.uint64(8))) & mask  # * 265
+        key = key ^ (key >> ns.uint64(14))
+        key = ((key + (key << ns.uint64(2))) + (key << ns.uint64(4))) & mask  # * 21
+        key = key ^ (key >> ns.uint64(28))
+        key = (key + (key << ns.uint64(31))) & mask
+        return key
 
 
 def hash64_64(key, ns=None):
     """Unmasked invertible mix (yak-priv.h:23-33); building block of hash_long."""
     ns = _namespace(key) if ns is None else ns
-    key = ns.asarray(key, dtype=ns.uint64)
-    key = ~key + (key << ns.uint64(21))
-    key = key ^ (key >> ns.uint64(24))
-    key = (key + (key << ns.uint64(3))) + (key << ns.uint64(8))
-    key = key ^ (key >> ns.uint64(14))
-    key = (key + (key << ns.uint64(2))) + (key << ns.uint64(4))
-    key = key ^ (key >> ns.uint64(28))
-    key = key + (key << ns.uint64(31))
-    return key
+    with _quiet(ns):
+        key = ns.asarray(key, dtype=ns.uint64)
+        key = ~key + (key << ns.uint64(21))
+        key = key ^ (key >> ns.uint64(24))
+        key = (key + (key << ns.uint64(3))) + (key << ns.uint64(8))
+        key = key ^ (key >> ns.uint64(14))
+        key = (key + (key << ns.uint64(2))) + (key << ns.uint64(4))
+        key = key ^ (key >> ns.uint64(28))
+        key = key + (key << ns.uint64(31))
+        return key
 
 
 def hash_long(x0, x1, x2, x3, ns=None):
@@ -70,10 +81,13 @@ def hash_long(x0, x1, x2, x3, ns=None):
     mixed planes of the chosen strand.
     """
     ns = _namespace(x0) if ns is None else ns
-    fwd = ns.asarray(x1, ns.uint64) < ns.asarray(x3, ns.uint64)
-    a = ns.where(fwd, ns.asarray(x0, ns.uint64), ns.asarray(x2, ns.uint64))
-    b = ns.where(fwd, ns.asarray(x1, ns.uint64), ns.asarray(x3, ns.uint64))
-    return hash64_64(a, ns) + hash64_64(b, ns)
+    with _quiet(ns):
+        fwd = ns.asarray(x1, ns.uint64) < ns.asarray(x3, ns.uint64)
+        a = ns.where(fwd, ns.asarray(x0, ns.uint64),
+                     ns.asarray(x2, ns.uint64))
+        b = ns.where(fwd, ns.asarray(x1, ns.uint64),
+                     ns.asarray(x3, ns.uint64))
+        return hash64_64(a, ns) + hash64_64(b, ns)
 
 
 def hash64_inv(key, mask, ns=None):
@@ -84,32 +98,33 @@ def hash64_inv(key, mask, ns=None):
     Only used on host for `print`/getseq, but jit-compatible.
     """
     ns = _namespace(key) if ns is None else ns
-    key = ns.asarray(key, dtype=ns.uint64)
-    mask = ns.uint64(mask) if np.isscalar(mask) else ns.asarray(mask, ns.uint64)
-    # stage 7^-1: key' = key + (key << 31)
-    tmp = key - (key << ns.uint64(31))
-    key = (key - (tmp << ns.uint64(31))) & mask
-    # stage 6^-1: key' = key ^ key >> 28
-    tmp = key ^ (key >> ns.uint64(28))
-    key = key ^ (tmp >> ns.uint64(28))
-    # stage 5^-1: key' = key * 21
-    key = (key * _inv21(ns)) & mask
-    # stage 4^-1: key' = key ^ key >> 14  (needs 4 unmask rounds for 62 bits)
-    tmp = key ^ (key >> ns.uint64(14))
-    tmp = key ^ (tmp >> ns.uint64(14))
-    tmp = key ^ (tmp >> ns.uint64(14))
-    key = key ^ (tmp >> ns.uint64(14))
-    # stage 3^-1: key' = key * 265
-    key = (key * _inv265(ns)) & mask
-    # stage 2^-1: key' = key ^ key >> 24
-    tmp = key ^ (key >> ns.uint64(24))
-    key = key ^ (tmp >> ns.uint64(24))
-    # stage 1^-1: key' = ~key + (key << 21)
-    tmp = ~key
-    tmp = ~(key - (tmp << ns.uint64(21)))
-    tmp = ~(key - (tmp << ns.uint64(21)))
-    key = ~(key - (tmp << ns.uint64(21))) & mask
-    return key
+    with _quiet(ns):
+        key = ns.asarray(key, dtype=ns.uint64)
+        mask = ns.uint64(mask) if np.isscalar(mask) else ns.asarray(mask, ns.uint64)
+        # stage 7^-1: key' = key + (key << 31)
+        tmp = key - (key << ns.uint64(31))
+        key = (key - (tmp << ns.uint64(31))) & mask
+        # stage 6^-1: key' = key ^ key >> 28
+        tmp = key ^ (key >> ns.uint64(28))
+        key = key ^ (tmp >> ns.uint64(28))
+        # stage 5^-1: key' = key * 21
+        key = (key * _inv21(ns)) & mask
+        # stage 4^-1: key' = key ^ key >> 14  (needs 4 unmask rounds for 62 bits)
+        tmp = key ^ (key >> ns.uint64(14))
+        tmp = key ^ (tmp >> ns.uint64(14))
+        tmp = key ^ (tmp >> ns.uint64(14))
+        key = key ^ (tmp >> ns.uint64(14))
+        # stage 3^-1: key' = key * 265
+        key = (key * _inv265(ns)) & mask
+        # stage 2^-1: key' = key ^ key >> 24
+        tmp = key ^ (key >> ns.uint64(24))
+        key = key ^ (tmp >> ns.uint64(24))
+        # stage 1^-1: key' = ~key + (key << 21)
+        tmp = ~key
+        tmp = ~(key - (tmp << ns.uint64(21)))
+        tmp = ~(key - (tmp << ns.uint64(21)))
+        key = ~(key - (tmp << ns.uint64(21))) & mask
+        return key
 
 
 def _inv21(ns):
