@@ -136,6 +136,7 @@ def test_long_k_bloom_wide_pmerge(data, monkeypatch):
     as a separate dispatch on the XLA-sorted planes
     (get_bloom_gate_post(wide=True)) — parity vs the oracle."""
     monkeypatch.setenv("YAK_TPU_PMERGE_INTERPRET", "1")
+    monkeypatch.setenv("YAK_TPU_BLOOM_TWO_PASS", "1")  # exercise the gate
     k = 33
     run_oracle(["count", "-b18", f"-k{k}", "-K50000", "-o",
                 str(data / "k33wb.yak"), data / "reads.fa"])
@@ -165,9 +166,14 @@ def test_dump_restore_interop(data):
 
 
 @pytest.mark.parametrize("bshift", [18, 20])
-def test_bloom_two_pass(data, bshift):
+@pytest.mark.parametrize("protocol", [False, True])
+def test_bloom_two_pass(data, bshift, protocol, monkeypatch):
     # b18 with pre=10: per-shard filter < one block -> yak_bf_init NULL,
-    # ungated two-pass (bbf.c:9); b20: real Bloom gating
+    # ungated two-pass (bbf.c:9); b20: real Bloom gating.
+    # protocol=False: same-file inputs take the exact single-pass
+    # shortcut (models/count.count); True forces the literal two-pass.
+    if protocol:
+        monkeypatch.setenv("YAK_TPU_BLOOM_TWO_PASS", "1")
     ref = _oracle_counts(["count", "-k21", f"-b{bshift}", "-K50000",
                           data / "reads.fa", data / "reads.fa"],
                          data / f"bf{bshift}_ref.yak")
@@ -182,6 +188,7 @@ def test_bloom_two_pass_pmerge(data, monkeypatch):
     the sorted stream + bw-weighted merge kernel
     (countstep.get_count_bloom_step) vs the oracle."""
     monkeypatch.setenv("YAK_TPU_PMERGE_INTERPRET", "1")
+    monkeypatch.setenv("YAK_TPU_BLOOM_TWO_PASS", "1")  # exercise the gate
     ref = _oracle_counts(["count", "-k21", "-b20", "-K50000",
                           data / "reads.fa", data / "reads.fa"],
                          data / "bfpm_ref.yak")
@@ -194,6 +201,7 @@ def test_bloom_two_pass_psort(data, monkeypatch):
     """The -b protocol end-to-end on the psort engine (interpret mode):
     sort-first dedup + Bloom gate + weighted merge vs the oracle."""
     monkeypatch.setenv("YAK_TPU_PSORT_INTERPRET", "1")
+    monkeypatch.setenv("YAK_TPU_BLOOM_TWO_PASS", "1")  # exercise the gate
     ref = _oracle_counts(["count", "-k21", "-b20", "-K50000",
                           data / "reads.fa", data / "reads.fa"],
                          data / "bfps_ref.yak")

@@ -114,8 +114,13 @@ def test_mesh_bloom_two_pass_equals_single(data):
         single.insert_codes(packed.codes, create_new=False)
     single.shrink(2, 1023)
 
+    import os
     mesh = make_mesh(n_dev)
-    sharded = count_mesh(files, opt, mesh, cap_log2=14)
+    os.environ["YAK_TPU_BLOOM_TWO_PASS"] = "1"  # exercise the gate
+    try:
+        sharded = count_mesh(files, opt, mesh, cap_log2=14)
+    finally:
+        del os.environ["YAK_TPU_BLOOM_TWO_PASS"]
     assert sharded.bf is None      # destroyed after pass 1
 
     h1, c1 = single.items()

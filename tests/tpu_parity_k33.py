@@ -42,6 +42,7 @@ print("TPU K33 WIDE PARITY OK:", n, "distinct kmers", flush=True)
 util.run_oracle(['count', '-b18', '-k33', '-K200000',
                  '-o', '.testdata/k33b_ref.yak', '.testdata/k33_reads.fa',
                  '.testdata/k33_reads.fa'])
+os.environ["YAK_TPU_BLOOM_TWO_PASS"] = "1"   # cover the wide gate post
 t = count(['.testdata/k33_reads.fa', '.testdata/k33_reads.fa'],
           CountOpts(k=33, bf_shift=18, chunk_size=40000))
 t.dump('.testdata/k33b_ours.yak')

@@ -76,16 +76,52 @@ def count_file(fn, opt, table=None):
     return table
 
 
+def _same_stream(a, b):
+    """Whether the two -b pass inputs are the same file (the author-
+    recommended recipe passes the reads twice: `yak count -b37 sr.fq.gz
+    sr.fq.gz`)."""
+    import os
+    if a == b:
+        return True
+    try:
+        return os.path.realpath(a) == os.path.realpath(b)
+    except OSError:
+        return False
+
+
 def count(files, opt):
     """Full `yak count` semantics including the `-b` two-pass protocol
     (main.c:53-60): pass 1 Bloom-gated; destroy BF, zero counts; pass 2
     over the second input (or the same file) increments existing keys;
-    shrink to counts >= 2."""
+    shrink to counts >= 2.
+
+    Same-file shortcut (default; YAK_TPU_BLOOM_TWO_PASS=1 forces the
+    literal protocol): when both passes read the SAME stream, the
+    protocol's final table is EXACTLY {key: total_count | total >= 2} —
+    a key's second occurrence always passes the gate (all probed bits
+    set by the first), pass 2 then recounts EVERY occurrence of every
+    admitted key, and the shrink drops the gate's false-positive
+    singletons — so one ungated pass + shrink produces the identical
+    table at half the ingest/extract cost and zero gate cost.  The gate
+    only changes the OUTPUT when the two passes read different streams
+    (pass-1 singleton admission then matters), and the real two-pass
+    runs in that case.  The -X byte-exact dump path is unaffected: its
+    host simulator always replays the literal protocol and cross-checks
+    the multiset (identical by the argument above)."""
+    import os
+    second = files[1] if len(files) >= 2 else files[0]
+    if (opt.bf_shift > 0 and _same_stream(files[0], second)
+            and not os.environ.get("YAK_TPU_BLOOM_TWO_PASS")):
+        from dataclasses import replace
+        table = count_file(files[0], replace(opt, bf_shift=0))
+        table.shrink(2, 1023)
+        print(f"[M::count] {table.tot} distinct k-mers after shrinking",
+              file=sys.stderr)
+        return table
     table = count_file(files[0], opt)
     if opt.bf_shift > 0:
         table.destroy_bf()
         table.clear_counts()
-        second = files[1] if len(files) >= 2 else files[0]
         count_file(second, opt, table=table)
         table.shrink(2, 1023)
         print(f"[M::count] {table.tot} distinct k-mers after shrinking",

@@ -219,8 +219,32 @@ def bloom_insert(bf, h, active, rank=None, *, pre, n_shift, n_hashes,
             (p_s,) = jax.lax.sort((packed,), num_keys=1,
                                   is_stable=False)
             valid_s = p_s < jnp.uint32(1 << pos_bits)
-            pos_s = (p_s & jnp.uint32((1 << pos_bits) - 1)).astype(
-                jnp.uint64)
+            p32 = p_s & jnp.uint32((1 << pos_bits) - 1)
+            nwords = bf.shape[0]
+            if nwords <= (1 << 22):
+                # all-u32 dense tail (the hot -b24 shape).  Measured
+                # (v5e): the generic tail's i64 word keys + u64 cumsum
+                # nearly double its pass bytes; and a WRAPPING u32
+                # cumsum is exact here because each word's unique-bit
+                # mask sum fits u32, so the boundary differences are
+                # exact mod 2^32.
+                prev32 = jnp.concatenate([p32[:1], p32[:-1]])
+                first = jnp.concatenate(
+                    [jnp.ones((1,), bool),
+                     jnp.zeros((p32.shape[0] - 1,), bool)])
+                uniq32 = valid_s & (first | (p32 != prev32))
+                w32 = jnp.where(valid_s, p32 >> jnp.uint32(5),
+                                jnp.uint32(nwords))
+                m32 = jnp.where(uniq32,
+                                jnp.uint32(1) << (p32 & jnp.uint32(31)),
+                                jnp.uint32(0))
+                csum = jnp.concatenate([jnp.zeros(1, jnp.uint32),
+                                        jnp.cumsum(m32)])
+                bounds = jnp.searchsorted(
+                    w32, jnp.arange(nwords + 1, dtype=jnp.uint32))
+                word_mask = csum[bounds[1:]] - csum[bounds[:-1]]
+                return bf | word_mask, n_before
+            pos_s = p32.astype(jnp.uint64)
         elif pos_bits <= 63:
             packed = (allpos | (act.astype(jnp.uint64) ^ jnp.uint64(1))
                       << jnp.uint64(pos_bits))

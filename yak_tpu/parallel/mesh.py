@@ -1147,7 +1147,19 @@ def count_file_mesh(fn, opt, mesh, cap_log2=None, table=None,
 def count_mesh(files, opt, mesh, cap_log2=None):
     """Full `yak count` on a mesh including the `-b` two-pass protocol
     (main.c:53-60): Bloom-gated pass 1; destroy BF, zero counts; pass 2
-    increments existing keys; shrink to counts >= 2."""
+    increments existing keys; shrink to counts >= 2.  Same-file inputs
+    take the exact single-pass shortcut (models/count.count)."""
+    import os
+
+    from yak_tpu.models.count import _same_stream
+    second0 = files[1] if len(files) >= 2 else files[0]
+    if (opt.bf_shift > 0 and _same_stream(files[0], second0)
+            and not os.environ.get("YAK_TPU_BLOOM_TWO_PASS")):
+        from dataclasses import replace
+        table = count_file_mesh(files[0], replace(opt, bf_shift=0),
+                                mesh, cap_log2=cap_log2)
+        table.shrink(2, 1023)
+        return table
     table = count_file_mesh(files[0], opt, mesh, cap_log2=cap_log2)
     if opt.bf_shift > 0 and table.bf is not None:
         table.destroy_bf()
