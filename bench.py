@@ -136,7 +136,13 @@ def _bloom_engine():
     from yak_tpu.table import KmerTable
 
     mode = KmerTable(K, bf_shift=24)._pallas_mode(use_bf=True)
-    return mode + ("+gatepost" if mode == "pmerge" else "")
+    mode = mode + ("+gatepost" if mode == "pmerge" else "")
+    if not os.environ.get("YAK_TPU_BLOOM_TWO_PASS"):
+        # same-file inputs (this bench's workload) take the exact
+        # single-pass shortcut (models/count.count): one ungated pass
+        # + shrink>=2 — the gate engine never runs
+        mode = "shortcut(" + mode + ")"
+    return mode
 
 
 def _k33_engine():
