@@ -75,10 +75,19 @@ def main_chkerr(opt, table, seq_fn, out=None):
                 h["u32"] = True
                 h["vs"] = (vs, vflat)
             elif use_join:
+                # compaction variant: ONE streaming pallas_compact pass
+                # instead of _chkerr_reduce's full-lane u64 marker sort
+                # (mirrors the trioeval mid; see countstep)
+                from yak_tpu.ops.countstep import (get_chkerr_mark_mid,
+                                                   run_mark_compact)
                 ov, pay, vflat = run_join_lookup(
                     table, k, planes_key, arg, M, interpret=jinterp)
-                h["o"] = get_chkerr_join_post(
+                khi, pmark, n = get_chkerr_mark_mid(
                     k, int(opt.min_cnt), M)(ov, pay, vflat)
+                lanes_d, pay_d = run_mark_compact(
+                    khi, pmark, CHKERR_MAX_RUNS, interpret=jinterp)
+                h["o"] = (lanes_d, n, pay_d)
+                h["u32"] = True
             else:
                 step = get_chkerr_step(k, int(opt.min_cnt),
                                        planes_L=planes_key)
@@ -121,7 +130,7 @@ def main_chkerr(opt, table, seq_fn, out=None):
             # recover the per-lane low mask and find run ends on host —
             # same (lane, len) pairs, just a full value-stream transfer
             # instead of sparse markers
-            if h.get("u32"):
+            if h.get("vs"):
                 # restored values are already device-resident
                 v, hs = retry_transient(
                     lambda: (np.asarray(h["vs"][0])[:M],

@@ -648,11 +648,22 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                 h["u32"] = True
                 h["vs"] = (vs, vflat)
             elif use_join:
+                # compaction variant: marker planes out of the mid jit,
+                # ONE streaming pallas_compact pass instead of the
+                # full-lane u64 marker sort (the sort was the fattest
+                # trioeval-only slice: bench r5 trioeval 1.43s vs
+                # triobin 0.81s on identical lookups)
+                from yak_tpu.ops.countstep import (get_trioeval_mark_mid,
+                                                   run_mark_compact)
                 ov, pay, vflat = run_join_lookup(
                     ch, k, planes_key, arg, M, interpret=jinterp)
-                h["o"] = get_trioeval_join_post(
+                khi, pmark, n = get_trioeval_mark_mid(
                     k, int(opt.min_n), M)(
                     ov, pay, vflat, jnp.asarray([we], np.int32))
+                lanes_d, pay_d = run_mark_compact(
+                    khi, pmark, TRIOEVAL_MAX_RUNS, interpret=jinterp)
+                h["o"] = (lanes_d, n, pay_d)
+                h["u32"] = True
             else:
                 step = get_trioeval_step(k, int(opt.min_n),
                                          planes_L=planes_key)
@@ -694,7 +705,7 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
         n, key_np, pay_np = retry_transient(fetch, redo=dispatch)
         if n > TRIOEVAL_MAX_RUNS:
             # marker overflow: per-position fallback for this chunk
-            if h.get("u32"):
+            if h.get("vs"):
                 # restored values are already device-resident
                 v_np, hs = retry_transient(
                     lambda: (np.asarray(h["vs"][0])[:M],

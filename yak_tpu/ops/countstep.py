@@ -1819,8 +1819,10 @@ def get_trioeval_step(k, min_n, planes_L=None):
     return step
 
 
-def _trioeval_reduce(vals, is_k, we1, min_n, M):
-    """te_worker's run compression (see get_trioeval_step)."""
+def _te_emit(vals, is_k, we1, min_n, M):
+    """te_worker's run typing + marker selection (shared by the
+    sort-based and compaction-based extractions): returns
+    (emit, lane, runlen, typ)."""
     flag = jnp.where(is_k, jnp.maximum(vals, 0), 0)
     c1 = flag & 3
     c2 = (flag >> 2) & 3
@@ -1836,6 +1838,12 @@ def _trioeval_reduce(vals, is_k, we1, min_n, M):
     we = we1[0]
     emit = is_end & (typ > 0) & ((runlen >= min_n)
                                  | (run_start == 0) | (lane == we))
+    return emit, lane, runlen, typ
+
+
+def _trioeval_reduce(vals, is_k, we1, min_n, M):
+    """te_worker's run compression (see get_trioeval_step)."""
+    emit, lane, runlen, typ = _te_emit(vals, is_k, we1, min_n, M)
     key = jnp.where(emit,
                     (lane.astype(jnp.uint64) << jnp.uint64(26))
                     | (runlen.astype(jnp.uint64) << jnp.uint64(2))
@@ -1854,6 +1862,75 @@ def get_trioeval_join_post(k, min_n, M):
         return _trioeval_reduce(vals, valid, we1, min_n, M)
 
     return post
+
+
+@lru_cache(maxsize=None)
+def get_trioeval_mark_mid(k, min_n, M):
+    """Pallas-join trioeval, compaction variant: restore lane order +
+    run typing + marker PLANES (lane key u32, len<<2|typ payload) for
+    the streaming compactor (ops/pallas_compact) — one HBM pass
+    replaces _trioeval_reduce's full-lane u64 marker sort.  Dropped
+    lanes carry the compactor's PAD marker (khi bit 31)."""
+
+    @jax.jit
+    def mid(ov, pay, valid, we1):
+        vals = plookup_post(ov, pay, B=M)
+        emit, lane, runlen, typ = _te_emit(vals, valid, we1, min_n, M)
+        khi = jnp.where(emit, lane.astype(jnp.uint32),
+                        jnp.uint32(0x80000000))
+        p = ((runlen.astype(jnp.int32) << 2) | typ.astype(jnp.int32))
+        n = jnp.sum(emit.astype(jnp.int32))
+        return khi, p, n
+
+    return mid
+
+
+@lru_cache(maxsize=None)
+def get_chkerr_mark_mid(k, min_cnt, M):
+    """Pallas-join chkerr, compaction variant of _chkerr_reduce: marker
+    planes (lane key u32, runlen payload) for the streaming
+    compactor."""
+
+    @jax.jit
+    def mid(ov, pay, valid):
+        vals = plookup_post(ov, pay, B=M)
+        low = valid & (vals < min_cnt)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+        last_high = jax.lax.cummax(jnp.where(low, -1, lane))
+        runlen = lane - last_high
+        nxt = jnp.concatenate([low[1:], jnp.zeros(1, bool)])
+        is_end = low & ~nxt
+        khi = jnp.where(is_end, lane.astype(jnp.uint32),
+                        jnp.uint32(0x80000000))
+        n = jnp.sum(is_end.astype(jnp.int32))
+        return khi, runlen, n
+
+    return mid
+
+
+@lru_cache(maxsize=None)
+def get_mark_slice_post(maxr):
+    """Slice the compactor's padded output planes to the marker budget
+    INSIDE a jit (fetching a slice of a big device array would drag the
+    whole parent buffer over the tunnel wire)."""
+
+    @jax.jit
+    def post(ohi, opay):
+        return ohi.reshape(-1)[:maxr], opay.reshape(-1)[:maxr]
+
+    return post
+
+
+def run_mark_compact(khi, pay, maxr, interpret=False):
+    """Streaming marker compaction: (khi u32 lane-or-PAD, pay i32) ->
+    (lanes u32[maxr], pay i32[maxr]) device arrays, kept lanes packed
+    to the front in lane order.  Must be called OUTSIDE jit
+    (pallas_compact flips the x64 flag)."""
+    from yak_tpu.ops import pallas_compact
+
+    ohi, _olo, opay = pallas_compact.compact_raw(
+        khi, khi, pay, interpret=interpret)
+    return get_mark_slice_post(maxr)(ohi, opay)
 
 
 CHKERR_MAX_RUNS = 1 << 17
