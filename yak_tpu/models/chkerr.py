@@ -75,19 +75,24 @@ def main_chkerr(opt, table, seq_fn, out=None):
                 h["u32"] = True
                 h["vs"] = (vs, vflat)
             elif use_join:
-                # compaction variant: ONE streaming pallas_compact pass
-                # instead of _chkerr_reduce's full-lane u64 marker sort
-                # (mirrors the trioeval mid; see countstep)
-                from yak_tpu.ops.countstep import (get_chkerr_mark_mid,
-                                                   run_mark_compact)
+                import os
                 ov, pay, vflat = run_join_lookup(
                     table, k, planes_key, arg, M, interpret=jinterp)
-                khi, pmark, n = get_chkerr_mark_mid(
-                    k, int(opt.min_cnt), M)(ov, pay, vflat)
-                lanes_d, pay_d = run_mark_compact(
-                    khi, pmark, CHKERR_MAX_RUNS, interpret=jinterp)
-                h["o"] = (lanes_d, n, pay_d)
-                h["u32"] = True
+                if os.environ.get("YAK_TPU_MARK_COMPACT", "1") != "0":
+                    # compaction variant: ONE streaming pallas_compact
+                    # pass instead of _chkerr_reduce's full-lane u64
+                    # marker sort (mirrors the trioeval mid)
+                    from yak_tpu.ops.countstep import (
+                        get_chkerr_mark_mid, run_mark_compact)
+                    khi, pmark, n = get_chkerr_mark_mid(
+                        k, int(opt.min_cnt), M)(ov, pay, vflat)
+                    lanes_d, pay_d = run_mark_compact(
+                        khi, pmark, CHKERR_MAX_RUNS, interpret=jinterp)
+                    h["o"] = (lanes_d, n, pay_d)
+                    h["u32"] = True
+                else:
+                    h["o"] = get_chkerr_join_post(
+                        k, int(opt.min_cnt), M)(ov, pay, vflat)
             else:
                 step = get_chkerr_step(k, int(opt.min_cnt),
                                        planes_L=planes_key)

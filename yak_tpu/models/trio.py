@@ -648,22 +648,28 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                 h["u32"] = True
                 h["vs"] = (vs, vflat)
             elif use_join:
-                # compaction variant: marker planes out of the mid jit,
-                # ONE streaming pallas_compact pass instead of the
-                # full-lane u64 marker sort (the sort was the fattest
-                # trioeval-only slice: bench r5 trioeval 1.43s vs
-                # triobin 0.81s on identical lookups)
-                from yak_tpu.ops.countstep import (get_trioeval_mark_mid,
-                                                   run_mark_compact)
+                import os
                 ov, pay, vflat = run_join_lookup(
                     ch, k, planes_key, arg, M, interpret=jinterp)
-                khi, pmark, n = get_trioeval_mark_mid(
-                    k, int(opt.min_n), M)(
-                    ov, pay, vflat, jnp.asarray([we], np.int32))
-                lanes_d, pay_d = run_mark_compact(
-                    khi, pmark, TRIOEVAL_MAX_RUNS, interpret=jinterp)
-                h["o"] = (lanes_d, n, pay_d)
-                h["u32"] = True
+                if os.environ.get("YAK_TPU_MARK_COMPACT", "1") != "0":
+                    # compaction variant: marker planes out of the mid
+                    # jit, ONE streaming pallas_compact pass instead of
+                    # the full-lane u64 marker sort (the sort was the
+                    # fattest trioeval-only slice: bench r5 trioeval
+                    # 1.43s vs triobin 0.81s on identical lookups)
+                    from yak_tpu.ops.countstep import (
+                        get_trioeval_mark_mid, run_mark_compact)
+                    khi, pmark, n = get_trioeval_mark_mid(
+                        k, int(opt.min_n), M)(
+                        ov, pay, vflat, jnp.asarray([we], np.int32))
+                    lanes_d, pay_d = run_mark_compact(
+                        khi, pmark, TRIOEVAL_MAX_RUNS, interpret=jinterp)
+                    h["o"] = (lanes_d, n, pay_d)
+                    h["u32"] = True
+                else:
+                    h["o"] = get_trioeval_join_post(
+                        k, int(opt.min_n), M)(
+                        ov, pay, vflat, jnp.asarray([we], np.int32))
             else:
                 step = get_trioeval_step(k, int(opt.min_n),
                                          planes_L=planes_key)
