@@ -64,6 +64,75 @@ def exact_gate_fits(n_shift, n_hashes, rank_bound, shard_shift=0):
     return n_hashes <= 8 and pos_bits + rank_bits + 3 < 64
 
 
+def probe_geom(h, *, pre, n_shift, n_hashes, shard_shift=0):
+    """Probe geometry of yak_bf_insert (bbf.c:25-33): the key's global
+    block bit offset `base` and its n_hashes in-block bit positions
+    `zs` (u32 each, < 512)."""
+    ns_ = n_shift - pre
+    xbits = ns_ - YAK_BLK_SHIFT
+    shard = ((h & jnp.uint64((1 << pre) - 1))
+             >> jnp.uint64(shard_shift)).astype(jnp.uint32)
+    x = h >> jnp.uint64(pre)
+    y = (x & jnp.uint64((1 << xbits) - 1)).astype(jnp.uint32)
+    h1 = ((x >> jnp.uint64(xbits)) & jnp.uint64(_BLK_MASK)).astype(
+        jnp.uint32)
+    h2 = ((x >> jnp.uint64(ns_)) & jnp.uint64(_BLK_MASK)).astype(
+        jnp.uint32)
+    h2 = jnp.where((h2 & 31) == 0, (h2 + 1) & _BLK_MASK, h2)
+    base = (shard.astype(jnp.uint64) << jnp.uint64(ns_)) | (
+        y.astype(jnp.uint64) << jnp.uint64(YAK_BLK_SHIFT))
+    zs = []
+    z = h1
+    for _ in range(n_hashes):
+        zs.append(z)
+        z = (z + h2) & _BLK_MASK
+    return base, zs
+
+
+def probe_count(bf, base, zs, active, want_needs=False):
+    """Pre-update probe: per active key, how many of its probed bits
+    are visible under chunk-start state + intra-key self hits.  All
+    n_hashes probes of one key land in ITS 512-bit block, so ONE
+    64-byte block gather replaces n_hashes random word gathers
+    (measured r4: the per-word gathers were a dominant slice of the
+    gated fold; random-access count, not bytes, is what TPU gathers
+    charge for).  want_needs: also return the per-probe
+    "active & bit NOT yet visible" masks (the serial-exact gate's
+    input)."""
+    n = base.shape[0]
+    blk_words = 1 << (YAK_BLK_SHIFT - 5)          # 16 u32s per block
+    if bf.shape[0] % blk_words == 0:
+        blocks = bf.reshape(-1, blk_words)
+        blk_ix = (base >> jnp.uint64(YAK_BLK_SHIFT)).astype(jnp.int64)
+        rows = blocks[jnp.clip(blk_ix, 0, blocks.shape[0] - 1)]  # [n,16]
+        wsel = jax.lax.broadcasted_iota(jnp.int32, (n, blk_words), 1)
+
+        def probe_word(z):
+            wcol = (z >> 5).astype(jnp.int32)
+            return jnp.sum(jnp.where(wsel == wcol[:, None], rows, 0),
+                           axis=1, dtype=jnp.uint32)
+    else:  # degenerate sub-block filter: plain per-word gathers
+
+        def probe_word(z):
+            pos = base + z.astype(jnp.uint64)
+            return bf[(pos >> jnp.uint64(5)).astype(jnp.int64)]
+
+    n_before = jnp.zeros(n, jnp.int32)
+    needs = []
+    for i, zi in enumerate(zs):
+        word = probe_word(zi)
+        b = zi & jnp.uint32(31)
+        was_set = (word >> b) & jnp.uint32(1)
+        self_set = jnp.zeros(n, jnp.uint32)
+        for j in range(i):
+            self_set = self_set | (zs[j] == zi).astype(jnp.uint32)
+        seen = ((was_set | self_set) & 1).astype(jnp.int32)
+        if want_needs:
+            needs.append(active & (seen == 0))
+        n_before = n_before + jnp.where(active, seen, 0)
+    return n_before, (needs if want_needs else None)
+
+
 @partial(jax.jit,
          static_argnames=("pre", "n_shift", "n_hashes", "shard_shift",
                           "rank_bound"))
@@ -88,67 +157,14 @@ def bloom_insert(bf, h, active, rank=None, *, pre, n_shift, n_hashes,
     be 2^(n_shift - shard_shift) bits.
     """
     n = h.shape[0]
-    ns_ = n_shift - pre            # per-shard filter bits (log2)
-    xbits = ns_ - YAK_BLK_SHIFT    # block-select bits
-    shard = ((h & jnp.uint64((1 << pre) - 1))
-             >> jnp.uint64(shard_shift)).astype(jnp.uint32)
-    x = h >> jnp.uint64(pre)
-    y = (x & jnp.uint64((1 << xbits) - 1)).astype(jnp.uint32)
-    h1 = ((x >> jnp.uint64(xbits)) & jnp.uint64(_BLK_MASK)).astype(jnp.uint32)
-    h2 = ((x >> jnp.uint64(ns_)) & jnp.uint64(_BLK_MASK)).astype(jnp.uint32)
-    h2 = jnp.where((h2 & 31) == 0, (h2 + 1) & _BLK_MASK, h2)
-    # global bit offset of this key's block
-    base = (shard.astype(jnp.uint64) << jnp.uint64(ns_)) | (
-        y.astype(jnp.uint64) << jnp.uint64(YAK_BLK_SHIFT))
-
     exact = (rank is not None
              and exact_gate_fits(n_shift, n_hashes, rank_bound,
                                  shard_shift))
-
-    # probe bit positions z_i within the block
-    zs = []
-    z = h1
-    for _ in range(n_hashes):
-        zs.append(z)
-        z = (z + h2) & _BLK_MASK
-
-    # 1. count already-set bits (pre-update state + intra-key self hits).
-    # All n_hashes probes of one key land in ITS 512-bit block, so ONE
-    # 64-byte block gather replaces n_hashes random word gathers
-    # (measured r4: the per-word gathers were a dominant slice of the
-    # ~6.3s/group gated fold; random-access count, not bytes, is what
-    # TPU gathers charge for).  The word within the block is then picked
-    # with a 16-way one-hot select — pure vector ops, no second gather.
-    blk_words = 1 << (YAK_BLK_SHIFT - 5)          # 16 u32s per block
-    n_before = jnp.zeros(n, jnp.int32)
-    if bf.shape[0] % blk_words == 0:
-        blocks = bf.reshape(-1, blk_words)
-        blk_ix = (base >> jnp.uint64(YAK_BLK_SHIFT)).astype(jnp.int64)
-        rows = blocks[jnp.clip(blk_ix, 0, blocks.shape[0] - 1)]  # [n,16]
-        wsel = jax.lax.broadcasted_iota(jnp.int32, (n, blk_words), 1)
-
-        def probe_word(z):
-            wcol = (z >> 5).astype(jnp.int32)
-            return jnp.sum(jnp.where(wsel == wcol[:, None], rows, 0),
-                           axis=1, dtype=jnp.uint32)
-    else:  # degenerate sub-block filter: plain per-word gathers
-
-        def probe_word(z):
-            pos = base + z.astype(jnp.uint64)
-            return bf[(pos >> jnp.uint64(5)).astype(jnp.int64)]
-
-    needs = []                        # per probe: active & bit NOT yet
-    for i in range(n_hashes):         # visible (start state + self hits)
-        word = probe_word(zs[i])
-        b = zs[i] & jnp.uint32(31)
-        was_set = (word >> b) & jnp.uint32(1)
-        self_set = jnp.zeros(n, jnp.uint32)
-        for j in range(i):
-            self_set = self_set | (zs[j] == zs[i]).astype(jnp.uint32)
-        seen = ((was_set | self_set) & 1).astype(jnp.int32)
-        if exact:
-            needs.append(active & (seen == 0))
-        n_before = n_before + jnp.where(active, seen, 0)
+    base, zs = probe_geom(h, pre=pre, n_shift=n_shift,
+                          n_hashes=n_hashes, shard_shift=shard_shift)
+    # 1. count already-set bits (pre-update state + intra-key self hits)
+    n_before, needs = probe_count(bf, base, zs, active,
+                                  want_needs=exact)
 
     act = jnp.broadcast_to(active, (n_hashes, n)).reshape(-1)
     if exact:

@@ -475,6 +475,106 @@ def get_bloom_gate_post(pre, bf_shift, bf_n_hash, shard_shift=0,
 
 
 @lru_cache(maxsize=None)
+def _gate_sent_a(pre, bf_shift, bf_n_hash, wide):
+    """Phase A of the SENTINEL-MERGE Bloom gate post: dedup + probe
+    (as get_bloom_gate_post) + the filter-update position sort with one
+    SENTINEL item per filter word merged in.  After the sort, the data
+    lanes between sentinel w and sentinel w+1 are exactly word w's
+    probes, so each word's OR mask is the cumsum difference at adjacent
+    sentinel lanes — the streaming compactor extracts the sentinels'
+    cumsum values in word order and NO dense searchsorted runs at all
+    (its 2^19-query binary search measured ~240ms/fold on v5e, the
+    single fattest slice of the literal two-pass gate).
+
+    Returns (bw, khi, cs): the merge weight plane, plus the compactor
+    input planes (khi = word index at sentinel lanes / PAD elsewhere,
+    cs = exclusive u32 bit-mask cumsum, wrapping — exact per-word by
+    the unique-bits argument in ops/bloom)."""
+    from yak_tpu.ops.bloom import probe_count, probe_geom
+
+    nw = 1 << (bf_shift - 5)
+
+    @jax.jit
+    def post_a(Ehi, Elo, bf):
+        E = ((Ehi.astype(jnp.uint64) << jnp.uint64(32))
+             | Elo.astype(jnp.uint64))
+        inf = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        valid = E != inf
+        h = E if wide else E >> jnp.uint64(1)
+        n = E.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        starts = jnp.concatenate(
+            [jnp.ones((1,), bool), E[1:] != E[:-1]])
+        ends = jnp.concatenate(
+            [E[:-1] != E[1:], jnp.ones((1,), bool)]) & valid
+        start_ix = jax.lax.cummax(jnp.where(starts, idx, 0))
+        mult = idx - start_ix + 1      # at end lanes: the run length
+        base, zs = probe_geom(h, pre=pre, n_shift=bf_shift,
+                              n_hashes=bf_n_hash)
+        n_before, _ = probe_count(bf, base, zs, ends)
+        add = jnp.where(n_before == bf_n_hash, mult, mult - 1)
+        bw = jnp.where(ends, add, 0).astype(jnp.int32)
+        # update items: data key = (pos<<1)|1, sentinel key = w<<6 —
+        # sentinel w sorts after word w-1's data and before word w's
+        base32 = base.astype(jnp.uint32)
+        data = jnp.stack(
+            [jnp.where(ends, ((base32 + zi) << jnp.uint32(1))
+                       | jnp.uint32(1), jnp.uint32(0xFFFFFFFF))
+             for zi in zs], axis=0).reshape(-1)
+        sent = jnp.arange(nw + 1, dtype=jnp.uint32) << jnp.uint32(6)
+        allk = jnp.concatenate([data, sent])
+        (ks,) = jax.lax.sort((allk,), num_keys=1, is_stable=False)
+        is_data = (ks & jnp.uint32(1)) == 1    # incl. 0xFFFFFFFF pads:
+        prev = jnp.concatenate([ks[:1] ^ jnp.uint32(1), ks[:-1]])
+        uniq = is_data & (ks != prev)          # pads sort after every
+        m = jnp.where(uniq,                    # sentinel -> harmless
+                      jnp.uint32(1) << ((ks >> jnp.uint32(1))
+                                        & jnp.uint32(31)),
+                      jnp.uint32(0))
+        cs = jnp.cumsum(m) - m                 # exclusive, wrapping u32
+        khi = jnp.where((ks & jnp.uint32(1)) == 0, ks >> jnp.uint32(6),
+                        jnp.uint32(0x80000000))
+        return bw, khi, jax.lax.bitcast_convert_type(cs, jnp.int32)
+
+    return post_a
+
+
+@lru_cache(maxsize=None)
+def _gate_sent_b(nw):
+    @jax.jit
+    def post_b(bf, cvals):
+        c = jax.lax.bitcast_convert_type(cvals.reshape(-1)[:nw + 1],
+                                         jnp.uint32)
+        return bf | (c[1:] - c[:-1])
+    return post_b
+
+
+def gate_sent_fits(bf_shift, n_hashes):
+    """The sentinel-merge gate needs the (pos<<1|1) data key to fit
+    u32 with 0xFFFFFFFF reserved, and a whole-filter sentinel array."""
+    return bf_shift + 1 <= 31 and bf_shift <= 30
+
+
+def run_bloom_gate_post(Ehi, Elo, bf, pre, bf_shift, bf_n_hash,
+                        wide=False, interpret=False):
+    """The single-chip gated fold's gate dispatch: the sentinel-merge
+    two-phase post when it fits (default; YAK_TPU_BLOOM_SENTINEL=0
+    reverts), else the one-jit searchsorted gate post."""
+    import os
+
+    if (gate_sent_fits(bf_shift, bf_n_hash)
+            and os.environ.get("YAK_TPU_BLOOM_SENTINEL", "1") != "0"):
+        nw = 1 << (bf_shift - 5)
+        bw, khi, cs = _gate_sent_a(pre, bf_shift, bf_n_hash,
+                                   wide)(Ehi, Elo, bf)
+        _w, cvals = run_mark_compact(khi, cs, nw + 1,
+                                     interpret=interpret)
+        return bw, _gate_sent_b(nw)(bf, cvals)
+    gate = get_bloom_gate_post(pre, bf_shift, bf_n_hash, wide=wide)
+    return gate(Ehi, Elo, bf)
+
+
+@lru_cache(maxsize=None)
 def get_count_presort_step(k, planes_L=None, wide=False):
     """Pre-jit of the psort engine (u64 table): fused extract +
     complement-pack; the batch sort itself runs in the Pallas bitonic

@@ -446,11 +446,10 @@ class KmerTable:
                 Ehi, Elo, thi, tlo, tw, size_s = step(carg, *targs)
                 bw = None
                 if use_bf:
-                    from yak_tpu.ops.countstep import get_bloom_gate_post
-                    gate = get_bloom_gate_post(
-                        self.pre, self.bf_shift, self.bf_n_hash,
-                        wide=wide)
-                    bw, self.bf = gate(Ehi, Elo, bf)
+                    from yak_tpu.ops.countstep import run_bloom_gate_post
+                    bw, self.bf = run_bloom_gate_post(
+                        Ehi, Elo, bf, self.pre, self.bf_shift,
+                        self.bf_n_hash, wide=wide, interpret=interp)
                 out = pallas_merge.merge_reduce_presorted(
                     size_s, thi, tlo, tw, Ehi, Elo, bw=bw, Na=cap,
                     Nb=B, create=self._pend_create, interpret=interp,
