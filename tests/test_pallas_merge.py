@@ -197,6 +197,37 @@ def test_bloom_gate_post_psort_matches_xla_step():
     np.testing.assert_array_equal(np.asarray(bf_ps), np.asarray(bf_x))
 
 
+def test_bloom_gate_sentinel_matches_plain_post():
+    """The sentinel-merge gate post (run_bloom_gate_post: sentinel
+    position sort + streaming-compactor extraction, no searchsorted)
+    produces bit-identical (bw, bf') to the one-jit searchsorted gate
+    post on the same sorted stream."""
+    import jax.numpy as jnp
+    from yak_tpu.ops import pallas_sort
+    from yak_tpu.ops.bloom import make_bloom
+    from yak_tpu.ops.countstep import (_xs_planes, get_bloom_gate_post,
+                                       run_bloom_gate_post)
+
+    rng = np.random.default_rng(23)
+    space = rng.integers(0, 1 << 62, 4000, dtype=np.uint64)
+    batch = rng.choice(space, size=12000).astype(np.uint64)
+    valid = rng.random(12000) < 0.95
+    pre, bf_shift, bf_n = 10, 20, 4
+
+    h = jnp.asarray(batch)
+    v = jnp.asarray(valid)
+    xhi, xlo = _xs_planes(h, v)
+    Ehi, Elo = pallas_sort.sort_planes(xhi, xlo, neg_keys=True,
+                                       interpret=True)
+    bw_s, bf_s = run_bloom_gate_post(
+        Ehi, Elo, make_bloom(bf_shift), pre, bf_shift, bf_n,
+        interpret=True)
+    bw_p, bf_p = get_bloom_gate_post(pre, bf_shift, bf_n)(
+        Ehi, Elo, make_bloom(bf_shift))
+    np.testing.assert_array_equal(np.asarray(bw_s), np.asarray(bw_p))
+    np.testing.assert_array_equal(np.asarray(bf_s), np.asarray(bf_p))
+
+
 def _wide_psort_fold(tk, tc, sz, h, v, cap, B, bloom=None,
                      create=True):
     """Drive the full wide (k>=32) psort pipeline in interpret mode."""
