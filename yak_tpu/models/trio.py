@@ -677,9 +677,10 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                               ch.keys, ch.cnt, ch.size)
         return dispatch
 
-    def produce():
+    def produce(T=None):
         """Dispatch chunks as they parse; 2-deep so chunk i's device
         work overlaps the host chain replay of chunk i-1."""
+        import time as _time
         pending = []
         for packed in ChunkSource(seq_fn, chunk, k, with_meta="records"):
             nseq = len(packed.rec_gid)
@@ -689,14 +690,23 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
             arg, planes_key = pack_chunk_planes(packed.codes, packed)
             h = {}
             dispatch = make_dispatch(arg, planes_key, we, h)
+            _t0 = _time.time()
             dispatch()
+            if T is not None:
+                T["dispatch"] = T.get("dispatch", 0.0) \
+                    + (_time.time() - _t0)
             pending.append((packed, arg, planes_key, we, h, dispatch))
             if len(pending) >= 2:
                 yield pending.pop(0)
         yield from pending
 
+    import os as _os
+    import time as _time
+    dbg = _os.environ.get("YAK_TPU_TE_DEBUG")
+    T = {"fetch": 0.0, "host": 0.0}
     fold = _TeChainFold(opt, k, bo, glob)
-    for packed, arg, planes_key, we, h, dispatch in produce():
+    for packed, arg, planes_key, we, h, dispatch in produce(T):
+        _t0 = _time.time()
         def fetch():
             # every d2h read inside the retry closure (advisor r2 #4:
             # a transient device fault at ANY fetch must replay)
@@ -709,6 +719,8 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
             return n, np.asarray(o[0])[:n], None
 
         n, key_np, pay_np = retry_transient(fetch, redo=dispatch)
+        T["fetch"] += _time.time() - _t0
+        _t0 = _time.time()
         if n > TRIOEVAL_MAX_RUNS:
             # marker overflow: per-position fallback for this chunk
             if h.get("vs"):
@@ -742,7 +754,12 @@ def _trioeval_fused(opt, ch, seq_fn, bo, glob, chunk):
                     & np.uint64((1 << 24) - 1)).astype(np.int64)
             typs = (key_np & np.uint64(3)).astype(np.int64)
         fold.chunk(packed, lanes, lens, typs, M, we)
+        T["host"] += _time.time() - _t0
     fold.finish()
+    if dbg:
+        import sys as _sys
+        print("[te-debug]", {a: round(b, 2) for a, b in T.items()},
+              file=_sys.stderr)
 
 
 def _trioeval_fused_mesh(opt, ch, seq_fn, bo, glob, chunk):
