@@ -121,6 +121,39 @@ def test_pmerge_overflow_replay_keeps_cap(monkeypatch):
     np.testing.assert_array_equal(cnt, cref)
 
 
+def test_bloom_pmerge_overflow_replay(monkeypatch):
+    """Overflow replay through the GATED bloom step's u64 twin
+    (countstep._STEP_CFG tag "bloom" -> get_count_bloom_step): a
+    cap-hinted undershoot during the -b pass 1 must grow and replay
+    with identical results to the ungated-then-gated reference."""
+    rng = np.random.default_rng(41)
+    k = 21
+    # every chunk inserted twice: the gate admits keys on their second
+    # sighting, so the table still has to hold ~all distinct keys
+    chunks = [c for c in (rng.integers(0, 4, size=8192).astype(np.uint8)
+                          for _ in range(3)) for _ in range(2)]
+
+    def build():
+        t = KmerTable(k, cap_log2=14, cap_hinted=True, bf_shift=20,
+                      flush_lanes=8192)
+        assert t.bf is not None
+        for c in chunks:
+            t.insert_codes(c)
+        t.flush()
+        return t
+
+    ref = build()                   # xla-mode gate (CPU default)
+    href, cref = ref.items()
+    assert ref.cap > (1 << 14)      # the replay really grew
+
+    monkeypatch.setenv("YAK_TPU_PMERGE_INTERPRET", "1")
+    t = build()                     # gated pmerge + bloom twin replay
+    h, cnt = t.items()
+    assert t.cap > (1 << 14)
+    np.testing.assert_array_equal(h, href)
+    np.testing.assert_array_equal(cnt, cref)
+
+
 def test_psort_engine_parity_and_replay(monkeypatch):
     """The psort engine (Pallas bitonic batch sort + in-dispatch
     merge-path search + merge-reduce, table._run_step's 4-dispatch
