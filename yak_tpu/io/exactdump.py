@@ -18,7 +18,7 @@ file that lies about its provenance, so we raise instead).
 
 Byte-parity holds for tables produced by `count` (plain or -b two-pass)
 from the original inputs; it is verified against the reference binary in
-tests/test_exactdump.py.  Enabled by CountOpts.exact_dump, the CLI's
+tests/test_exactdump.py.  Enabled by CountOpts.exact, the CLI's
 `-X` flag on `count`, or YAK_TPU_EXACT_DUMP=1.
 """
 
