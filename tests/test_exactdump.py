@@ -96,6 +96,17 @@ def test_exact_dump_bloom_two_pass(reads_fa, bshift):
 
 
 @needs_native
+def test_exact_dump_bloom_gz_first(reads_fa):
+    """Two-file -b -X with the GZIPPED FASTQ as the pass-1 stream (the
+    serial-exact gate rides the gz ingest path)."""
+    d, fa, fq = reads_fa
+    ref, ours = str(d / "bg_ref.yak"), str(d / "bg_ours.yak")
+    run_oracle(["count", "-b20", "-k19", "-o", ref, fq, fa])
+    _our_cli(["count", "-b20", "-k19", "-X", "-o", ours, fq, fa])
+    _assert_bytes_equal(ours, ref)
+
+
+@needs_native
 def test_exact_dump_k33_wide(reads_fa):
     d, fa, _ = reads_fa
     ref, ours = str(d / "w_ref.yak"), str(d / "w_ours.yak")
